@@ -1,0 +1,9 @@
+"""Query modules — importing this package populates the registry."""
+
+from fact_hive_custom_spark.queries import (  # noqa: F401
+    aggregates,
+    scans,
+)
+from fact_hive_custom_spark.queries.registry import ORACLE, QUERIES
+
+__all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs a single JVM (local[N]); production posture is a
+multi-executor cluster at ~100 TB — the configs below are chosen so the
+same code scales: AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), shuffle partitions sized to cores locally (on a
+cluster this is overridden to ~2-3× total cores), Arrow enabled for the
+few Pandas-UDF operators, UTC session timezone so timestamp semantics
+are engine-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(app_name: str = "fact_hive_custom_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    `cpus` defaults to $SPARK_GRAFT_CPUS or all local cores. All
+    settings are stock Spark; none are required for correctness, only
+    for performance posture (SURVEY.md §4).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime partition coalescing, skew-join handling, join demotion.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Shuffle width ~ cores locally; cluster deployments override.
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        # Arrow transfer for Pandas UDF / toPandas paths.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp semantics vs external oracles.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Local mode: driver JVM is the only process; give it headroom.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,41 @@
+"""Table catalog: the fixture star schema (FIXTURES.md).
+
+`load_table` is the single scan entry point — every query goes through
+it so scans stay uniform: plain `spark.read.parquet`, letting the
+vectorized Parquet reader + Catalyst handle pushdown and pruning.
+`register_views` exposes the same tables to `spark.sql` queries.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (columnar Parquet, schema-on-read)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql queries.
+
+    Idempotent per (session, sf_dir); re-registering swaps the views to
+    the new scale factor.
+    """
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
