@@ -2,6 +2,8 @@
 
 from fact_hive_custom_spark.queries import (  # noqa: F401
     aggregates,
+    joins,
+    relational,
     scans,
 )
 from fact_hive_custom_spark.queries.registry import ORACLE, QUERIES

@@ -1,0 +1,376 @@
+"""Join operators (SURVEY.md §2.2.C).
+
+Join-strategy posture for 100 TB: dimension tables (region, nation,
+supplier, part, customer at most SFs) are broadcast — no shuffle of
+the fact side; fact-fact joins shuffle on the join key and rely on
+AQE for skew splitting. Hints are used only where the query exists to
+*exercise* a specific physical strategy (broadcast / shuffle-hash);
+everywhere else Catalyst + AQE choose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fact_hive_custom_spark.operators.asof import asof_join_backward
+from fact_hive_custom_spark.queries.registry import register
+from fact_hive_custom_spark.tables import load_table, register_views
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders ⋈ customer (customer side broadcast-sized)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p.p_brand,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join: fact ⋈ broadcast(dim) — zero shuffle of lineitem.
+
+    At 100 TB the fact side never moves; `part` ships to every executor
+    once. This is the canonical star-schema join strategy.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_join_shuffle_hash",
+    oracle="""
+    SELECT p.p_type, COUNT(*) AS n_lines, ROUND(AVG(l.l_quantity), 4) AS avg_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    """,
+)
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled hash join (explicit SHUFFLE_HASH hint): both sides hash-
+    partition on the key; no sort. Wins over sort-merge when one side's
+    per-partition hash table fits in memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").hint("SHUFFLE_HASH")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 4) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: all customers survive, order-less ones count 0."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "q_join_right",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of q_join_left)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    SELECT n.n_name, s.s_name
+    FROM nation n FULL OUTER JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: nations without suppliers survive with NULL s_name."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return n.join(s, s.s_nationkey == n.n_nationkey, "full").select("n_name", "s_name")
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers having ≥1 order (EXISTS). The semi join
+    never materializes order columns — cheaper than join+distinct."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_pairs, SUM(n.n_nationkey) AS sum_nkey
+    FROM region r CROSS JOIN nation n
+    GROUP BY r.r_name
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny dims + deterministic aggregate."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("n_nationkey").alias("sum_nkey"))
+    )
+
+
+@register(
+    "q_join_theta",
+    oracle="""
+    SELECT p.p_brand, COUNT(*) AS n_pairs,
+           ROUND(AVG(q.p_size - p.p_size), 4) AS avg_size_gap
+    FROM part p JOIN part q
+      ON p.p_brand = q.p_brand AND p.p_size < q.p_size
+    GROUP BY p.p_brand
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join, band-limited by an equi-key.
+
+    The p_brand equality keeps this a *hash-partitionable* join — Spark
+    plans SortMergeJoin on p_brand with the `<` as a post-join filter,
+    instead of a full O(n²) nested loop. At scale, always pair a theta
+    condition with whatever equi-key the semantics allow.
+    """
+    p = load_table(spark, sf_dir, "part").alias("p")
+    q = load_table(spark, sf_dir, "part").alias("q")
+    cond = (F.col("p.p_brand") == F.col("q.p_brand")) & (F.col("p.p_size") < F.col("q.p_size"))
+    return (
+        p.join(q, cond)
+        .groupBy(F.col("p.p_brand").alias("p_brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(F.col("q.p_size") - F.col("p.p_size")), 4).alias("avg_size_gap"),
+        )
+    )
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    WITH hours AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS h_start FROM events
+    )
+    SELECT h.h_start, COUNT(e.event_id) AS n_events,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM hours h JOIN events e
+      ON e.ts >= h.h_start AND e.ts < h.h_start + INTERVAL 1 HOUR
+    GROUP BY h.h_start
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: events into an hour-bucket dimension.
+
+    The bucket dim is tiny → broadcast nested-loop is the right plan at
+    any scale (the alternative — equi-join on a precomputed bucket key —
+    is what q_stream_tumbling exercises; this query keeps the genuine
+    range predicate).
+    """
+    e = load_table(spark, sf_dir, "events")
+    hours = e.select(F.date_trunc("hour", F.col("ts")).alias("h_start")).distinct()
+    cond = (F.col("ts") >= F.col("h_start")) & (
+        F.col("ts") < F.col("h_start") + F.expr("INTERVAL 1 HOUR")
+    )
+    return (
+        F.broadcast(hours)
+        .join(e, cond)
+        .groupBy("h_start")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT e.event_id,
+           LAST_VALUE(CASE WHEN e.event_type = 'click' THEN e.event_id END IGNORE NULLS)
+             OVER (PARTITION BY e.user_id
+                   ORDER BY e.ts, (e.event_type = 'click') ASC, e.event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_click_id
+    FROM events e
+    QUALIFY e.event_type = 'error'
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each error event, the latest strictly-preceding
+    click by the same user — via the union-window composition in
+    operators/asof.py (one shuffle + sort; no row explosion)."""
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join_backward(
+        errors, clicks, by=["user_id"], ts="ts", tiebreak="event_id", carry=["click_id"], strict=True
+    )
+    return joined.select("event_id", F.col("asof_click_id"))
+
+
+@register(
+    "q_join_self",
+    oracle="""
+    SELECT a.l_orderkey, COUNT(*) AS n_pairs,
+           ROUND(SUM(a.l_quantity + b.l_quantity), 4) AS qty_sum
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    GROUP BY a.l_orderkey
+    """,
+)
+def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self join: unordered pairs of lineitems within an order."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    a = li.alias("a")
+    b = li.alias("b")
+    cond = (F.col("a.l_orderkey") == F.col("b.l_orderkey")) & (
+        F.col("a.l_linenumber") < F.col("b.l_linenumber")
+    )
+    return (
+        a.join(b, cond)
+        .groupBy(F.col("a.l_orderkey").alias("l_orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum(F.col("a.l_quantity") + F.col("b.l_quantity")), 4).alias("qty_sum"),
+        )
+    )
+
+
+@register(
+    "q_subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+    """,
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery — Catalyst rewrites to a left semi join."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        """
+    )
+
+
+@register(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "q_subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — Catalyst decorrelates to a semi join (§4)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+        """
+    )

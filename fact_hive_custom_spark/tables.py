@@ -27,7 +27,20 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table (columnar Parquet, schema-on-read)."""
+    """Scan one fixture table (columnar Parquet, schema-on-read).
+
+    `events.ts` is nanosecond parquet, which Spark 4 refuses to read as
+    a timestamp (PARQUET_TYPE_ILLEGAL). We read it as long nanos
+    (legacy.parquet.nanosAsLong) and rebuild a microsecond timestamp —
+    lossless for this corpus (all values are µs-aligned; FIXTURES.md)
+    and identical to what a cluster ingesting µs data would see.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
