@@ -5,6 +5,7 @@ from fact_hive_custom_spark.queries import (  # noqa: F401
     joins,
     relational,
     scans,
+    windows,
 )
 from fact_hive_custom_spark.queries.registry import ORACLE, QUERIES
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fact_hive_custom_spark.queries.registry import register
-from fact_hive_custom_spark.tables import load_table
+from fact_hive_custom_spark.tables import load_table, register_views
 
 
 @register(
@@ -60,4 +60,265 @@ def q_agg_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) > 12
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — post-aggregation filter."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@register(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Spark expands to a two-phase aggregate automatically."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "q_agg_multi_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one query (Expand-based plan)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register("q_agg_approx_cd")  # rows-only: HLL++ sketch differs from DuckDB's
+def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++) — the 100 TB path for
+    distinct-user counts: constant memory per group vs the exact
+    Expand-based plan. Accuracy bound asserted in tests/test_operators.py."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping() null-vs-subtotal disambiguation."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: year → month hierarchy of order totals."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+            "o_totalprice",
+        )
+        .rollup("o_year", "o_month")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all subtotal combinations of status × priority."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/var/corr/covar), rounded per §7.4.2."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        )
+    )
+
+
+@register(
+    "q_agg_minmax_by",
+    oracle="""
+    SELECT o_custkey,
+           max_by(o_orderkey, o_totalprice) AS best_order,
+           min_by(o_orderkey, o_totalprice) AS worst_order
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin: the order key at the extreme totalprice per customer."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("best_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("worst_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_numbers
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation — sort_array for determinism (§7.4.4)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"))
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile (linear interpolation) per group."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+            F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+        )
+    )
+
+
+@register("q_agg_approx_pct")  # rows-only: sketch differs from DuckDB's
+def q_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile (Greenwald-Khanna) — the scale path for
+    quantiles: mergeable constant-size sketch, no global sort.
+    Error bound asserted in tests/test_operators.py."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(10000)).alias("p95_price"))
+    )
+
+
+@register(
+    "q_agg_first_last",
+    oracle="""
+    SELECT o_custkey,
+           min_by(o_orderpriority, o_orderkey) AS first_priority,
+           max_by(o_orderpriority, o_orderkey) AS last_priority
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first/last in group — expressed as min_by/max_by on an
+    explicit unique order key (plain first()/last() are order-undefined
+    after a shuffle; §7.4)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+            F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
+        )
     )

@@ -1,0 +1,362 @@
+"""Window functions, sorts, limits, set operations (SURVEY.md §2.2.E).
+
+Determinism discipline (§7.4.3): every window/sort order carries a
+full tiebreak key chain so results are identical across engines and
+across shuffle layouts. Running/moving sums are computed over
+DECIMAL so windowed aggregation is exact regardless of each engine's
+internal summation tree (DuckDB uses segment trees; Spark a running
+accumulator — float association would differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fact_hive_custom_spark.queries.registry import register
+from fact_hive_custom_spark.tables import load_table
+
+def _w_cust():
+    """Canonical per-customer order sequence: total order via (date, key).
+
+    Built lazily — Column construction requires an active session.
+    """
+    return Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+
+
+@register(
+    "q_win_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number()   OVER w AS rn,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           ROUND(percent_rank() OVER w, 6) AS prnk,
+           ntile(4)       OVER w AS quartile,
+           ROUND(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over a total per-customer order (date, key tiebreak)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(_w_cust()).alias("rn"),
+        F.rank().over(_w_cust()).alias("rnk"),
+        F.dense_rank().over(_w_cust()).alias("drnk"),
+        F.round(F.percent_rank().over(_w_cust()), 6).alias("prnk"),
+        F.ntile(4).over(_w_cust()).alias("quartile"),
+        F.round(F.cume_dist().over(_w_cust()), 6).alias("cdist"),
+    )
+
+
+@register(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day', lag(o_orderdate) OVER w, o_orderdate)  AS days_since_prev,
+           date_diff('day', o_orderdate, lead(o_orderdate) OVER w) AS days_to_next
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: gap in days between consecutive orders per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(_w_cust())).alias("days_since_prev"),
+        F.datediff(F.lead("o_orderdate").over(_w_cust()), F.col("o_orderdate")).alias("days_to_next"),
+    )
+
+
+@register(
+    "q_win_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_spend
+    FROM orders
+    """,
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total (ROWS unbounded-preceding frame), DECIMAL-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = _w_cust().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).alias("cum_spend"),
+    )
+
+
+@register(
+    "q_win_moving",
+    oracle="""
+    SELECT event_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 4) AS mov_avg3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average of event value per user.
+
+    Expressed as exact DECIMAL sum ÷ count so both engines divide the
+    same exact numerator (a windowed double AVG would expose each
+    engine's summation association).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    num = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+    cnt = F.count(F.lit(1)).over(w)
+    return e.select("event_id", F.round(num / cnt, 4).alias("mov_avg3"))
+
+
+@register(
+    "q_win_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS spend_30d
+    FROM orders
+    """,
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per customer, total spend in the 30 days up to each
+    order. The ordering key is epoch-days (numeric) so the RANGE frame
+    semantics are engine-independent; peers (same-day orders) aggregate
+    together in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    epoch_days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_days.asc())
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).alias("spend_30d"),
+    )
+
+
+@register(
+    "q_win_first_last_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS last_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value with an explicit full-partition frame
+    (the default frame stops at CURRENT ROW — a classic silent-wrong-answer)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = _w_cust().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value(F.col("o_orderkey")).over(w).alias("first_order"),
+        F.last_value(F.col("o_orderkey")).over(w).alias("last_order"),
+        F.nth_value(F.col("o_orderkey"), 2).over(w).alias("second_order"),
+    )
+
+
+@register(
+    "q_sort_multi",
+    oracle="""
+    SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+    FROM customer
+    ORDER BY seg DESC NULLS LAST, c_acctbal ASC NULLS FIRST, c_custkey
+    LIMIT 50
+    """,
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit NULLS placement + full tiebreak, under a
+    LIMIT (where row order actually changes the result set)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+            "c_acctbal",
+        )
+        .orderBy(
+            F.desc_nulls_last("seg"),
+            F.asc_nulls_first("c_acctbal"),
+            F.asc("c_custkey"),
+        )
+        .limit(50)
+    )
+
+
+@register(
+    "q_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N — Spark plans TakeOrderedAndProject: per-partition
+    top-10 then a single-partition merge, never a full global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_topk_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part
+    ) t WHERE rn <= 3
+    """,
+)
+def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number ≤ k (one shuffle on the group key)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+@register(
+    "q_union_all",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_key, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union, no dedup shuffle)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "q_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set semantics — dedup via hash aggregate)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set) — nationkeys with both customers and suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "q_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set) — nationkeys with customers but no suppliers.
+
+    `subtract` is Spark's EXCEPT DISTINCT (exceptAll().distinct() would
+    wrongly subtract multiplicities before deduping). The supplier side
+    is filtered so the difference is non-empty at every fixture scale.
+    """
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)
+
+
+@register(
+    "q_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset: min of per-side multiplicities)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@register(
+    "q_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset: multiplicity difference)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
