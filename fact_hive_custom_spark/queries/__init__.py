@@ -4,7 +4,9 @@ from fact_hive_custom_spark.queries import (  # noqa: F401
     aggregates,
     joins,
     relational,
+    scalar_functions,
     scans,
+    udfs,
     windows,
 )
 from fact_hive_custom_spark.queries.registry import ORACLE, QUERIES

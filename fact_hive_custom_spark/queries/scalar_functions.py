@@ -1,0 +1,313 @@
+"""Scalar function families (SURVEY.md §2.2.F) — one bundled query per family.
+
+All functions are stock `pyspark.sql.functions` (JVM-side, codegen'd —
+no Python in the data path). Oracle SQL mirrors each expression in
+DuckDB's dialect; where dialects diverge (initcap, dayofweek origin,
+regexp_replace global flag, months_between) the oracle emulates
+Spark's documented semantics per SURVEY.md §7.4.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fact_hive_custom_spark.queries.registry import register
+from fact_hive_custom_spark.tables import load_table
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT c_custkey,
+           concat(upper(c_name), '|', lower(c_name))               AS shout_mumble,
+           substr(c_name, 10, 9)                                   AS key_digits,
+           trim(lpad(CAST(c_custkey AS VARCHAR), 6, '0'))          AS padded_key,
+           length(c_name)                                          AS name_len,
+           upper(substr(c_name, 1, 1)) || lower(substr(c_name, 2)) AS name_initcap,
+           string_split(c_name, '#')[2]                            AS after_hash,
+           instr(c_name, '#')                                      AS hash_pos,
+           translate(c_name, '0123456789', 'XXXXXXXXXX')           AS masked,
+           levenshtein(c_name, 'Customer#000000000')               AS lev_dist,
+           regexp_extract(c_name, '([0-9]+)$', 1)                  AS trailing_num,
+           regexp_replace(c_name, '0+', '0', 'g')                  AS squeezed
+    FROM customer
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: concat/upper/lower/substr/trim/lpad/length/initcap/
+    split/instr/translate/levenshtein/regexp_extract/regexp_replace.
+
+    Note: Spark regexp_replace is global; DuckDB needs the 'g' flag.
+    DuckDB lacks initcap → oracle emulates (single-word input here).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.concat(F.upper(name), F.lit("|"), F.lower(name)).alias("shout_mumble"),
+        F.substring(name, 10, 9).alias("key_digits"),
+        F.trim(F.lpad(F.col("c_custkey").cast("string"), 6, "0")).alias("padded_key"),
+        F.length(name).alias("name_len"),
+        F.initcap(name).alias("name_initcap"),
+        F.split(name, "#").getItem(1).alias("after_hash"),
+        F.instr(name, "#").alias("hash_pos"),
+        F.translate(name, "0123456789", "XXXXXXXXXX").alias("masked"),
+        F.levenshtein(name, F.lit("Customer#000000000")).alias("lev_dist"),
+        F.regexp_extract(name, r"([0-9]+)$", 1).alias("trailing_num"),
+        F.regexp_replace(name, "0+", "0").alias("squeezed"),
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                        AS o_year,
+           month(o_orderdate)                                       AS o_month,
+           day(o_orderdate)                                         AS o_day,
+           dayofweek(o_orderdate) + 1                               AS dow,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)              AS due_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)             AS plus_3mo,
+           (1998 - year(o_orderdate)) * 12 + (1 - month(o_orderdate)) AS months_to_1998,
+           last_day(CAST(o_orderdate AS DATE))                      AS month_end,
+           CAST(date_trunc('month', o_orderdate) AS DATE)           AS month_start,
+           CAST(epoch(o_orderdate) AS BIGINT)                       AS epoch_sec,
+           CAST(o_orderdate AS DATE)                                AS as_date
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: year/month/day/dayofweek/date_add/datediff/
+    add_months/months_between/last_day/trunc/unix_timestamp/to_date.
+
+    Dialect notes: Spark dayofweek is 1=Sunday; DuckDB 0=Sunday (+1 in
+    oracle). months_between is evaluated against month-start targets so
+    its fractional part is 0 and it equals pure calendar-month distance
+    in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    dd = d.cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("o_year"),
+        F.month(d).alias("o_month"),
+        F.dayofmonth(d).alias("o_day"),
+        F.dayofweek(d).alias("dow"),
+        F.date_add(dd, 30).alias("due_date"),
+        F.datediff(F.lit("1998-12-31").cast("date"), dd).alias("days_to_eoy"),
+        F.add_months(dd, 3).alias("plus_3mo"),
+        F.months_between(F.lit("1998-01-01").cast("date"), F.trunc(dd, "month"))
+        .cast("int")
+        .alias("months_to_1998"),
+        F.last_day(dd).alias("month_end"),
+        F.trunc(dd, "month").alias("month_start"),
+        F.unix_timestamp(d).alias("epoch_sec"),
+        F.to_date(d).alias("as_date"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25)                                   AS dev_from_25,
+           round(l_extendedprice, 1)                              AS price_r1,
+           CAST(ceil(l_discount * 100) AS BIGINT)                 AS disc_pct_ceil,
+           CAST(floor(l_tax * 100) AS BIGINT)                     AS tax_pct_floor,
+           ROUND(sqrt(l_quantity), 6)                             AS qty_sqrt,
+           ROUND(pow(l_discount, 2), 6)                           AS disc_sq,
+           ROUND(exp(l_discount), 6)                              AS disc_exp,
+           ROUND(ln(l_extendedprice), 6)                          AS price_ln,
+           ROUND(log10(l_extendedprice), 6)                       AS price_log10,
+           ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7             AS key_mod7,
+           CAST(sign(l_quantity - 25) AS DOUBLE)                  AS dev_sign,
+           greatest(l_quantity, l_linenumber * 10)                AS biggest,
+           least(l_quantity, l_linenumber * 10)                   AS smallest
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: abs/round/ceil/floor/sqrt/pow/exp/ln/log10/pmod/sign/
+    greatest/least. Spark ceil→BIGINT vs DuckDB ceil→DOUBLE: cast in the
+    oracle; pmod emulated as ((a%b)+b)%b."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(q - 25).alias("dev_from_25"),
+        F.round(F.col("l_extendedprice"), 1).alias("price_r1"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
+        F.round(F.sqrt(q), 6).alias("qty_sqrt"),
+        F.round(F.pow(F.col("l_discount"), 2), 6).alias("disc_sq"),
+        F.round(F.exp(F.col("l_discount")), 6).alias("disc_exp"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.log10(F.col("l_extendedprice")), 6).alias("price_log10"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
+        F.signum(q - 25).alias("dev_sign"),
+        F.greatest(q, F.col("l_linenumber") * 10).alias("biggest"),
+        F.least(q, F.col("l_linenumber") * 10).alias("smallest"),
+    )
+
+
+@register(
+    "q_fn_cond",
+    oracle="""
+    SELECT s_suppkey,
+           coalesce(NULLIF(s_name, 'Supplier#000000000'), 'FIRST')     AS name_or_first,
+           nullif(s_nationkey, 0)                                      AS nation_or_null,
+           ifnull(nullif(s_nationkey, 0), -1)                          AS nation_or_neg1,
+           CASE WHEN s_acctbal >= 0 THEN 'credit' ELSE 'debit' END     AS bal_kind
+    FROM supplier
+    """,
+)
+def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null family: coalesce/nullif/nvl(ifnull)/if."""
+    s = load_table(spark, sf_dir, "supplier")
+    nation_or_null = F.nullif(F.col("s_nationkey"), F.lit(0))
+    return s.select(
+        "s_suppkey",
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("Supplier#000000000")), F.lit("FIRST")).alias(
+            "name_or_first"
+        ),
+        nation_or_null.alias("nation_or_null"),
+        F.nvl(nation_or_null, F.lit(-1)).alias("nation_or_neg1"),
+        F.expr("if(s_acctbal >= 0, 'credit', 'debit')").alias("bal_kind"),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                                    AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6)                            AS first_val,
+           ROUND(CAST(list_sort(embedding)[1] AS DOUBLE), 6)                 AS min_val,
+           len(list_distinct(embedding))                                     AS n_distinct,
+           len(list_filter(embedding, x -> x > 0))                           AS n_pos,
+           ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)), 4) AS sum_doubled,
+           ROUND(list_dot_product(embedding, embedding), 4)                  AS norm_sq,
+           list_contains(embedding, embedding[1])                            AS has_first
+    FROM embeddings
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order family over `embeddings.embedding`
+    (array<float>, dim 64): size/element_at/sort_array/array_distinct/
+    array_contains + transform/filter/aggregate/zip_with.
+
+    The dot product via zip_with+aggregate folds left-to-right — the
+    same association DuckDB's list_dot_product uses, so 4-dp rounding
+    is stable. All lambdas run inside codegen (no UDFs).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_val"),
+        F.round(F.element_at(F.sort_array(emb), 1).cast("double"), 6).alias("min_val"),
+        F.size(F.array_distinct(emb)).alias("n_distinct"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform(emb, lambda x: dbl(x) * 2.0), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            4,
+        ).alias("sum_doubled"),
+        F.round(
+            F.aggregate(
+                F.zip_with(emb, emb, lambda x, y: dbl(x) * dbl(y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("norm_sq"),
+        F.array_contains(emb, F.element_at(emb, 1)).alias("has_first"),
+    )
+
+
+@register(
+    "q_fn_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER)           AS k_val,
+           json_keys(props)                                      AS key_list,
+           CAST(json_extract(props, '$.k') AS INTEGER) * 2       AS k_doubled,
+           'k'                                                   AS exploded_key,
+           CAST(json_extract(props, '$.k') AS INTEGER)           AS exploded_val
+    FROM events
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: from_json to map, map_keys/map_values/element_at,
+    map explode, str_to_map, create_map. The fixture props is exactly
+    {"k": <int>} (FIXTURES.md) so the exploded map has one entry/row."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    # str_to_map round-trip: rebuild "k:<v>" then re-parse — exercises
+    # str_to_map + create_map + element_at together.
+    rebuilt = F.str_to_map(F.concat(F.lit("k:"), F.element_at(m, "k").cast("string")), F.lit(","), F.lit(":"))
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.map_keys(m).alias("key_list"),
+        (
+            F.element_at(F.map_from_arrays(F.map_keys(m), F.map_values(m)), "k").cast("int")
+            + F.element_at(rebuilt, "k").cast("int")
+        ).alias("k_doubled"),
+        F.explode(m).alias("exploded_key", "exploded_val"),
+    )
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')                     AS k_str,
+           CAST(json_extract(props, '$.k') AS INTEGER)           AS k_int,
+           to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS INTEGER))) AS rebuilt,
+           json_extract_string(props, '$.k')                     AS k_tuple
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: get_json_object / json_tuple / from_json(struct) /
+    to_json round-trip."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "struct<k:int>")
+    return e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.to_json(parsed).alias("rebuilt"),
+        F.json_tuple(F.col("props"), "k").alias("k_tuple"),
+    )
+
+
+@register(
+    "q_fn_explode",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    )
+    SELECT doc_id,
+           unnest(range(0, len(arr))) AS pos,
+           unnest(arr) AS token
+    FROM toks
+    """,
+)
+def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator family: posexplode of tokenized document text (explode /
+    posexplode / explode_outer / inline are the same physical Generate
+    operator — narrow, no shuffle, pipelined with the scan)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    )

@@ -1,0 +1,137 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.2.H).
+
+Python-in-the-data-path policy (the 100 TB posture): built-ins first;
+when Python is unavoidable, Arrow-batched Pandas UDFs (`pandas_udf`,
+`applyInPandas`) — never row-at-a-time UDFs in a hot path. The plain
+Python UDF below exists to cover the API surface; its docstring is the
+warning label.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from fact_hive_custom_spark.queries.registry import register
+from fact_hive_custom_spark.tables import load_table
+
+
+@register(
+    "q_udf_python",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN 'none'
+                WHEN l_discount < 0.05 THEN 'low'
+                ELSE 'high' END AS disc_band
+    FROM lineitem
+    """,
+)
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Python UDF (row-at-a-time; pickled per batch, ~100× slower
+    than builtins — acceptable only off the hot path). Registered for
+    SQL use as well (`spark.udf.register`)."""
+
+    def band(d: float) -> str:
+        if d == 0:
+            return "none"
+        return "low" if d < 0.05 else "high"
+
+    band_udf = F.udf(band, "string")
+    spark.udf.register("disc_band", band_udf)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", band_udf("l_discount").alias("disc_band"))
+
+
+@register(
+    "q_udf_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS net_price
+    FROM lineitem
+    """,
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow-batched) pandas UDF — the sanctioned Python
+    path: whole columns cross the JVM↔Python boundary as Arrow buffers,
+    computed with numpy vector ops."""
+
+    @pandas_udf("double")
+    def net_price(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        # No .round() here: pandas rounds half-to-even, SQL ROUND rounds
+        # half-away-from-zero — final rounding stays in the engine. The
+        # engine rounds at 6dp because the product is exactly 6-decimal
+        # (2+2+2 dp inputs): 4dp would sit on .5 boundaries where
+        # Spark's (decimal-string) and DuckDB's (×10^n) ROUND diverge.
+        return price * (1 - disc) * (1 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(net_price("l_extendedprice", "l_discount", "l_tax"), 6).alias("net_price"),
+    )
+
+
+@register(
+    "q_udaf_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(ABS(l_quantity - m)), 4) AS abs_dev_sum,
+           COUNT(*) AS n
+    FROM (
+        SELECT l_returnflag, l_quantity,
+               AVG(l_quantity) OVER (PARTITION BY l_returnflag) AS m
+        FROM lineitem
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped UDAF via applyInPandas: per-group total absolute deviation
+    from the group mean — a two-pass aggregate that needs the whole
+    group, the legitimate use of the grouped-map path. Each group
+    arrives as one pandas DataFrame (shuffle on the group key; groups
+    must fit per-executor memory — fine for low-cardinality keys)."""
+
+    def abs_dev(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["l_quantity"]
+        # Raw sum only — half-even Python rounding differs from SQL ROUND.
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "abs_dev_sum": [(q - q.mean()).abs().sum()],
+                "n": [len(pdf)],
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    grouped = li.groupBy("l_returnflag").applyInPandas(
+        abs_dev, schema="l_returnflag string, abs_dev_sum double, n long"
+    )
+    return grouped.select("l_returnflag", F.round("abs_dev_sum", 4).alias("abs_dev_sum"), "n")
+
+
+@register(
+    "q_udtf_python",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+    """,
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark ≥3.5): tokenize document text, one row per
+    token, consumed via LATERAL join in SQL."""
+
+    @udtf(returnType="token: string")
+    class SplitWords:
+        def eval(self, text: str):
+            for tok in text.split(" "):
+                yield (tok,)
+
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT d.doc_id, t.token FROM documents d, LATERAL split_words(d.text) t"
+    )

@@ -41,6 +41,7 @@ def get_session(app_name: str = "fact_hive_custom_spark", cpus: int | None = Non
         # Local mode: driver JVM is the only process; give it headroom.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
