@@ -1,0 +1,174 @@
+"""Near-duplicate detection operators (SURVEY.md §2.2.I).
+
+Two tiers, same contract (pairs of near-duplicate doc ids):
+
+- `jaccard_pairs` — exact shingle-set Jaccard via self-join on shingle.
+  O(candidate pairs); only viable when shingle selectivity keeps the
+  join small. It is the *oracle* for the scaled path.
+- `minhash_lsh_pairs` — MinHash signatures + LSH banding. The 100 TB
+  path: per-doc cost is O(shingles × num_hashes) map-side, the only
+  shuffles are one groupBy(doc) and one self-join on (band, bucket),
+  and candidate verification touches only bucket-colliding pairs.
+  Everything is seeded `xxhash64` — fully deterministic, no ML-lib
+  vector boxing, stays inside whole-stage codegen.
+
+Banding math: with r rows/band and b bands, P(candidate | jaccard=j)
+= 1-(1-j^r)^b. Defaults r=3, b=8 (24 hashes) put the S-curve knee at
+(1/b)^(1/r) ≈ 0.5, giving ≈99.7% recall at j=0.8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingle) — distinct k-word shingles per document.
+
+    Documents shorter than k tokens produce no shingles (they cannot
+    near-duplicate anything under k-shingle Jaccard).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # positions 1 .. n-k+1; guarded so sequence() never runs backwards
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.explode(
+        F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " ")))
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sh.alias("shingle"))
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float, k: int = 3) -> DataFrame:
+    """Exact Jaccard: all pairs with |A∩B| / |A∪B| >= threshold.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. The self-join
+    explodes on hot shingles — correct at fixture scale, the reason
+    LSH exists at 100 TB.
+    """
+    sh = shingles(docs, k=k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter") / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 24) -> DataFrame:
+    """(doc_id, h0..h{n-1}) — MinHash signature as one min-agg per seed.
+
+    One shuffle (groupBy doc_id); the seeded xxhash64 family is
+    computed map-side in codegen.
+    """
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    rows_per_band: int = 3,
+    num_bands: int = 8,
+) -> DataFrame:
+    """LSH candidate generation + exact verification.
+
+    Returns (doc_a, doc_b, jaccard) for verified pairs ≥ threshold.
+    Pipeline: shingle → signature → band buckets → self-join on
+    (band, bucket) → exact Jaccard on the (tiny) candidate set.
+    """
+    sh = shingles(docs, k=k)
+    sig = minhash_signatures(sh, num_hashes=rows_per_band * num_bands)
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)],
+                    F.lit(10_000 + band),
+                ).alias("bucket"),
+            )
+            for band in range(num_bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # Exact verification restricted to candidates: join shingle sets of
+    # both sides, compute |∩| and sizes. Candidate count ≈ true-dup
+    # count, so this stage is tiny regardless of corpus size.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = sh.alias("sa")
+    inter = (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jac = F.col("n_inter") / (F.col("za.n_shingles") + F.col("zb.n_shingles") - F.col("n_inter"))
+    return (
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def simhash_64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash over word tokens.
+
+    Classic Charikar sketch: each token votes its xxhash64 bits ±1;
+    the sign of each bit-position sum forms the fingerprint. Computed
+    with explode + groupBy (one shuffle), bit ops in codegen.
+    Near-dups have small Hamming distance between fingerprints.
+    """
+    tok = F.explode(F.split(F.col(text_col), " ")).alias("token")
+    toks = docs.select(F.col(id_col).alias("doc_id"), tok)
+    h = F.xxhash64(F.col("token"))
+    # vote per bit: +1 if bit set else -1 == 2*bit-1
+    votes = [
+        F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}") for i in range(64)
+    ]
+    voted = toks.groupBy("doc_id").agg(*votes)
+    fingerprint = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+    return voted.select("doc_id", fingerprint.alias("simhash"))

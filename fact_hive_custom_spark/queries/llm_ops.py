@@ -1,0 +1,272 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.2.I) — the charter's
+north star: dedup, similarity search, text analysis, multimodal
+columns, at 100 TB posture.
+
+Scale notes per query live on the operator implementations in
+fact_hive_custom_spark/operators/{dedup,similarity}.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fact_hive_custom_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+from fact_hive_custom_spark.operators.similarity import cosine_topk
+from fact_hive_custom_spark.queries.registry import register
+from fact_hive_custom_spark.tables import load_table
+
+
+@register(
+    "q_llm_exact_dedup",
+    oracle="""
+    SELECT sha256(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash → keep the minimum doc_id per group.
+
+    At 100 TB: one shuffle on the 256-bit hash (uniform keys — no
+    skew), map-side partial aggregation; the text column itself never
+    shuffles, only its hash.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2(F.col("text"), 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "q_llm_jaccard_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                     i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
+    """,
+)
+def q_llm_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup, exact 3-gram-shingle Jaccard ≥ 0.8 (the oracle-able
+    ground truth that q_llm_minhash_lsh is validated against)."""
+    return jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8, k=3)
+
+
+@register("q_llm_minhash_lsh")  # rows-only: seeded hash family ≠ DuckDB's
+def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup at scale: MinHash + LSH banding (seeded xxhash64,
+    r=3 rows × b=8 bands) with exact verification of candidates.
+    tests/test_operators.py asserts pair-set equality with the exact
+    Jaccard ground truth on this corpus."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8, k=3, rows_per_band=3, num_bands=8
+    )
+
+
+@register(
+    "q_llm_cosine_topk",
+    oracle="""
+    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings p
+    JOIN embeddings c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY p.vec_id
+        ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) DESC,
+                 c.vec_id
+    ) <= 5
+    """,
+)
+def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding similarity search: brute-force cosine top-5 for a probe
+    set (vec_id < 10), probes broadcast, corpus never shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(probes, emb, k=5)
+
+
+@register(
+    "q_llm_knn_label",
+    oracle="""
+    SELECT p.vec_id AS probe_id, c.label AS predicted_label
+    FROM embeddings p
+    JOIN embeddings c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY p.vec_id
+        ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) DESC,
+                 c.vec_id
+    ) = 1
+    """,
+)
+def q_llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor label assignment: top-1 neighbor's label per probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    top1 = cosine_topk(probes, emb, k=1, payload=("label",))
+    return top1.select("probe_id", F.col("label").alias("predicted_label"))
+
+
+@register(
+    "q_llm_text_stats",
+    oracle="""
+    WITH doc_stats AS (
+        SELECT lang, source, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY lang, source
+    ),
+    tok AS (
+        SELECT lang, source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tok_stats AS (
+        SELECT lang, source, COUNT(*) AS n_tokens,
+               ROUND(COUNT(DISTINCT token) * 1.0 / COUNT(*), 6) AS ttr
+        FROM tok GROUP BY lang, source
+    )
+    SELECT d.lang, d.source, d.n_docs, d.avg_chars, t.n_tokens, t.ttr
+    FROM doc_stats d JOIN tok_stats t ON d.lang = t.lang AND d.source = t.source
+    """,
+)
+def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: doc counts, mean length, token counts, type-token
+    ratio per (lang, source). Two partial aggregates joined on the
+    group key — the exploded token stream never joins the doc stream."""
+    d = load_table(spark, sf_dir, "documents")
+    doc_stats = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("n_chars"), 4).alias("avg_chars")
+    )
+    tok = d.select("lang", "source", F.explode(F.split("text", " ")).alias("token"))
+    tok_stats = tok.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.countDistinct("token") / F.count(F.lit(1)), 6).alias("ttr"),
+    )
+    return doc_stats.join(tok_stats, ["lang", "source"])
+
+
+@register(
+    "q_llm_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY source, term),
+    df AS (SELECT term, COUNT(DISTINCT source) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+    scored AS (
+        SELECT tf.source, tf.term,
+               ROUND(tf.tf * ln((n.n_sources + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT source, term, tfidf
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term) <= 3
+    """,
+)
+def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per source (deterministic term tiebreak).
+
+    Two-level aggregation: term frequency shuffles on (source, term),
+    document frequency on term; the idf side is tiny (vocabulary) and
+    broadcasts into the scoring join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    n_sources = d.select(F.countDistinct("source").alias("n_sources"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_sources") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+
+
+@register(
+    "q_llm_lang_filter",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+    WHERE lang = 'en'
+      AND n_chars BETWEEN 100 AND 400
+      AND len(string_split(text, ' ')) >= 20
+      AND n_chars * 1.0 / len(string_split(text, ' ')) < 10
+    """,
+)
+def q_llm_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality filter: language + length band + token count +
+    mean-word-length heuristic, as one predicate chain (all pushed into
+    a single scan pass; the n_chars bounds prune parquet row groups)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return (
+        d.filter(
+            (F.col("lang") == "en")
+            & F.col("n_chars").between(100, 400)
+            & (n_tokens >= 20)
+            & (F.col("n_chars") / n_tokens < 10)
+        )
+        .select("doc_id", "lang", "n_chars", n_tokens.alias("n_tokens"))
+    )
+
+
+@register(
+    "q_llm_multimodal",
+    oracle="""
+    SELECT d.lang, e.label,
+           COUNT(*) AS n,
+           ROUND(AVG(d.n_chars), 4) AS avg_chars,
+           ROUND(AVG(CAST(e.embedding[1] AS DOUBLE)), 6) AS avg_first_dim,
+           MIN(len(e.embedding)) AS dim
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    GROUP BY d.lang, e.label
+    """,
+)
+def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns: the array<float> embedding rides through a
+    join and aggregation next to text metadata without materializing
+    or converting (nested types are first-class across every operator;
+    raw media would be the same pattern with BinaryType — see
+    operators/multimodal.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        e.join(d, e.vec_id == d.doc_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias("avg_first_dim"),
+            F.min(F.size("embedding")).alias("dim"),
+        )
+    )

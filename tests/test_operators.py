@@ -1,0 +1,175 @@
+"""Operator-quality tests (SURVEY.md §5.4/§5.5) — the assertions the
+oracle can't express: sketch error bounds, LSH recall vs exact ground
+truth, as-of edge semantics, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+SF_TINY = "/root/testdata/sf0.001"
+
+
+class TestMinHashLSH:
+    def test_lsh_matches_exact_ground_truth(self, spark):
+        """LSH(threshold .8) must find exactly the exact-Jaccard pairs —
+        verification keeps precision at 1.0; banding (r=3,b=8) keeps
+        recall ≈1.0 at j≥0.8."""
+        from fact_hive_custom_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+        from fact_hive_custom_spark.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        exact = {(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, 0.8).collect()}
+        lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, 0.8).collect()}
+        assert exact, "fixture should contain seeded near-duplicates"
+        assert lsh == exact
+
+    def test_simhash_separates_dups_from_random_pairs(self, spark):
+        from fact_hive_custom_spark.operators.dedup import jaccard_pairs, simhash_64
+        from fact_hive_custom_spark.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        fp = {r.doc_id: r.simhash for r in simhash_64(docs).collect()}
+        dup_pairs = [(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, 0.8).collect()]
+
+        def hamming(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        dup_d = [hamming(fp[a], fp[b]) for a, b in dup_pairs]
+        ids = sorted(fp)[:40]
+        rand_d = [hamming(fp[a], fp[b]) for a in ids[:20] for b in ids[20:40]]
+        # The fixture vocabulary is tiny (~40 shared words) so even random
+        # pairs are token-wise similar — the margin, not the absolute
+        # distance, is the signal.
+        assert max(dup_d) < 12, f"near-dups should be close in simhash space: {dup_d}"
+        mean_rand = sum(rand_d) / len(rand_d)
+        mean_dup = sum(dup_d) / len(dup_d)
+        assert mean_rand > mean_dup + 8, f"dup/random separation too small: {mean_dup} vs {mean_rand}"
+
+
+class TestSimilarity:
+    def test_signlsh_recall_vs_exact(self, spark):
+        """Sign-LSH top-5 must recover most exact top-5 neighbors."""
+        from fact_hive_custom_spark.operators.similarity import cosine_topk, signlsh_topk
+        from fact_hive_custom_spark.tables import load_table
+
+        emb = load_table(spark, SF_TINY, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 10)
+        exact = {(r.probe_id, r.neighbor_id) for r in cosine_topk(probes, emb, k=5).collect()}
+        # Fixture embeddings are near-random (top-5 cosine ≈ 0.3 → θ/π ≈ 0.4):
+        # few planes, many tables is the right operating point.
+        approx = {
+            (r.probe_id, r.neighbor_id)
+            for r in signlsh_topk(probes, emb, k=5, num_planes=4, num_tables=8).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5, f"sign-LSH recall too low: {recall}"
+
+    def test_cosine_self_similarity_is_one(self, spark):
+        from fact_hive_custom_spark.operators.similarity import cosine
+
+        df = spark.createDataFrame([Row(v=[1.0, 2.0, 3.0])])
+        val = df.select(F.round(cosine(F.col("v"), F.col("v")), 9).alias("c")).collect()[0].c
+        assert val == 1.0
+
+
+class TestAsof:
+    def test_strict_excludes_same_instant(self, spark):
+        from fact_hive_custom_spark.operators.asof import asof_join_backward
+
+        left = spark.createDataFrame(
+            [Row(k="u", ts=10, event_id=100), Row(k="u", ts=20, event_id=101)]
+        ).select("k", "ts", "event_id")
+        right = spark.createDataFrame(
+            [Row(k="u", ts=10, event_id=1, val="same-instant"), Row(k="u", ts=15, event_id=2, val="between")]
+        ).select("k", "ts", "event_id", "val")
+
+        strict = {
+            r.event_id: r.asof_val
+            for r in asof_join_backward(
+                left, right, by=["k"], ts="ts", tiebreak="event_id", carry=["val"], strict=True
+            ).collect()
+        }
+        # at ts=10 the same-instant right row must NOT be visible
+        assert strict[100] is None
+        assert strict[101] == "between"
+
+        inclusive = {
+            r.event_id: r.asof_val
+            for r in asof_join_backward(
+                left, right, by=["k"], ts="ts", tiebreak="event_id", carry=["val"], strict=False
+            ).collect()
+        }
+        assert inclusive[100] == "same-instant"
+
+    def test_no_preceding_right_row_yields_null(self, spark):
+        from fact_hive_custom_spark.operators.asof import asof_join_backward
+
+        left = spark.createDataFrame([Row(k="u", ts=5, event_id=100)])
+        right = spark.createDataFrame([Row(k="u", ts=9, event_id=1, val="later")])
+        out = asof_join_backward(
+            left, right, by=["k"], ts="ts", tiebreak="event_id", carry=["val"], strict=True
+        ).collect()
+        assert out[0].asof_val is None
+
+
+class TestSketches:
+    def test_hll_error_bound(self, spark):
+        from fact_hive_custom_spark.tables import load_table
+
+        e = load_table(spark, SF_DIR, "events")
+        approx = {
+            r.event_type: r.n
+            for r in e.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.01).alias("n"))
+            .collect()
+        }
+        exact = {
+            r.event_type: r.n
+            for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+        }
+        for k in exact:
+            assert abs(approx[k] - exact[k]) / exact[k] < 0.05
+
+    def test_approx_percentile_bound(self, spark):
+        from fact_hive_custom_spark.tables import load_table
+
+        o = load_table(spark, SF_DIR, "orders")
+        approx = o.agg(
+            F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(10000)).alias("p")
+        ).collect()[0].p
+        exact = o.agg(F.percentile("o_totalprice", F.lit(0.95)).alias("p")).collect()[0].p
+        assert abs(approx - exact) / exact < 0.02
+
+
+class TestMultimodal:
+    def _media(self, spark):
+        from fact_hive_custom_spark.operators.multimodal import MEDIA_SCHEMA
+
+        rows = [
+            (1, "image", b"\x89PNG-fake-bytes", "image/png", 64, 64, None),
+            (2, "image", b"", "image/png", 0, 0, None),
+            (3, "audio", b"RIFF-fake", "audio/wav", None, None, 2500),
+            (4, "video", b"mp4-fake", "video/mp4", 320, 240, 3500),
+            (5, "image", None, "image/png", None, None, None),
+        ]
+        return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    def test_feature_extraction_schema_and_determinism(self, spark):
+        from fact_hive_custom_spark.operators.multimodal import extract_features
+
+        out1 = extract_features(self._media(spark)).orderBy("media_id").collect()
+        out2 = extract_features(self._media(spark)).orderBy("media_id").collect()
+        assert [r.asDict() for r in out1] == [r.asDict() for r in out2]
+        assert out1[0].n_bytes == 15 and len(out1[0].feature) == 8
+        assert out1[4].feature == []  # null payload
+        # identical payloads share a hash (media exact-dedup key)
+        assert out1[0].payload_hash != out1[2].payload_hash
+
+    def test_frame_sampling(self, spark):
+        from fact_hive_custom_spark.operators.multimodal import sample_frames
+
+        frames = sample_frames(self._media(spark), every_ms=1000).collect()
+        assert [f.frame_ms for f in frames] == [0, 1000, 2000, 3000]
