@@ -7,6 +7,8 @@ from fact_hive_custom_spark.queries import (  # noqa: F401
     relational,
     scalar_functions,
     scans,
+    sources_sinks,
+    streaming_queries,
     udfs,
     windows,
 )

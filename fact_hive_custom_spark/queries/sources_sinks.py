@@ -1,0 +1,149 @@
+"""Source / sink operators (SURVEY.md §2.2.A): format round-trips,
+partitioned writes, managed tables, streaming file source.
+
+Round-trips write to /tmp staging dirs (mode=overwrite, idempotent)
+and return the re-read content, so the DuckDB oracle can check the
+round-trip was lossless against the original table. The partitioned
+sink demonstrates Hive-style layout + partition pruning on re-read —
+at 100 TB, partition layout is the first-order scan optimization.
+
+JDBC / Kafka connectors are out of scope in this environment (no
+endpoints); the production path is stock `spark.read.jdbc` /
+`format("kafka")`.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fact_hive_custom_spark.queries.registry import register
+from fact_hive_custom_spark.tables import load_table
+
+_STAGE = os.path.join(tempfile.gettempdir(), "fact_hive_custom_spark_stage")
+
+
+def _stage(name: str) -> str:
+    os.makedirs(_STAGE, exist_ok=True)
+    return os.path.join(_STAGE, name)
+
+
+@register(
+    "q_source_csv",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip: write with header, re-read with the explicit
+    original schema (never inferSchema in production), prove content
+    equality against the source table."""
+    r = load_table(spark, sf_dir, "region")
+    path = _stage("region_csv")
+    r.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(r.schema).option("header", True).csv(path)
+
+
+@register(
+    "q_source_json",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip with explicit schema."""
+    n = load_table(spark, sf_dir, "nation")
+    path = _stage("nation_json")
+    n.write.mode("overwrite").json(path)
+    return spark.read.schema(n.schema).json(path)
+
+
+@register(
+    "q_source_orc",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (Hive's native columnar format; binary-exact for
+    doubles, vectorized reader on scan)."""
+    s = load_table(spark, sf_dir, "supplier")
+    path = _stage("supplier_orc")
+    s.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@register(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-pruned read-back.
+
+    Reading back with a partition predicate shows PartitionFilters in
+    the scan — zero data files outside o_orderstatus=F are touched.
+    That pruning is the point of partitioned layout at scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    path = _stage("orders_by_status")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+@register(
+    "q_sink_table",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed table via the session catalog: saveAsTable + spark.sql
+    over the catalog name (the modern HiveContext path; with
+    enableHiveSupport() the identical code persists to a Hive
+    metastore)."""
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders")
+    # The default catalog is in-memory per session but the warehouse dir
+    # persists — a stale location from a previous session would fail
+    # saveAsTable with LOCATION_ALREADY_EXISTS. Drop both first.
+    spark.sql("DROP TABLE IF EXISTS fhcs_orders_managed")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        os.path.join(warehouse.removeprefix("file:"), "fhcs_orders_managed"),
+        ignore_errors=True,
+    )
+    o.write.mode("overwrite").saveAsTable("fhcs_orders_managed")
+    return spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM fhcs_orders_managed GROUP BY o_orderstatus"
+    )
+
+
+@register(
+    "q_stream_file_source",
+    oracle="SELECT COUNT(*) AS n_events, SUM(user_id) AS sum_users FROM events",
+)
+def q_stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File stream source, driven to completion synchronously: read the
+    events parquet as a stream (Trigger.AvailableNow), land batches in
+    a memory sink via foreachBatch-equivalent append, return the
+    aggregate — checked against batch SQL. This is the §G pattern for
+    oracle-checking streaming operators (SURVEY.md §5)."""
+    from fact_hive_custom_spark.streaming.jobs import run_stream_to_memory
+
+    events = _streaming_events(spark, sf_dir)
+    agg = events.agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("user_id").alias("sum_users")
+    )
+    return run_stream_to_memory(spark, agg, "q_stream_file_source_out", output_mode="complete")
+
+
+def _streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream view of the events table (shared by §G queries)."""
+    from fact_hive_custom_spark.streaming.jobs import streaming_events
+
+    return streaming_events(spark, sf_dir)

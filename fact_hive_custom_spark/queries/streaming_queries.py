@@ -1,0 +1,234 @@
+"""Streaming operators (SURVEY.md §2.2.G) — Structured Streaming.
+
+Queries that can settle deterministically under Trigger.AvailableNow
+run as GENUINE streams into a memory sink (tumbling/sliding windows in
+complete mode, stateful dedup in append, stream-static join,
+applyInPandasWithState); their oracles check the batch-equivalent SQL.
+Session windows run the same `session_window` function in batch mode
+here (its append-mode streaming behavior needs multi-batch watermark
+advancement — exercised with injected late rows in
+tests/test_streaming.py, per SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fact_hive_custom_spark.queries.registry import register
+from fact_hive_custom_spark.streaming.jobs import (
+    run_stream_foreach_batch_parquet,
+    run_stream_to_memory,
+    streaming_events,
+)
+from fact_hive_custom_spark.tables import load_table
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — genuine streaming run
+    (complete mode, AvailableNow). The identical `F.window` expression
+    works unchanged in batch; the oracle checks that equivalence."""
+    ev = streaming_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return run_stream_to_memory(spark, agg, "q_stream_tumbling", output_mode="complete")
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+    WITH assigned AS (
+        SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+                   AS window_start,
+               event_type, value
+        FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM assigned
+    GROUP BY window_start, event_type
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): every event lands in 2
+    windows. Genuine streaming run in complete mode; both engines'
+    windows are :00/:30-aligned so the bucket assignment matches."""
+    ev = streaming_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return run_stream_to_memory(spark, agg, "q_stream_sliding", output_mode="complete")
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 10-minute gap (`session_window` — the
+    same operator streams with a watermark; see tests/test_streaming.py).
+    Oracle is the classic gaps-and-islands rewrite: a new session starts
+    only when the gap is strictly greater than the timeout — verified
+    empirically: Spark merges an event at exactly previous_ts + gap."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register("q_stream_watermark")  # rows-only: watermark semantics are streaming-only
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregate (30-minute lateness bound), update
+    mode. Batch runs cannot express late-data dropping — the driver
+    records rows-only here; tests/test_streaming.py injects rows behind
+    the watermark across micro-batches and asserts they are dropped."""
+    ev = streaming_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    return run_stream_to_memory(spark, agg, "q_stream_watermark", output_mode="update")
+
+
+@register(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: first occurrence of each
+    (user_id, event_type) passes, duplicates are dropped against the
+    dedup state store. Genuine streaming run, append mode. In
+    production, pair with a watermark (`dropDuplicatesWithinWatermark`)
+    to bound state size."""
+    ev = streaming_events(spark, sf_dir)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    return run_stream_to_memory(spark, deduped, "q_stream_dedup", output_mode="append")
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join: the event stream enriches against the static
+    customer dimension (broadcast per micro-batch — the dimension never
+    shuffles), then aggregates in complete mode. Genuine streaming run."""
+    ev = streaming_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    agg = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    return run_stream_to_memory(spark, agg, "q_stream_static_join", output_mode="complete")
+
+
+@register(
+    "q_stream_stateful",
+    oracle="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful operator via applyInPandasWithState: a running
+    per-user event counter held in a GroupState, emitted once per
+    micro-batch. Genuine streaming run; the settled count equals the
+    batch GROUP BY (max() guards multi-batch re-emission)."""
+
+    def count_events(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        running = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            running += len(pdf)
+        state.update((running,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [running]})
+
+    ev = streaming_events(spark, sf_dir)
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    settled = run_stream_to_memory(spark, counted, "q_stream_stateful", output_mode="append")
+    return settled.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@register("q_stream_sink_modes")  # rows-only: sink plumbing, not a relation
+def q_stream_sink_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output modes + sinks: the same counting query lands in (a) a
+    memory sink in complete mode and (b) a parquet directory via
+    foreachBatch (idempotent-append — the exactly-once pattern);
+    returns both row counts for the smoke check."""
+    import os
+    import tempfile
+    import shutil
+
+    out_dir = os.path.join(tempfile.gettempdir(), "fact_hive_custom_spark_stage", "feb_parquet")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    mem = run_stream_to_memory(
+        spark,
+        streaming_events(spark, sf_dir).groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        "q_stream_sink_modes",
+        output_mode="complete",
+    )
+    run_stream_foreach_batch_parquet(spark, streaming_events(spark, sf_dir), out_dir)
+    parquet_rows = spark.read.parquet(out_dir).count()
+    return mem.agg(
+        F.sum("n").alias("memory_rows_total"),
+        F.lit(parquet_rows).alias("foreach_batch_rows"),
+    )

@@ -1,0 +1,170 @@
+"""Genuine streaming-semantics tests (SURVEY.md §5.4): watermark
+late-data dropping, cross-batch stateful dedup, session windows over
+micro-batches. These cannot be oracle-checked (batch SQL has no notion
+of lateness) — the driver records rows-only for q_stream_watermark;
+the real assertions live here.
+
+Technique: a file-source stream over a temp dir with
+maxFilesPerTrigger=1; writing one parquet file per micro-batch and
+calling processAllAvailable() between writes gives deterministic
+batch boundaries, so the watermark advances exactly where the test
+says it does.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("val", T.LongType(), True),
+    ]
+)
+
+
+def _t(h, m=0):
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+class _StreamHarness:
+    def __init__(self, spark):
+        self.spark = spark
+        root = os.path.join(tempfile.gettempdir(), f"fhcs_stream_{uuid.uuid4().hex[:8]}")
+        self.src = os.path.join(root, "src")
+        self.ckpt = os.path.join(root, "ckpt")
+        os.makedirs(self.src)
+        self.n = 0
+        self.query = None
+        self.table = f"stream_out_{uuid.uuid4().hex[:8]}"
+
+    def start(self, transform, output_mode):
+        stream = (
+            self.spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.src)
+        )
+        self.query = (
+            transform(stream)
+            .writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(self.table)
+            .option("checkpointLocation", self.ckpt)
+            .start()
+        )
+        return self
+
+    def feed(self, rows):
+        """One micro-batch: land one flat parquet file in the watched dir
+        (the source ignores nested subdirectories), let the stream drain."""
+        import glob
+
+        self.n += 1
+        df = self.spark.createDataFrame(rows, schema=SCHEMA)
+        stage = os.path.join(os.path.dirname(self.src), f"stage_{self.n}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(self.src, f"batch_{self.n}.parquet"))
+        self.query.processAllAvailable()
+
+    def result(self):
+        return self.spark.table(self.table)
+
+    def stop(self):
+        if self.query:
+            self.query.stop()
+
+
+@pytest.fixture()
+def harness(spark):
+    h = _StreamHarness(spark)
+    yield h
+    h.stop()
+
+
+class TestWatermarkLateData:
+    def test_late_rows_behind_watermark_are_dropped(self, spark, harness):
+        def agg(stream):
+            return (
+                stream.withWatermark("ts", "30 minutes")
+                .groupBy(F.window("ts", "1 hour"), "key")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("window.start").alias("wstart"), "key", "n")
+            )
+
+        harness.start(agg, "append")
+        # batch 1: two on-time events; watermark after batch = 11:00 - 30m = 10:30
+        harness.feed([(_t(10, 5), "A", 1), (_t(11, 0), "A", 2)])
+        # batch 2: a LATE event at 09:00 (window end 10:00 < watermark 10:30 → drop)
+        # plus an on-time 11:30 event that will push the watermark to 11:00
+        harness.feed([(_t(9, 0), "A", 3), (_t(11, 30), "A", 4)])
+        # batch 3: advance watermark past 12:30 so all on-time windows flush
+        harness.feed([(_t(13, 30), "A", 5)])
+        harness.feed([(_t(15, 0), "A", 6)])
+
+        rows = {(r.wstart.hour, r.n) for r in harness.result().collect()}
+        assert (9, 1) not in rows, f"late 09:00 row must be dropped, got {rows}"
+        assert (10, 1) in rows, f"10:00 window should hold only the on-time event: {rows}"
+        assert (11, 2) in rows, f"11:00 window: 11:00 and 11:30 events: {rows}"
+
+    def test_same_rows_without_watermark_all_counted(self, spark, harness):
+        """Control: complete mode without watermark keeps the late row."""
+
+        def agg(stream):
+            return (
+                stream.groupBy(F.window("ts", "1 hour"), "key")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("window.start").alias("wstart"), "key", "n")
+            )
+
+        harness.start(agg, "complete")
+        harness.feed([(_t(10, 5), "A", 1), (_t(11, 0), "A", 2)])
+        harness.feed([(_t(9, 0), "A", 3), (_t(11, 30), "A", 4)])
+        rows = {(r.wstart.hour, r.n) for r in harness.result().collect()}
+        assert (9, 1) in rows, f"without watermark the 09:00 row must survive: {rows}"
+
+
+class TestStatefulDedupAcrossBatches:
+    def test_duplicate_in_later_batch_is_dropped(self, spark, harness):
+        def dedup(stream):
+            return stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["val"])
+
+        harness.start(dedup, "append")
+        harness.feed([(_t(10), "A", 100), (_t(10, 10), "B", 101)])
+        # same val=100 again in a later batch, within the watermark window
+        harness.feed([(_t(10, 20), "C", 100), (_t(10, 30), "D", 102)])
+        vals = [r.val for r in harness.result().collect()]
+        assert sorted(vals) == [100, 101, 102], f"dup of 100 must be dropped: {vals}"
+        keys = {r.key for r in harness.result().collect() if r.val == 100}
+        assert keys == {"A"}, "the FIRST occurrence wins"
+
+
+class TestSessionWindowStreaming:
+    def test_sessions_emitted_after_watermark_passes(self, spark, harness):
+        def sessions(stream):
+            return (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy("key", F.session_window("ts", "15 minutes"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select("key", F.col("session_window.start").alias("s"), "n")
+            )
+
+        harness.start(sessions, "append")
+        # one session: 10:00, 10:10 (gap 10m < 15m); a second session at 11:00
+        harness.feed([(_t(10), "A", 1), (_t(10, 10), "A", 2)])
+        harness.feed([(_t(11, 0), "A", 3)])
+        # push watermark far past both sessions so they finalize
+        harness.feed([(_t(13, 0), "A", 4)])
+        harness.feed([(_t(15, 0), "A", 5)])
+        got = {(r.s.hour, r.s.minute, r.n) for r in harness.result().collect()}
+        assert (10, 0, 2) in got, f"merged 2-event session expected: {got}"
+        assert (11, 0, 1) in got, f"singleton session expected: {got}"
