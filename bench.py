@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ...}
+
+Each query materializes via the noop sink (full execution, no driver
+transfer). One JVM-warmup run of the flagship precedes timing.
+BASELINE.md records the reference numbers for this machine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# The headline set: one representative per operator class, weighted
+# toward the queries whose plans matter at 100 TB (wide aggs, joins of
+# every physical strategy, windows, shuffles, LLM pipeline ops).
+HEADLINE = [
+    "q_agg_flagship",
+    "q_scan_filter_pushdown",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_shuffle_hash",
+    "q_join_asof",
+    "q_agg_count_distinct",
+    "q_agg_grouping_sets",
+    "q_win_running",
+    "q_topk_group",
+    "q_fn_string",
+    "q_fn_explode",
+    "q_udf_pandas",
+    "q_stream_session",
+    "q_llm_exact_dedup",
+    "q_llm_jaccard_dedup",
+    "q_llm_minhash_lsh",
+    "q_llm_cosine_topk",
+    "q_llm_tfidf",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from fact_hive_custom_spark.queries import QUERIES
+    from fact_hive_custom_spark.session import get_session
+
+    spark = get_session("fact_hive_custom_spark-bench")
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    run("q_agg_flagship")  # JVM/codegen warmup, untimed
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = run(name)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

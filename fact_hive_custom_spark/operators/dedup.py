@@ -48,7 +48,12 @@ def jaccard_pairs(docs: DataFrame, threshold: float, k: int = 3) -> DataFrame:
     explodes on hot shingles — correct at fixture scale, the reason
     LSH exists at 100 TB.
     """
-    sh = shingles(docs, k=k)
+    # Join on the 64-bit hash of the shingle, not the string: the pair
+    # join is the dominant shuffle and longs move/compare ~3× cheaper
+    # than 3-word strings. A hash collision would need two distinct
+    # shingles in overlapping docs to collide in 64 bits (~2^-64 per
+    # pair) — negligible against float-rounding noise.
+    sh = shingles(docs, k=k).select("doc_id", F.xxhash64("shingle").alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -94,7 +99,10 @@ def minhash_lsh_pairs(
     Pipeline: shingle → signature → band buckets → self-join on
     (band, bucket) → exact Jaccard on the (tiny) candidate set.
     """
-    sh = shingles(docs, k=k)
+    # Same hashed-shingle representation as jaccard_pairs: signatures
+    # hash the 64-bit key again per seed (a valid MinHash family), and
+    # the verification join shuffles longs.
+    sh = shingles(docs, k=k).select("doc_id", F.xxhash64("shingle").alias("shingle"))
     sig = minhash_signatures(sh, num_hashes=rows_per_band * num_bands)
 
     bands = F.array(

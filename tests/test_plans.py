@@ -1,0 +1,99 @@
+"""Physical-plan assertions (SURVEY.md §5.4): the plan, not just the
+answer, is the deliverable — these pin the properties that matter at
+100 TB (pushdown, pruning, broadcast, partial aggregation, top-N
+without global sort) so a regression in plan shape fails CI even
+while results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from fact_hive_custom_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestScanEfficiency:
+    def test_filter_reaches_parquet_reader(self, spark):
+        plan = plan_of(spark, "q_scan_filter_pushdown")
+        assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+    def test_column_pruning(self, spark):
+        plan = plan_of(spark, "q_scan_pruned")
+        read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "l_returnflag" in read
+        # none of the other 10 lineitem columns may be read
+        for col in ("l_extendedprice", "l_orderkey", "l_shipdate", "l_quantity"):
+            assert col not in read.split("ReadSchema")[1]
+
+    def test_partition_pruning_on_partitioned_sink(self, spark):
+        plan = plan_of(spark, "q_sink_partitioned")
+        pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+        assert "o_orderstatus" in pf.split("PartitionFilters")[1].split("]")[0]
+
+
+class TestJoinStrategies:
+    def test_broadcast_hint_respected(self, spark):
+        assert "BroadcastHashJoin" in plan_of(spark, "q_join_broadcast")
+
+    def test_shuffle_hash_hint_respected(self, spark):
+        assert "ShuffledHashJoin" in plan_of(spark, "q_join_shuffle_hash")
+
+    def test_semi_anti_stay_semi_anti(self, spark):
+        # EXISTS/IN must plan as semi/anti joins, not join+distinct
+        assert "LeftSemi" in plan_of(spark, "q_join_semi")
+        assert "LeftAnti" in plan_of(spark, "q_join_anti")
+        assert "LeftSemi" in plan_of(spark, "q_subquery_exists")
+
+    def test_theta_join_keeps_equi_key(self, spark):
+        # the p_brand equality must be the join key (hash-partitionable),
+        # NOT a nested-loop over the full cross product
+        plan = plan_of(spark, "q_join_theta")
+        assert "BroadcastNestedLoopJoin" not in plan or "p_brand" in plan.split("Join")[1]
+
+    def test_asof_join_has_no_cartesian(self, spark):
+        plan = plan_of(spark, "q_join_asof")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Window" in plan  # union-window composition, not a join explosion
+
+
+class TestAggregation:
+    def test_flagship_partial_aggregation(self, spark):
+        # two-phase hash aggregation: partial_ functions before the shuffle
+        plan = plan_of(spark, "q_agg_flagship")
+        assert "partial_sum" in plan and "HashAggregate" in plan
+
+    def test_limit_avoids_global_sort(self, spark):
+        assert "TakeOrderedAndProject" in plan_of(spark, "q_limit")
+
+
+class TestCodegenPurity:
+    @pytest.mark.parametrize(
+        "name",
+        ["q_agg_flagship", "q_fn_array", "q_llm_cosine_topk", "q_llm_minhash_lsh", "q_fn_string"],
+    )
+    def test_no_python_in_jvm_only_pipelines(self, spark, name):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_flagship_whole_stage_codegen(self, spark):
+        """scan→filter→project→partial-agg must fuse into WSCG subtrees
+        (the AdaptiveSparkPlan string hides them; explain('codegen')
+        shows the generated subtrees)."""
+        import contextlib
+        import io
+
+        df = QUERIES["q_agg_flagship"](spark, SF_DIR)
+        df.collect()  # AQE must finalize the plan before codegen is visible
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("codegen")
+        out = buf.getvalue()
+        assert "WholeStageCodegen subtrees" in out
+        assert int(out.split("Found ")[1].split(" WholeStageCodegen")[0]) >= 2
