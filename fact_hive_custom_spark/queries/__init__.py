@@ -4,6 +4,7 @@ from fact_hive_custom_spark.queries import (  # noqa: F401
     aggregates,
     joins,
     llm_ops,
+    llm_text,
     relational,
     scalar_functions,
     scans,

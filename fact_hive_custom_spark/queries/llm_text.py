@@ -1,0 +1,187 @@
+"""Charter text-analysis operators beyond SURVEY §2.2.I's core set:
+language-ID, quality scoring, document fingerprinting, cosine
+near-dup, SimHash fingerprints. All stay in JVM builtins (no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fact_hive_custom_spark.operators.dedup import simhash_64
+from fact_hive_custom_spark.operators.similarity import _dot, _norm
+from fact_hive_custom_spark.queries.registry import register
+from fact_hive_custom_spark.tables import load_table
+
+# Tiny fixed n-gram profiles for the heuristic language scorer. On a
+# real corpus these are the top character/token n-grams per language;
+# they are literals so the operator is deterministic and oracle-able.
+_EN_MARKERS = ("the", "a", "fast", "slow", "big", "small")
+_DE_MARKERS = ("der", "die", "und", "ein", "nicht", "schnell")
+
+
+@register(
+    "q_llm_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains({list(_EN_MARKERS)}, t))) AS en_hits,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains({list(_DE_MARKERS)}, t))) AS de_hits,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           ROUND(en_hits * 1.0 / n_tokens, 6) AS en_score,
+           ROUND(de_hits * 1.0 / n_tokens, 6) AS de_score,
+           CASE WHEN en_hits > de_hits THEN 'en'
+                WHEN de_hits > en_hits THEN 'de'
+                ELSE 'und' END AS predicted_lang
+    FROM scored
+    """,
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: token-marker hit-rates per language
+    profile, argmax with a deterministic 'und' (undetermined) tie rule.
+    One narrow pass — scores are higher-order-function lambdas over the
+    token array, no shuffle, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    en = F.size(F.filter(toks, lambda t: t.isin(*_EN_MARKERS)))
+    de = F.size(F.filter(toks, lambda t: t.isin(*_DE_MARKERS)))
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(en / n, 6).alias("en_score"),
+        F.round(de / n, 6).alias("de_score"),
+        F.when(en > de, "en").when(de > en, "de").otherwise("und").alias("predicted_lang"),
+    )
+
+
+@register(
+    "q_llm_quality_score",
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id,
+               n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               length(text) - length(replace(text, 'a', '')) AS n_a
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(n_distinct * 1.0 / n_tokens, 6) AS ttr,
+           ROUND(n_chars * 1.0 / n_tokens, 6) AS avg_token_len,
+           ROUND( (CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.4 ELSE 0.0 END)
+                + (CASE WHEN n_distinct * 1.0 / n_tokens >= 0.3 THEN 0.3 ELSE 0.0 END)
+                + (CASE WHEN n_chars * 1.0 / n_tokens BETWEEN 3 AND 9 THEN 0.3 ELSE 0.0 END)
+                , 6) AS quality
+    FROM feat
+    """,
+)
+def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length band + type-token ratio +
+    mean-token-length band folded into one [0,1] score (the standard
+    pre-training corpus filter shape: cheap features, fixed weights)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    ttr = n_distinct / n_tokens
+    avg_len = F.col("n_chars") / n_tokens
+    quality = (
+        F.when(n_tokens.between(20, 200), 0.4).otherwise(0.0)
+        + F.when(ttr >= 0.3, 0.3).otherwise(0.0)
+        + F.when(avg_len.between(3, 9), 0.3).otherwise(0.0)
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@register(
+    "q_llm_fingerprint",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1)),
+                      i -> md5(array_to_string(list_slice(t, i, i + 3), ' '))))) AS h
+        FROM toks WHERE len(t) >= 4
+    )
+    SELECT doc_id, list_slice(list_sort(list(h)), 1, 4) AS fingerprint
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (winnowing-style): the 4 lexicographically
+    smallest md5 digests of the document's 4-gram shingles. Near-dup
+    documents share fingerprint entries (min-hash property), so an
+    equality join on an exploded fingerprint finds dup candidates with
+    a 4-row-per-doc index — the compact alternative to full MinHash
+    signatures when index size matters. md5 (not xxhash) keeps the
+    oracle engine-portable."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    idx = F.when(n >= 4, F.sequence(F.lit(1), n - 3)).otherwise(F.array().cast("array<int>"))
+    hashes = F.array_distinct(
+        F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i, 4), " ")))
+    )
+    return d.filter(n >= 4).select(
+        "doc_id",
+        F.slice(F.sort_array(hashes), 1, 4).alias("fingerprint"),
+    )
+
+
+@register(
+    "q_llm_cosine_dedup",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.5
+    """,
+)
+def q_llm_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs above a similarity threshold.
+
+    Brute-force O(n²/2) — correct at fixture scale and the oracle for
+    the sign-LSH bucketed variant (operators/similarity.signlsh_topk),
+    which is the 100 TB path. Norms precomputed per row before the
+    pair join."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.5)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@register("q_llm_simhash")  # rows-only: xxhash64 family has no DuckDB twin
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints per document (Charikar sketch) — the
+    constant-size near-dup representation whose Hamming distance tracks
+    token-set similarity; separation quality asserted in
+    tests/test_operators.py."""
+    return simhash_64(load_table(spark, sf_dir, "documents"))
