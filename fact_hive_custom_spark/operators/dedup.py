@@ -29,15 +29,9 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k:
     Documents shorter than k tokens produce no shingles (they cannot
     near-duplicate anything under k-shingle Jaccard).
     """
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    # positions 1 .. n-k+1; guarded so sequence() never runs backwards
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    sh = F.explode(
-        F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " ")))
-    )
+    from fact_hive_custom_spark.functions.text import ngram_shingles
+
+    sh = F.explode(ngram_shingles(F.col(text_col), k))
     return docs.select(F.col(id_col).alias("doc_id"), sh.alias("shingle"))
 
 

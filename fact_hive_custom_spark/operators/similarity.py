@@ -16,22 +16,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fact_hive_custom_spark.functions.vectors import cosine, dot as _dot, norm as _norm
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
-
-
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<numeric> columns (double math)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+__all__ = ["cosine", "cosine_topk", "signlsh_topk"]
 
 
 def cosine_topk(

@@ -1,0 +1,62 @@
+"""Physical-plan inspection: the engine's `.explain()` toolkit.
+
+At 100 TB the plan IS the product — these helpers extract the
+properties worth asserting (tests/test_plans.py) and worth checking
+interactively after writing any new operator:
+
+    from fact_hive_custom_spark import plans
+    plans.pushed_filters(df)   # did the predicate reach the scan?
+    plans.read_schema(df)      # how many columns does the scan read?
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The physical plan string (pre-execution; AQE not yet finalized)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters pushed into each file scan, e.g. ['IsNotNull(l_shipdate)', …]."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", executed_plan(df)):
+        # filters look like Name(arg,arg) — split on top-level commas only
+        out.extend(f.strip() for f in re.findall(r"[A-Za-z]+\([^()]*\)", m.group(1)))
+    return out
+
+
+def read_schema(df: DataFrame) -> list[str]:
+    """Column names each scan actually reads (column-pruning check)."""
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", executed_plan(df)):
+        cols.extend(part.split(":")[0].strip() for part in m.group(1).split(",") if part.strip())
+    return cols
+
+
+def has_broadcast_hash_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in executed_plan(df)
+
+
+def uses_python(df: DataFrame) -> bool:
+    """True if any Python evaluation (row or Arrow) appears in the plan —
+    the hot path should keep this False."""
+    plan = executed_plan(df)
+    return "BatchEvalPython" in plan or "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def has_whole_stage_codegen(df: DataFrame) -> bool:
+    """Whether the (finalized) plan fuses WholeStageCodegen subtrees.
+    Triggers execution: AQE only finalizes the plan after an action."""
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", buf.getvalue())
+    return bool(m) and int(m.group(1)) > 0

@@ -15,20 +15,13 @@ endpoints); the production path is stock `spark.read.jdbc` /
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fact_hive_custom_spark.queries.registry import register
+from fact_hive_custom_spark.sources.io import round_trip, stage_dir
 from fact_hive_custom_spark.tables import load_table
-
-_STAGE = os.path.join(tempfile.gettempdir(), "fact_hive_custom_spark_stage")
-
-
-def _stage(name: str) -> str:
-    os.makedirs(_STAGE, exist_ok=True)
-    return os.path.join(_STAGE, name)
 
 
 @register(
@@ -40,9 +33,7 @@ def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     original schema (never inferSchema in production), prove content
     equality against the source table."""
     r = load_table(spark, sf_dir, "region")
-    path = _stage("region_csv")
-    r.write.mode("overwrite").option("header", True).csv(path)
-    return spark.read.schema(r.schema).option("header", True).csv(path)
+    return round_trip(spark, r, "csv", "region_csv", header=True)
 
 
 @register(
@@ -52,9 +43,7 @@ def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines round-trip with explicit schema."""
     n = load_table(spark, sf_dir, "nation")
-    path = _stage("nation_json")
-    n.write.mode("overwrite").json(path)
-    return spark.read.schema(n.schema).json(path)
+    return round_trip(spark, n, "json", "nation_json")
 
 
 @register(
@@ -65,9 +54,7 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC round-trip (Hive's native columnar format; binary-exact for
     doubles, vectorized reader on scan)."""
     s = load_table(spark, sf_dir, "supplier")
-    path = _stage("supplier_orc")
-    s.write.mode("overwrite").orc(path)
-    return spark.read.orc(path)
+    return round_trip(spark, s, "orc", "supplier_orc")
 
 
 @register(
@@ -86,7 +73,7 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     That pruning is the point of partitioned layout at scale.
     """
     o = load_table(spark, sf_dir, "orders")
-    path = _stage("orders_by_status")
+    path = stage_dir("orders_by_status")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
     return back.groupBy("o_orderpriority").agg(

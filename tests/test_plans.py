@@ -8,28 +8,26 @@ from __future__ import annotations
 
 import pytest
 
+from fact_hive_custom_spark.plans import inspect as plans
 from fact_hive_custom_spark.queries import QUERIES
 
 SF_DIR = "/root/testdata/sf0.01"
 
 
 def plan_of(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF_DIR)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return plans.executed_plan(QUERIES[name](spark, SF_DIR))
 
 
 class TestScanEfficiency:
     def test_filter_reaches_parquet_reader(self, spark):
-        plan = plan_of(spark, "q_scan_filter_pushdown")
-        assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+        pf = plans.pushed_filters(QUERIES["q_scan_filter_pushdown"](spark, SF_DIR))
+        assert "IsNotNull(l_shipdate)" in pf
+        assert any(f.startswith("GreaterThanOrEqual(l_shipdate") for f in pf)
 
     def test_column_pruning(self, spark):
-        plan = plan_of(spark, "q_scan_pruned")
-        read = next(l for l in plan.splitlines() if "ReadSchema" in l)
-        assert "l_returnflag" in read
-        # none of the other 10 lineitem columns may be read
-        for col in ("l_extendedprice", "l_orderkey", "l_shipdate", "l_quantity"):
-            assert col not in read.split("ReadSchema")[1]
+        read = plans.read_schema(QUERIES["q_scan_pruned"](spark, SF_DIR))
+        # exactly the one referenced column, none of the other 10
+        assert read == ["l_returnflag"]
 
     def test_partition_pruning_on_partitioned_sink(self, spark):
         plan = plan_of(spark, "q_sink_partitioned")
@@ -83,17 +81,5 @@ class TestCodegenPurity:
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
     def test_flagship_whole_stage_codegen(self, spark):
-        """scan→filter→project→partial-agg must fuse into WSCG subtrees
-        (the AdaptiveSparkPlan string hides them; explain('codegen')
-        shows the generated subtrees)."""
-        import contextlib
-        import io
-
-        df = QUERIES["q_agg_flagship"](spark, SF_DIR)
-        df.collect()  # AQE must finalize the plan before codegen is visible
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("codegen")
-        out = buf.getvalue()
-        assert "WholeStageCodegen subtrees" in out
-        assert int(out.split("Found ")[1].split(" WholeStageCodegen")[0]) >= 2
+        """scan→filter→project→partial-agg must fuse into WSCG subtrees."""
+        assert plans.has_whole_stage_codegen(QUERIES["q_agg_flagship"](spark, SF_DIR))

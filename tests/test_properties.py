@@ -1,0 +1,105 @@
+"""Property-based algebraic identities (SURVEY.md §5.4) on generated
+frames — invariants that must hold for ANY input, not just the
+fixtures. Example counts are kept small: each example is a real Spark
+job."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(st.integers(-5, 5), st.one_of(st.none(), st.integers(-3, 3))),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(data, schema="k int, v int") if data else (
+        spark.createDataFrame([], schema="k int, v int")
+    )
+
+
+class TestSetAlgebra:
+    @given(a=rows, b=rows)
+    @settings(**SETTINGS)
+    def test_union_all_counts_add(self, spark, a, b):
+        da, db = _df(spark, a), _df(spark, b)
+        assert da.unionAll(db).count() == da.count() + db.count()
+
+    @given(a=rows, b=rows)
+    @settings(**SETTINGS)
+    def test_intersect_all_plus_except_all_partitions_bag(self, spark, a, b):
+        da, db = _df(spark, a), _df(spark, b)
+        assert da.intersectAll(db).count() + da.exceptAll(db).count() == da.count()
+
+    @given(a=rows)
+    @settings(**SETTINGS)
+    def test_distinct_idempotent(self, spark, a):
+        da = _df(spark, a).distinct()
+        assert da.count() == da.distinct().count()
+
+
+class TestFilterAlgebra:
+    @given(a=rows)
+    @settings(**SETTINGS)
+    def test_filter_partitions_rows_with_null_semantics(self, spark, a):
+        """p, NOT p, and p-IS-NULL partition the frame — the three-valued
+        logic identity that makes predicate pushdown sound."""
+        da = _df(spark, a)
+        p = F.col("v") > 0
+        n_true = da.filter(p).count()
+        n_false = da.filter(~p).count()
+        n_null = da.filter(p.isNull()).count()
+        assert n_true + n_false + n_null == da.count()
+
+    @given(a=rows)
+    @settings(**SETTINGS)
+    def test_filter_commutes_with_projection(self, spark, a):
+        da = _df(spark, a)
+        p = F.col("k") % 2 == 0
+        left = sorted(r.k for r in da.filter(p).select("k").collect())
+        right = sorted(r.k for r in da.select("k").filter(p).collect())
+        assert left == right
+
+
+class TestOperatorInvariants:
+    @given(a=rows)
+    @settings(**SETTINGS)
+    def test_asof_join_preserves_left_cardinality(self, spark, a):
+        """As-of join is left-preserving: exactly one output row per left
+        row, with NULL carry when nothing precedes."""
+        from fact_hive_custom_spark.operators.asof import asof_join_backward
+
+        left = _df(spark, [(k, i) for i, (k, _) in enumerate(a)]).toDF("k", "ts")
+        left = left.withColumn("tb", F.monotonically_increasing_id())
+        right = _df(spark, [(k, (v or 0) + 10) for k, v in a]).toDF("k", "ts")
+        right = right.withColumn("tb", F.monotonically_increasing_id()).withColumn(
+            "payload", F.col("ts") * 2
+        )
+        out = asof_join_backward(
+            left, right, by=["k"], ts="ts", tiebreak="tb", carry=["payload"], strict=True
+        )
+        assert out.count() == left.count()
+
+    @given(a=st.lists(st.text(alphabet="ab ", min_size=0, max_size=12), max_size=12))
+    @settings(**SETTINGS)
+    def test_jaccard_pairs_bounded_and_canonical(self, spark, a):
+        """Jaccard ∈ (0,1]; pairs are canonical (doc_a < doc_b)."""
+        from fact_hive_custom_spark.operators.dedup import jaccard_pairs
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(a)], schema="doc_id long, text string"
+        )
+        got = jaccard_pairs(docs, threshold=0.0, k=2).collect()
+        for r in got:
+            assert 0.0 < r.jaccard <= 1.0
+            assert r.doc_a < r.doc_b
