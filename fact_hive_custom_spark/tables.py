@@ -46,11 +46,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+_registered: "weakref.WeakKeyDictionary[SparkSession, str]" = None  # type: ignore[assignment]
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql queries.
 
-    Idempotent per (session, sf_dir); re-registering swaps the views to
-    the new scale factor.
+    Idempotent per (session, sf_dir) — repeated calls with the same
+    scale factor skip the 10 parquet footer reads; a different sf_dir
+    swaps all views. (Weak keys: a dead session never pins the cache.)
     """
+    global _registered
+    if _registered is None:
+        import weakref
+
+        _registered = weakref.WeakKeyDictionary()
+    if _registered.get(spark) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _registered[spark] = sf_dir
