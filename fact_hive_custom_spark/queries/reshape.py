@@ -62,3 +62,30 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c_custkey, c_name, c_mktsegment FROM updates
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO emulation (operators/merge.py): a CDC batch updates
+    every 10th customer's segment; updates win, the rest survive —
+    anti-join + union, one shuffle per side (zero if bucketed)."""
+    from fact_hive_custom_spark.operators.merge import upsert
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+    )
+    return upsert(c, updates, key=["c_custkey"])

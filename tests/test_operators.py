@@ -173,3 +173,61 @@ class TestMultimodal:
 
         frames = sample_frames(self._media(spark), every_ms=1000).collect()
         assert [f.frame_ms for f in frames] == [0, 1000, 2000, 3000]
+
+
+class TestMerge:
+    def test_upsert_updates_win_and_rest_survive(self, spark):
+        from fact_hive_custom_spark.operators.merge import upsert
+
+        target = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], schema="k long, v string"
+        )
+        updates = spark.createDataFrame([(2, "B!"), (4, "d")], schema="k long, v string")
+        got = {r.k: r.v for r in upsert(target, updates, key=["k"]).collect()}
+        assert got == {1: "a", 2: "B!", 3: "c", 4: "d"}
+
+    def test_scd2_closes_current_and_appends(self, spark):
+        from fact_hive_custom_spark.operators.merge import scd2_close
+
+        target = spark.createDataFrame(
+            [(1, "v1", 1, False), (1, "v2", 2, True), (2, "x1", 1, True)],
+            schema="k long, v string, version int, is_current boolean",
+        )
+        updates = spark.createDataFrame([(1, "v3", 3)], schema="k long, v string, version int")
+        rows = scd2_close(target, updates, key=["k"], version_col="version").collect()
+        by_kv = {(r.k, r.version): r.is_current for r in rows}
+        assert len(rows) == 4  # full history kept
+        assert by_kv[(1, 1)] is False and by_kv[(1, 2)] is False  # closed
+        assert by_kv[(1, 3)] is True  # new current
+        assert by_kv[(2, 1)] is True  # untouched key stays current
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_shuffle(self, spark):
+        """The SCALING.md claim, demonstrated: two tables bucketed on the
+        join key sort-merge-join with NO Exchange on either side."""
+        from fact_hive_custom_spark.tables import load_table
+
+        o = load_table(spark, SF_TINY, "orders")
+        c = load_table(spark, SF_TINY, "customer")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+        import shutil
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        for t in ("b_orders", "b_customer"):
+            shutil.rmtree(f"{warehouse.removeprefix('file:')}/{t}", ignore_errors=True)
+        o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable("b_orders")
+        c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode("overwrite").saveAsTable("b_customer")
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.sql(
+                """SELECT o.o_orderkey, c.c_name FROM b_orders o
+                   JOIN b_customer c ON o.o_custkey = c.c_custkey"""
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, "bucketed join must not shuffle"
+            assert joined.count() > 0
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
