@@ -41,6 +41,7 @@ EVENTS_RAW_SCHEMA = T.StructType(
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the batch-identical schema."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see tables.load_table
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")

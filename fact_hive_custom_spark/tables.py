@@ -34,7 +34,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (legacy.parquet.nanosAsLong) and rebuild a microsecond timestamp —
     lossless for this corpus (all values are µs-aligned; FIXTURES.md)
     and identical to what a cluster ingesting µs data would see.
+
+    The session timezone is pinned to UTC here (runtime conf) because
+    queries may run under a caller-built session: TZ-dependent
+    functions (unix_timestamp, epoch extraction) must agree with the
+    UTC-naive oracle regardless of the host session's defaults.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 
