@@ -80,10 +80,10 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_running",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cum_spend
+           ) AS DECIMAL(18,2)) AS cum_spend
     FROM orders
     """,
 )
@@ -94,7 +94,7 @@ def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).alias("cum_spend"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("decimal(18,2)").alias("cum_spend"),
     )
 
 
@@ -131,11 +131,11 @@ def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_range_frame",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey
                ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
-           ) AS spend_30d
+           ) AS DECIMAL(18,2)) AS spend_30d
     FROM orders
     """,
 )
@@ -154,7 +154,7 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).alias("spend_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("decimal(18,2)").alias("spend_30d"),
     )
 
 
