@@ -5,6 +5,7 @@ from fact_hive_custom_spark.queries import (  # noqa: F401
     joins,
     llm_ops,
     llm_text,
+    misc,
     relational,
     reshape,
     scalar_functions,

@@ -1,0 +1,115 @@
+"""Miscellaneous operator coverage: bitwise/boolean/distinct
+aggregates, hash functions, seeded sampling — rounding out the SQL
+surface a reference user would expect."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fact_hive_custom_spark.queries.registry import register
+from fact_hive_custom_spark.tables import load_table
+
+
+@register(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(l_linenumber) AS and_all,
+           bit_or(l_linenumber)  AS or_all,
+           bit_xor(l_linenumber) AS xor_all
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and/bit_or/bit_xor) — associative and
+    commutative, so partial aggregation applies like any sum."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_linenumber").alias("and_all"),
+            F.bit_or("l_linenumber").alias("or_all"),
+            F.bit_xor("l_linenumber").alias("xor_all"),
+        )
+    )
+
+
+@register(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000)  AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every / any)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_agg_sum_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(DISTINCT l_quantity), 4) AS sum_distinct_qty,
+           ROUND(AVG(DISTINCT l_quantity), 4) AS avg_distinct_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM/AVG over DISTINCT values (dedup inside the aggregate)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum_distinct(F.col("l_quantity")), 4).alias("sum_distinct_qty"),
+            F.expr("ROUND(AVG(DISTINCT l_quantity), 4)").alias("avg_distinct_qty"),
+        )
+    )
+
+
+@register(
+    "q_fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           substr(md5(text), 1, 8) AS h_short
+    FROM documents
+    """,
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash function family (md5 / sha2-256) — the primitives under
+    exact dedup, fingerprinting, and salted repartitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2(F.col("text"), 256).alias("h_sha256"),
+        F.substring(F.md5("text"), 1, 8).alias("h_short"),
+    )
+
+
+@register("q_sample")  # rows-only: sampling is engine-specific by design
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (~10%) + aggregate — the cheap-estimate
+    path for interactive exploration over 100 TB. Deterministic for a
+    fixed seed and input layout, but the sampled set is engine-specific,
+    so the driver records rows-only; the statistical property (fraction
+    ≈ 0.1) is asserted in tests."""
+    li = load_table(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)
+    return li.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty_est"),
+    )

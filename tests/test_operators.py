@@ -231,3 +231,14 @@ class TestBucketedJoin:
             assert joined.count() > 0
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+class TestSampling:
+    def test_seeded_sample_fraction_and_determinism(self, spark):
+        from fact_hive_custom_spark.tables import load_table
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        a = li.sample(fraction=0.1, seed=42).count()
+        b = li.sample(fraction=0.1, seed=42).count()
+        assert a == b, "fixed seed + fixed layout must be deterministic"
+        assert 0.07 < a / li.count() < 0.13, f"~10% expected, got {a}"
