@@ -16,6 +16,7 @@ from fact_hive_custom_spark.operators.dedup import (
 from fact_hive_custom_spark.operators.merge import scd2_close, upsert
 from fact_hive_custom_spark.operators.multimodal import extract_features, sample_frames
 from fact_hive_custom_spark.operators.similarity import cosine, cosine_topk, signlsh_topk
+from fact_hive_custom_spark.operators.skew import salted_aggregate, salted_join
 
 __all__ = [
     "asof_join_backward",
@@ -30,4 +31,6 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "signlsh_topk",
+    "salted_join",
+    "salted_aggregate",
 ]

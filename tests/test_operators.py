@@ -242,3 +242,57 @@ class TestSampling:
         b = li.sample(fraction=0.1, seed=42).count()
         assert a == b, "fixed seed + fixed layout must be deterministic"
         assert 0.07 < a / li.count() < 0.13, f"~10% expected, got {a}"
+
+
+class TestSkewOperators:
+    def _skewed(self, spark):
+        # 90% of rows share key=1 (the hot key), the rest spread over 2-10
+        rows = [(1, i) for i in range(900)] + [(k, i) for k in range(2, 11) for i in range(10)]
+        return spark.createDataFrame(rows, schema="k long, v long")
+
+    def test_salted_join_equals_plain_join(self, spark):
+        from fact_hive_custom_spark.operators.skew import salted_join
+
+        big = self._skewed(spark)
+        dim = spark.createDataFrame([(k, f"name{k}") for k in range(1, 11)], schema="k long, name string")
+        plain = sorted(map(tuple, big.join(dim, ["k"]).collect()))
+        salted = sorted(map(tuple, salted_join(big, dim, on=["k"], salt=8).collect()))
+        assert salted == plain
+
+    def test_salted_join_spreads_hot_key(self, spark):
+        from fact_hive_custom_spark.operators.skew import _salt_col
+        from pyspark.sql import functions as F
+
+        big = self._skewed(spark)
+        salts = (
+            big.filter(F.col("k") == 1)
+            .withColumn("s", _salt_col(big, 8, ["v"]))
+            .select("s").distinct().count()
+        )
+        assert salts == 8, "hot key must spread over all salt buckets"
+
+    def test_salted_aggregate_equals_plain(self, spark):
+        from fact_hive_custom_spark.operators.skew import salted_aggregate
+        from pyspark.sql import functions as F
+
+        df = self._skewed(spark)
+        plain = {
+            (r.k): (r.s, r.n, r.mx)
+            for r in df.groupBy("k").agg(
+                F.sum("v").alias("s"), F.count("v").alias("n"), F.max("v").alias("mx")
+            ).collect()
+        }
+        salted = {
+            (r.k): (r.s, r.n, r.mx)
+            for r in salted_aggregate(
+                df, key=["k"], salt=8, s=("v", "sum"), n=("v", "count"), mx=("v", "max")
+            ).collect()
+        }
+        assert salted == plain
+
+    def test_salted_aggregate_rejects_non_algebraic(self, spark):
+        from fact_hive_custom_spark.operators.skew import salted_aggregate
+        import pytest as pt
+
+        with pt.raises(ValueError, match="non-algebraic"):
+            salted_aggregate(self._skewed(spark), key=["k"], m=("v", "median"))
