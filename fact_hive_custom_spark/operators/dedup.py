@@ -152,24 +152,40 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash) — 64-bit SimHash over word tokens.
+def simhash_64(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """(doc_id, simhash) — SimHash fingerprint over word tokens.
 
-    Classic Charikar sketch: each token votes its xxhash64 bits ±1;
-    the sign of each bit-position sum forms the fingerprint. Computed
-    with explode + groupBy (one shuffle), bit ops in codegen.
-    Near-dups have small Hamming distance between fingerprints.
+    Classic Charikar sketch: each token votes its hash bits ±1; the
+    sign of each bit-position sum forms the fingerprint. Computed with
+    explode + groupBy (one shuffle), bit ops in codegen. Near-dups have
+    small Hamming distance between fingerprints.
+
+    Two hash families, same sketch:
+    - default: 64-bit seeded xxhash64 — fastest, JVM-only (scale path).
+    - portable=True: 60-bit md5-prefix (`conv(substr(md5(tok),1,15))`)
+      — bit-identical to `('0x'||substr(md5(tok),1,15))::BIGINT` in
+      ANSI-SQL engines, so the fingerprint itself is oracle-checkable.
     """
+    nbits = 60 if portable else 64
     tok = F.explode(F.split(F.col(text_col), " ")).alias("token")
     toks = docs.select(F.col(id_col).alias("doc_id"), tok)
-    h = F.xxhash64(F.col("token"))
+    if portable:
+        h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col("token"))
     # vote per bit: +1 if bit set else -1 == 2*bit-1
     votes = [
-        F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}") for i in range(64)
+        F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+        for i in range(nbits)
     ]
     voted = toks.groupBy("doc_id").agg(*votes)
     fingerprint = None
-    for i in range(64):
+    for i in range(nbits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)

@@ -123,15 +123,43 @@ def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_cd")  # rows-only: HLL++ sketch differs from DuckDB's
+@register(
+    "q_agg_approx_cd",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           true AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct (HyperLogLog++) — the 100 TB path for
     distinct-user counts: constant memory per group vs the exact
-    Expand-based plan. Accuracy bound asserted in tests/test_operators.py."""
+    Expand-based plan.
+
+    The HLL++ sketch value itself is engine-specific, so the oracle
+    contract is the *accuracy bound*: emit the exact count plus a
+    boolean `|approx - exact| / exact <= 5%` (5× the rsd=1% target).
+    DuckDB reproduces the exact count and expects the bound to hold,
+    which hash-verifies the sketch's accuracy, not its internals.
+    """
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("within_bound"),
+        )
     )
 
 
@@ -252,17 +280,26 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_collect",
     oracle="""
-    SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_numbers
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers
     FROM lineitem
     GROUP BY l_orderkey
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation — sort_array for determinism (§7.4.4)."""
+    """Array aggregation — sort_array for determinism (§7.4.4).
+
+    Output is serialized to a comma string: the driver's value-hash can't
+    hash Python lists, so both engines emit the same scalar representation.
+    """
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("l_linenumber"))).alias(
+                "line_numbers"
+            )
+        )
     )
 
 
@@ -288,15 +325,40 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_pct")  # rows-only: sketch differs from DuckDB's
+@register(
+    "q_agg_approx_pct",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS exact_p95,
+           true AS within_bound
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def q_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentile (Greenwald-Khanna) — the scale path for
     quantiles: mergeable constant-size sketch, no global sort.
-    Error bound asserted in tests/test_operators.py."""
+
+    Like q_agg_approx_cd, the sketch output is engine-specific, so the
+    oracle contract is the accuracy bound: exact p95 plus a boolean
+    `|approx - exact| / exact <= 5%` (GK at accuracy=10000 bounds rank
+    error to N/10000, far inside 5% of value here).
+    """
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(10000)).alias("p95_price"))
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("exact_p95"),
+            F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(10000)).alias("approx_p95"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_p95",
+            (
+                F.abs(F.col("approx_p95") - F.col("exact_p95")) / F.col("exact_p95")
+                <= 0.05
+            ).alias("within_bound"),
+        )
     )
 
 

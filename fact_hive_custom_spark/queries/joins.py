@@ -175,7 +175,8 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_cross",
     oracle="""
-    SELECT r.r_name, COUNT(*) AS n_pairs, SUM(n.n_nationkey) AS sum_nkey
+    SELECT r.r_name, COUNT(*) AS n_pairs,
+           CAST(SUM(n.n_nationkey) AS BIGINT) AS sum_nkey
     FROM region r CROSS JOIN nation n
     GROUP BY r.r_name
     """,

@@ -40,9 +40,12 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_llm_jaccard_dedup",
-    oracle="""
+# Exact 3-gram-shingle Jaccard ≥ 0.8 pair set. Shared by
+# q_llm_jaccard_dedup AND q_llm_minhash_lsh: the LSH query exact-verifies
+# its candidates, so its output IS the exact pair set whenever banding
+# recall is 1.0 — which r=3,b=8 gives at j≥0.8 (P(miss) ≈ 0.3% per pair;
+# measured 0 misses at sf0.01 and sf0.1, asserted in tests).
+_EXACT_JACCARD_ORACLE = """
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
@@ -64,20 +67,26 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
     WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
-    """,
-)
+"""
+
+
+@register("q_llm_jaccard_dedup", oracle=_EXACT_JACCARD_ORACLE)
 def q_llm_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup, exact 3-gram-shingle Jaccard ≥ 0.8 (the oracle-able
     ground truth that q_llm_minhash_lsh is validated against)."""
     return jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8, k=3)
 
 
-@register("q_llm_minhash_lsh")  # rows-only: seeded hash family ≠ DuckDB's
+@register("q_llm_minhash_lsh", oracle=_EXACT_JACCARD_ORACLE)
 def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup at scale: MinHash + LSH banding (seeded xxhash64,
     r=3 rows × b=8 bands) with exact verification of candidates.
-    tests/test_operators.py asserts pair-set equality with the exact
-    Jaccard ground truth on this corpus."""
+
+    Oracle-checked against the exact Jaccard pair set: because every
+    LSH candidate is exact-verified, the output equals the exact pairs
+    whenever banding recall is 1.0 (measured 0 misses on the sf0.01 and
+    sf0.1 fixtures; tests/test_operators.py asserts pair-set equality).
+    """
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.8, k=3, rows_per_band=3, num_bands=8
     )

@@ -74,10 +74,10 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_tokens,
            ROUND(n_distinct * 1.0 / n_tokens, 6) AS ttr,
            ROUND(n_chars * 1.0 / n_tokens, 6) AS avg_token_len,
-           ROUND( (CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.4 ELSE 0.0 END)
-                + (CASE WHEN n_distinct * 1.0 / n_tokens >= 0.3 THEN 0.3 ELSE 0.0 END)
-                + (CASE WHEN n_chars * 1.0 / n_tokens BETWEEN 3 AND 9 THEN 0.3 ELSE 0.0 END)
-                , 6) AS quality
+           CAST(ROUND( (CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN n_distinct * 1.0 / n_tokens >= 0.3 THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN n_chars * 1.0 / n_tokens BETWEEN 3 AND 9 THEN 0.3 ELSE 0.0 END)
+                     , 6) AS DOUBLE) AS quality
     FROM feat
     """,
 )
@@ -117,7 +117,8 @@ def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                       i -> md5(array_to_string(list_slice(t, i, i + 3), ' '))))) AS h
         FROM toks WHERE len(t) >= 4
     )
-    SELECT doc_id, list_slice(list_sort(list(h)), 1, 4) AS fingerprint
+    SELECT doc_id,
+           array_to_string(list_slice(list_sort(list(h)), 1, 4), ',') AS fingerprint
     FROM sh GROUP BY doc_id
     """,
 )
@@ -128,7 +129,8 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality join on an exploded fingerprint finds dup candidates with
     a 4-row-per-doc index — the compact alternative to full MinHash
     signatures when index size matters. md5 (not xxhash) keeps the
-    oracle engine-portable."""
+    oracle engine-portable. Fingerprint serialized to a comma string:
+    the driver's value-hash can't hash list cells."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
@@ -138,7 +140,7 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.filter(n >= 4).select(
         "doc_id",
-        F.slice(F.sort_array(hashes), 1, 4).alias("fingerprint"),
+        F.concat_ws(",", F.slice(F.sort_array(hashes), 1, 4)).alias("fingerprint"),
     )
 
 
@@ -178,10 +180,42 @@ def q_llm_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_llm_simhash")  # rows-only: xxhash64 family has no DuckDB twin
+# Oracle recomputes the identical 60-bit portable SimHash in DuckDB:
+# same md5-prefix token hash, same ±1 bit votes, same sign rule.
+_SIMHASH_VOTES = ",\n               ".join(
+    f"SUM(((h >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(60)
+)
+_SIMHASH_FP = "\n             + ".join(
+    f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)" for i in range(60)
+)
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM toks
+    ),
+    votes AS (
+        SELECT doc_id,
+               {_SIMHASH_VOTES}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {_SIMHASH_FP} AS simhash
+    FROM votes
+"""
+
+
+@register("q_llm_simhash", oracle=_SIMHASH_ORACLE)
 def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints per document (Charikar sketch) — the
+    """SimHash fingerprints per document (Charikar sketch) — the
     constant-size near-dup representation whose Hamming distance tracks
     token-set similarity; separation quality asserted in
-    tests/test_operators.py."""
-    return simhash_64(load_table(spark, sf_dir, "documents"))
+    tests/test_operators.py.
+
+    Uses the *portable* 60-bit md5-prefix hash family so the full
+    fingerprint is recomputable (and hash-compared) in the DuckDB
+    oracle; the xxhash64 64-bit family remains the default scale path
+    in operators/dedup.simhash_64.
+    """
+    return simhash_64(load_table(spark, sf_dir, "documents"), portable=True)

@@ -101,15 +101,35 @@ def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sample")  # rows-only: sampling is engine-specific by design
+@register(
+    "q_sample",
+    oracle="""
+    SELECT COUNT(*) AS n_sampled,
+           ROUND(AVG(l_quantity), 4) AS avg_qty_est
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)),
+                 1, 8) < '1999999a'
+    """,
+)
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample (~10%) + aggregate — the cheap-estimate
-    path for interactive exploration over 100 TB. Deterministic for a
-    fixed seed and input layout, but the sampled set is engine-specific,
-    so the driver records rows-only; the statistical property (fraction
-    ≈ 0.1) is asserted in tests."""
-    li = load_table(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)
-    return li.agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty_est"),
+    """Deterministic ~10% Bernoulli sample + aggregate — the
+    cheap-estimate path for interactive exploration over 100 TB.
+
+    Sampling predicate is a *portable* hash threshold: keep rows whose
+    md5(primary key) prefix falls below 0.1 of the 32-bit hex space
+    (0x19999999/0x100000000 ≈ 0.1). Unlike `df.sample(seed=...)`, the
+    sampled SET is engine- and layout-independent, so the driver can
+    hash-compare it against the DuckDB oracle; it is also stable under
+    repartitioning, which `sample()` is not — at 100 TB that means a
+    reproducible sample regardless of cluster width. Lexicographic
+    compare of fixed-width lowercase hex == numeric compare.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    return (
+        li.filter(F.substring(F.md5(key), 1, 8) < "1999999a")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty_est"),
+        )
     )

@@ -237,7 +237,7 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS INTEGER)           AS k_val,
-           json_keys(props)                                      AS key_list,
+           array_to_string(json_keys(props), ',')                AS key_list,
            CAST(json_extract(props, '$.k') AS INTEGER) * 2       AS k_doubled,
            'k'                                                   AS exploded_key,
            CAST(json_extract(props, '$.k') AS INTEGER)           AS exploded_val
@@ -256,7 +256,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         F.element_at(m, "k").alias("k_val"),
-        F.map_keys(m).alias("key_list"),
+        F.concat_ws(",", F.map_keys(m)).alias("key_list"),
         (
             F.element_at(F.map_from_arrays(F.map_keys(m), F.map_values(m)), "k").cast("int")
             + F.element_at(rebuilt, "k").cast("int")

@@ -122,12 +122,24 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_watermark")  # rows-only: watermark semantics are streaming-only
+@register(
+    "q_stream_watermark",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked windowed aggregate (30-minute lateness bound), update
-    mode. Batch runs cannot express late-data dropping — the driver
-    records rows-only here; tests/test_streaming.py injects rows behind
-    the watermark across micro-batches and asserts they are dropped."""
+    mode.
+
+    Oracle-checkable because the fixture is ONE parquet file driven with
+    AvailableNow → exactly one micro-batch, where the initial watermark
+    drops nothing and the settled update-mode table equals the batch
+    GROUP BY. The semantics batch mode *cannot* express — dropping data
+    behind the watermark across micro-batches — is exercised in
+    tests/test_streaming.py with injected late rows."""
     ev = streaming_events(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "30 minutes")
@@ -207,12 +219,19 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return settled.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
-@register("q_stream_sink_modes")  # rows-only: sink plumbing, not a relation
+@register(
+    "q_stream_sink_modes",
+    oracle="""
+    SELECT COUNT(*) AS memory_rows_total, COUNT(*) AS foreach_batch_rows
+    FROM events
+    """,
+)
 def q_stream_sink_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Output modes + sinks: the same counting query lands in (a) a
     memory sink in complete mode and (b) a parquet directory via
-    foreachBatch (idempotent-append — the exactly-once pattern);
-    returns both row counts for the smoke check."""
+    foreachBatch (idempotent-append — the exactly-once pattern).
+    Both sinks must have seen every event exactly once, so both counts
+    equal COUNT(*) of the source — which is the oracle."""
     import os
     import tempfile
     import shutil
@@ -230,5 +249,5 @@ def q_stream_sink_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet_rows = spark.read.parquet(out_dir).count()
     return mem.agg(
         F.sum("n").alias("memory_rows_total"),
-        F.lit(parquet_rows).alias("foreach_batch_rows"),
+        F.lit(parquet_rows).cast("long").alias("foreach_batch_rows"),
     )

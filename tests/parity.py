@@ -2,14 +2,25 @@
 
 Runs a registered query on Spark and its oracle SQL on DuckDB over the
 same parquet fixtures, then compares row count, column names, and an
-order-insensitive value multiset. Values are normalized to canonical
-strings (floats via repr, timestamps via isoformat) so the comparison
-matches what a value-hash would see.
+order-insensitive value multiset.
+
+The value comparison is deliberately STRICT — it mirrors the driver's
+raw value-hash, not a normalized view:
+
+- numeric TYPE matters: int64 300 != float64 300.0 (this is exactly the
+  DuckDB HUGEINT->float64 vs Spark int64 mismatch that made q_join_cross
+  driver-red in round 1 while a lenient local comparator passed it);
+- floats are compared by exact repr — no rounding. Queries must round
+  engine-side to a width where both engines agree bit-for-bit;
+- container cells (list/dict/ndarray) are a hard failure: the driver's
+  hasher raises `unhashable type` on them, so any query emitting an
+  array column must serialize it to a scalar first.
 """
 
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 import os
 from collections import Counter
@@ -21,6 +32,10 @@ from fact_hive_custom_spark.tables import TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_DIR", "/root/testdata/sf0.01")
 
 
+class DriverUnhashable(Exception):
+    """A cell the driver's value-hash would raise on (list/dict/array)."""
+
+
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
@@ -29,31 +44,40 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm_value(v):
+def _strict_value(v):
+    """Type-tagged canonical form — two cells compare equal only if the
+    driver's raw hash would also see them as equal."""
     if v is None:
         return "∅"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        if v == 0.0:
-            return "0.0"  # merge -0.0 / 0.0
-        return repr(round(v, 9))
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return "[" + ",".join(_norm_value(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{_norm_value(x)}" for k, x in sorted(v.items())) + "}"
+            return "f:NaN"
+        return f"f:{v!r}"
+    if isinstance(v, decimal.Decimal):
+        # The driver's pandas conversion lands DuckDB DECIMAL in float64
+        # (round-1 evidence: q_llm_quality_score driver-green with a
+        # DECIMAL oracle column) — mirror that.
+        return f"f:{float(v)!r}"
+    if isinstance(v, datetime.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"dt:{v.isoformat()}"
     if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, bool):
-        return str(v)
-    return str(v)
+        return f"x:{v.hex()}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+        raise DriverUnhashable(f"driver-unhashable cell type {type(v).__name__}: {v!r:.80}")
+    return f"?:{v}"
 
 
-def _norm_rows(cols, rows):
+def _strict_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return Counter(tuple(_norm_value(row[i]) for i in order) for row in rows)
+    return Counter(tuple(_strict_value(row[i]) for i in order) for row in rows)
 
 
 def compare(spark, name: str, sf_dir: str = DEFAULT_SF_DIR) -> tuple[bool, str]:
@@ -65,7 +89,9 @@ def compare(spark, name: str, sf_dir: str = DEFAULT_SF_DIR) -> tuple[bool, str]:
     s_rows = [tuple(r) for r in sdf.collect()]
 
     if name not in ORACLE:
-        return True, f"rows-only ({len(s_rows)} rows)"
+        # The driver records an absent oracle as `err: no_oracle` — keep
+        # local behavior honest about that (weaker rows-only check).
+        return True, f"rows-only ({len(s_rows)} rows) — driver will record err:no_oracle"
 
     con = duck_connection(sf_dir)
     res = con.execute(ORACLE[name])
@@ -77,10 +103,21 @@ def compare(spark, name: str, sf_dir: str = DEFAULT_SF_DIR) -> tuple[bool, str]:
     if len(s_rows) != len(d_rows):
         return False, f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
 
-    s_set = _norm_rows(s_cols, s_rows)
-    d_set = _norm_rows(d_cols, d_rows)
+    try:
+        s_set = _strict_rows(s_cols, s_rows)
+    except DriverUnhashable as e:
+        return False, f"spark side: {e}"
+    try:
+        d_set = _strict_rows(d_cols, d_rows)
+    except DriverUnhashable as e:
+        return False, f"oracle side: {e}"
+
     if s_set != d_set:
         only_s = list((s_set - d_set).items())[:3]
         only_d = list((d_set - s_set).items())[:3]
-        return False, f"value mismatch: spark-only={only_s} duck-only={only_d} (cols sorted: {sorted(s_cols)})"
+        return (
+            False,
+            f"value mismatch: spark-only={only_s} duck-only={only_d} "
+            f"(cols sorted: {sorted(s_cols)})",
+        )
     return True, f"ok ({len(s_rows)} rows)"
