@@ -35,12 +35,26 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k:
     return docs.select(F.col(id_col).alias("doc_id"), sh.alias("shingle"))
 
 
-def jaccard_pairs(docs: DataFrame, threshold: float, k: int = 3) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    k: int = 3,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
     """Exact Jaccard: all pairs with |A∩B| / |A∪B| >= threshold.
 
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. The self-join
-    explodes on hot shingles — correct at fixture scale, the reason
-    LSH exists at 100 TB.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    `max_doc_freq` is the hot-shingle cap: shingles occurring in more
+    than that many documents are dropped BEFORE the self-join (the
+    CCNet/Gopher-style stop-shingle filter). Without it one stop-word
+    shingle shared by 1M docs makes the join quadratic — the round-1
+    scale-killer for this operator. Sizes are computed on the capped
+    shingle space, so the score is the exact Jaccard over non-hot
+    shingles — within epsilon of full Jaccard while the cap covers
+    < 1/threshold of either doc's shingles, and identical whenever no
+    shingle is hot (asserted on fixtures in tests). Pass None to
+    disable (exact oracle semantics at any frequency).
     """
     # Join on the 64-bit hash of the shingle, not the string: the pair
     # join is the dominant shuffle and longs move/compare ~3× cheaper
@@ -48,6 +62,19 @@ def jaccard_pairs(docs: DataFrame, threshold: float, k: int = 3) -> DataFrame:
     # shingles in overlapping docs to collide in 64 bits (~2^-64 per
     # pair) — negligible against float-rounding noise.
     sh = shingles(docs, k=k).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    if max_doc_freq is not None:
+        # df per shingle, then keep the cold ones. The groupBy and the
+        # filter-join shuffle on the same key as the pair join below,
+        # so the added passes are co-partitioned — no extra exchange
+        # pattern, and the pair join's worst case drops from
+        # O(max_df²·n_shingles) unbounded to O(max_doc_freq²).
+        cold = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(cold, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

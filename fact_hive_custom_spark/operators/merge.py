@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -35,19 +35,58 @@ def scd2_close(
     key: Sequence[str],
     version_col: str,
     current_col: str = "is_current",
+    end_version_col: str | None = None,
 ) -> DataFrame:
-    """Slowly-changing-dimension type 2: matched current rows are closed
-    (is_current=false), update rows append as the new current version.
-    `version_col` must be monotonically increasing per key."""
-    upd_keys = updates.select(*key)
-    closed = (
-        target.join(F.broadcast(upd_keys.distinct()), list(key), "left_semi")
-        .filter(F.col(current_col))
-        .withColumn(current_col, F.lit(False))
+    """Slowly-changing-dimension type 2 with real version semantics:
+
+    - only updates whose `version_col` is STRICTLY newer than the key's
+      current row apply (stale/duplicate CDC events are dropped — the
+      idempotent-replay property a CDC consumer needs);
+    - with several updates per key in one batch, only the latest-version
+      one becomes the new current row;
+    - closed rows flip `current_col` to false and, when
+      `end_version_col` is given, are stamped with the superseding
+      version (the "closed out with an end-version" contract);
+    - history rows and untouched keys pass through unchanged.
+
+    One shuffle of each side on the key; the per-key max-version
+    aggregate is map-side partial.
+    """
+    k = list(key)
+    # Latest update per key (deterministic: highest version wins).
+    latest = (
+        updates.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy(*k).orderBy(F.desc(version_col))),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    untouched_current = target.join(upd_keys, list(key), "left_anti")
-    history = target.filter(~F.col(current_col)).join(
-        upd_keys.distinct(), list(key), "left_semi"
+
+    new_v = latest.select(*k, F.col(version_col).alias("__new_v"))
+    cur = target.filter(F.col(current_col))
+    hist = target.filter(~F.col(current_col))
+
+    cur_j = cur.join(new_v, k, "left")
+    superseded = F.col("__new_v").isNotNull() & (F.col("__new_v") > F.col(version_col))
+    closed = cur_j.filter(superseded).withColumn(current_col, F.lit(False))
+    still_current = cur_j.filter(~superseded)
+
+    # Updates apply only against a strictly older (or absent) current row.
+    cur_v = cur.select(*k, F.col(version_col).alias("__cur_v"))
+    fresh = (
+        latest.join(cur_v, k, "left")
+        .filter(F.col("__cur_v").isNull() | (F.col(version_col) > F.col("__cur_v")))
+        .drop("__cur_v")
+        .withColumn(current_col, F.lit(True))
     )
-    fresh = updates.withColumn(current_col, F.lit(True))
-    return untouched_current.unionByName(closed).unionByName(history).unionByName(fresh)
+
+    if end_version_col is not None:
+        closed = closed.withColumn(end_version_col, F.col("__new_v"))
+        still_current = still_current.withColumn(end_version_col, F.lit(None).cast(closed.schema[end_version_col].dataType))
+        hist = hist.withColumn(end_version_col, F.lit(None).cast(closed.schema[end_version_col].dataType))
+        fresh = fresh.withColumn(end_version_col, F.lit(None).cast(closed.schema[end_version_col].dataType))
+
+    closed = closed.drop("__new_v")
+    still_current = still_current.drop("__new_v")
+    return still_current.unionByName(closed).unionByName(hist).unionByName(fresh)

@@ -73,43 +73,25 @@ def extract_features(media: DataFrame) -> DataFrame:
     dedup of media works without re-shipping bytes.
     """
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import xxhash  # optional accel; fall back to builtin hash of bytes
+    # payload_hash is ALWAYS the JVM xxhash64 (it's a column op anyway):
+    # a Python-side hash library would make the dedup key depend on what
+    # happens to be importable on each executor — same media, different
+    # keys. The JVM hash is one codegen expression, environment-free.
+    hashed = media.withColumn("payload_hash", F.xxhash64(F.col("payload")))
 
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
-                    "payload_hash": pdf["payload"].map(
-                        lambda b: xxhash.xxh64_intdigest(b or b"") - (1 << 63)
-                    ),
+                    "payload_hash": pdf["payload_hash"],
                     "feature": pdf["payload"].map(_fake_decode),
                 }
             )
 
-    try:
-        import xxhash  # noqa: F401
-
-        return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
-    except ImportError:
-        # JVM-side hash keeps the contract when xxhash is absent.
-        hashed = media.withColumn("payload_hash", F.xxhash64(F.col("payload")))
-
-        def batches_nohash(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in it:
-                yield pd.DataFrame(
-                    {
-                        "media_id": pdf["media_id"],
-                        "kind": pdf["kind"],
-                        "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
-                        "payload_hash": pdf["payload_hash"],
-                        "feature": pdf["payload"].map(_fake_decode),
-                    }
-                )
-
-        return hashed.mapInPandas(batches_nohash, schema=FEATURE_SCHEMA)
+    return hashed.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

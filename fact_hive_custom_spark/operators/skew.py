@@ -32,6 +32,13 @@ def _salt_col(df: DataFrame, salt: int, from_cols: Sequence[str]) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in from_cols]), F.lit(salt))
 
 
+# Join types for which salting the skewed side + replicating the small
+# side preserves semantics: every skewed row carries exactly ONE salt, so
+# skewed-side-preserving joins are unchanged. right/full would surface
+# each unmatched small-side row `salt` times (once per replica) — refuse.
+_SALT_SAFE_JOINS = frozenset({"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"})
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,
@@ -41,7 +48,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where `skewed` has hot keys: spread each key over
     `salt` sub-partitions by salting the skewed side and replicating
-    the small side. Result ≡ skewed.join(small, on, how)."""
+    the small side.
+
+    Result ≡ skewed.join(small, on, how) for the skewed-side-preserving
+    join types (inner / left / left_semi / left_anti). right and full
+    joins are rejected: the small side's replicas would each emit an
+    unmatched row, duplicating null-extended output `salt` times.
+    """
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALT_SAFE_JOINS}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "replicating the small side duplicates its unmatched rows"
+        )
     non_key = [c for c in skewed.columns if c not in on] or list(on)
     s = skewed.withColumn("__salt", _salt_col(skewed, salt, non_key))
     r = small.withColumn(

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fact_hive_custom_spark.operators.dedup import simhash_64
-from fact_hive_custom_spark.operators.similarity import _dot, _norm
+from fact_hive_custom_spark.operators.similarity import cosine_pairs
 from fact_hive_custom_spark.queries.registry import register
 from fact_hive_custom_spark.tables import load_table
 
@@ -158,26 +158,15 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: all pairs above a similarity threshold.
 
-    Brute-force O(n²/2) — correct at fixture scale and the oracle for
-    the sign-LSH bucketed variant (operators/similarity.signlsh_topk),
-    which is the 100 TB path. Norms precomputed per row before the
-    pair join."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
-    )
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.5)
-        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
-    )
+    Computed via the pivot-partitioned EXACT search
+    (operators/similarity.cosine_pairs): nearest-pivot assignment, then
+    only cluster pairs passing the angular triangle-inequality bound are
+    scored — the 100 TB plan, with output provably identical to the
+    brute-force self-join the oracle runs. Sign-LSH banding is NOT used
+    here because at threshold 0.5 its per-plane collision probability is
+    2/3 and recall 1.0 is unreachable (measured); the LSH path serves
+    the top-k workload (signlsh_topk) where misses are by design."""
+    return cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.5)
 
 
 # Oracle recomputes the identical 60-bit portable SimHash in DuckDB:

@@ -296,3 +296,143 @@ class TestSkewOperators:
 
         with pt.raises(ValueError, match="non-algebraic"):
             salted_aggregate(self._skewed(spark), key=["k"], m=("v", "median"))
+
+
+class TestRound2Hardening:
+    """Round-2 fixes: hot-shingle cap, exact pivot-blocked cosine pairs,
+    salted-join how restriction, SCD2 version semantics."""
+
+    def test_jaccard_hot_shingle_cap_leaves_fixture_unchanged(self, spark):
+        from fact_hive_custom_spark.operators.dedup import jaccard_pairs
+        from fact_hive_custom_spark.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        capped = sorted(map(tuple, jaccard_pairs(docs, 0.8, max_doc_freq=1000).collect()))
+        uncapped = sorted(map(tuple, jaccard_pairs(docs, 0.8, max_doc_freq=None).collect()))
+        assert capped == uncapped and capped
+
+    def test_jaccard_hot_shingle_cap_bounds_adversarial_join(self, spark):
+        """Every doc shares one stop-phrase shingle: uncapped, the shingle
+        self-join is O(n²); capped, the hot shingle drops out and only the
+        genuinely-similar pair survives."""
+        from fact_hive_custom_spark.operators.dedup import jaccard_pairs, shingles
+
+        n = 60
+        hot = "the quick fox"  # one 3-shingle shared by ALL docs
+        rows = [(i, f"{hot} unique{i} word{i} tail{i}") for i in range(n)]
+        rows.append((n, f"{hot} unique0 word0 tail0"))  # true near-dup of doc 0
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        sh = shingles(docs, k=3)
+        hot_df = (
+            sh.groupBy("shingle").count().filter(F.col("count") > 10).count()
+        )
+        assert hot_df >= 1  # the adversarial shingle is genuinely hot
+
+        pairs = jaccard_pairs(docs, threshold=0.5, max_doc_freq=10).collect()
+        got = {(r.doc_a, r.doc_b) for r in pairs}
+        assert got == {(0, n)}
+        # And the capped intersection join cannot have touched the hot
+        # shingle: every doc has 4 shingles, 1 hot → ≤ 3 cold shingles,
+        # doc 0 and doc n share all 3 → jaccard 1.0 on the capped space.
+        j = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+        assert j[(0, n)] == 1.0
+
+    def test_cosine_pairs_equals_bruteforce_on_fixture(self, spark):
+        from fact_hive_custom_spark.operators.similarity import cosine_pairs
+        from fact_hive_custom_spark.functions.vectors import cosine
+        from fact_hive_custom_spark.tables import load_table
+
+        emb = load_table(spark, SF_TINY, "embeddings")
+        got = sorted(map(tuple, cosine_pairs(emb, 0.5).collect()))
+        a, b = emb.alias("a"), emb.alias("b")
+        brute = (
+            a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= 0.5)
+            .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+        )
+        assert got == sorted(map(tuple, brute.collect()))
+
+    def test_cosine_pairs_prunes_clustered_corpus(self, spark):
+        """Two tight antipodal clusters: the angular triangle-inequality
+        bound must eliminate cross-cluster blocks entirely."""
+        import math
+
+        from fact_hive_custom_spark.operators.similarity import _pivot_blocks, cosine_pairs
+
+        dim = 8
+        rows = []
+        for i in range(40):
+            eps = 0.01 * (i % 5)
+            up = [1.0 + eps] + [eps] * (dim - 1)
+            down = [-1.0 - eps] + [eps] * (dim - 1)
+            rows.append((2 * i, up))
+            rows.append((2 * i + 1, down))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        assigned, cluster_pairs = _pivot_blocks(
+            emb, threshold=0.9, id_col="vec_id", vec_col="embedding", num_pivots=4, seed=7
+        )
+        kept = cluster_pairs.count()
+        clusters = [r.cluster for r in assigned.select("cluster").distinct().collect()]
+        total = len(clusters) ** 2
+        assert kept < total, f"no pruning: kept {kept} of {total} cluster pairs"
+
+        # Exactness survives the pruning: every within-cluster pair is
+        # found (cos ≈ 1 inside a cluster), none across (cos ≈ -1).
+        out = cosine_pairs(emb, 0.9, num_pivots=4).collect()
+        assert len(out) == 2 * (40 * 39) // 2
+        assert all((r.vec_a % 2) == (r.vec_b % 2) for r in out)
+
+    def test_salted_join_rejects_small_side_preserving_types(self, spark):
+        from fact_hive_custom_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame([(1, "x")], "k long, v string")
+        dim = spark.createDataFrame([(1, "d")], "k long, d string")
+        for how in ("right", "full", "full_outer", "rightouter"):
+            with pytest.raises(ValueError):
+                salted_join(big, dim, on=["k"], how=how)
+
+    def test_salted_join_left_preserves_unmatched_skewed_rows(self, spark):
+        from fact_hive_custom_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c"), (9, "no-match")], "k long, v string"
+        )
+        dim = spark.createDataFrame([(1, "d1"), (2, "d2")], "k long, d string")
+        plain = sorted(map(tuple, big.join(dim, ["k"], "left").collect()))
+        salted = sorted(map(tuple, salted_join(big, dim, on=["k"], salt=4, how="left").collect()))
+        assert salted == plain
+
+    def test_scd2_stale_update_is_dropped(self, spark):
+        from fact_hive_custom_spark.operators.merge import scd2_close
+
+        target = spark.createDataFrame(
+            [(1, "v2", 2, True)], "k long, v string, version int, is_current boolean"
+        )
+        stale = spark.createDataFrame([(1, "old", 1)], "k long, v string, version int")
+        rows = scd2_close(target, stale, key=["k"], version_col="version").collect()
+        assert len(rows) == 1
+        assert rows[0].version == 2 and rows[0].is_current
+
+    def test_scd2_latest_of_batch_wins_and_end_version_stamped(self, spark):
+        from fact_hive_custom_spark.operators.merge import scd2_close
+
+        target = spark.createDataFrame(
+            [(1, "v1", 1, True)], "k long, v string, version int, is_current boolean"
+        )
+        updates = spark.createDataFrame(
+            [(1, "v2", 2), (1, "v3", 3)], "k long, v string, version int"
+        )
+        rows = scd2_close(
+            target, updates, key=["k"], version_col="version", end_version_col="end_version"
+        ).collect()
+        by_v = {r.version: r for r in rows}
+        assert set(by_v) == {1, 3}  # v2 superseded within the batch
+        assert by_v[1].is_current is False and by_v[1].end_version == 3
+        assert by_v[3].is_current is True and by_v[3].end_version is None
