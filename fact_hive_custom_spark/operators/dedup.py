@@ -19,6 +19,7 @@ Banding math: with r rows/band and b bands, P(candidate | jaccard=j)
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -63,18 +64,24 @@ def jaccard_pairs(
     # pair) — negligible against float-rounding noise.
     sh = shingles(docs, k=k).select("doc_id", F.xxhash64("shingle").alias("shingle"))
     if max_doc_freq is not None:
-        # df per shingle, then keep the cold ones. The groupBy and the
-        # filter-join shuffle on the same key as the pair join below,
-        # so the added passes are co-partitioned — no extra exchange
-        # pattern, and the pair join's worst case drops from
-        # O(max_df²·n_shingles) unbounded to O(max_doc_freq²).
-        cold = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("shingle")
+        # df per shingle as ONE window pass over the same shuffle key
+        # the pair join uses — no second scan+explode of the corpus
+        # (the round-2 bench wart). A hot shingle's rows land in one
+        # counting task, which is trivial work even at 1M df; the pair
+        # join's worst case drops from O(max_df²·n_shingles) unbounded
+        # to O(max_doc_freq²).
+        dfw = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(dfw))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
         )
-        sh = sh.join(cold, "shingle")
+    # The capped shingle frame feeds three consumers (sizes, both pair
+    # join sides); persist it so the scan+explode+cap runs once. At
+    # 100 TB each recomputation is a full corpus pass — caching the
+    # (doc_id, long) pairs is ~16 bytes/shingle, spilling to disk if
+    # needed. Released by Spark's LRU / clearCache().
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -122,8 +129,12 @@ def minhash_lsh_pairs(
     """
     # Same hashed-shingle representation as jaccard_pairs: signatures
     # hash the 64-bit key again per seed (a valid MinHash family), and
-    # the verification join shuffles longs.
-    sh = shingles(docs, k=k).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    # the verification join shuffles longs. Persisted for the same
+    # reason as in jaccard_pairs: four consumers (signatures, sizes,
+    # both verification sides) would otherwise each re-scan the corpus.
+    sh = shingles(docs, k=k).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(sh, num_hashes=rows_per_band * num_bands)
 
     bands = F.array(

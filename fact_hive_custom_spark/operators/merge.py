@@ -82,10 +82,19 @@ def scd2_close(
     )
 
     if end_version_col is not None:
+        # Stamp ONLY the rows closed in this batch. When the target
+        # already carries the column (every batch after the first),
+        # history and still-current rows keep their existing values —
+        # overwriting them with NULL would wipe prior end-version stamps
+        # on each chained apply.
         closed = closed.withColumn(end_version_col, F.col("__new_v"))
-        still_current = still_current.withColumn(end_version_col, F.lit(None).cast(closed.schema[end_version_col].dataType))
-        hist = hist.withColumn(end_version_col, F.lit(None).cast(closed.schema[end_version_col].dataType))
-        fresh = fresh.withColumn(end_version_col, F.lit(None).cast(closed.schema[end_version_col].dataType))
+        null_v = F.lit(None).cast(closed.schema[end_version_col].dataType)
+        if end_version_col not in target.columns:
+            still_current = still_current.withColumn(end_version_col, null_v)
+            hist = hist.withColumn(end_version_col, null_v)
+        # A new current row has no end version yet (withColumn also
+        # overwrites a stale value if the updates feed carried one).
+        fresh = fresh.withColumn(end_version_col, null_v)
 
     closed = closed.drop("__new_v")
     still_current = still_current.drop("__new_v")

@@ -261,7 +261,14 @@ def _pivot_blocks(
         .withColumn("pcos", F.least(F.greatest(cos_to_pivot, F.lit(-1.0)), F.lit(1.0)))
         .groupBy("vid")
         .agg(
-            F.max_by(F.col("pivot_id"), F.struct(F.col("pcos"), F.col("pivot_id").cast("double") * -1)).alias("cluster"),
+            # min_by over (-pcos, pivot_id): highest cosine wins, exact
+            # ties break on the id's NATIVE ordering (a cast-to-double
+            # tie-break is NULL for string ids → nondeterministic
+            # cluster assignment).
+            F.min_by(
+                F.col("pivot_id"),
+                F.struct((-F.col("pcos")).alias("npc"), F.col("pivot_id").alias("pid")),
+            ).alias("cluster"),
             F.acos(F.max("pcos")).alias("angle"),
             F.first("vec").alias("vec"),
             F.first("nrm").alias("nrm"),

@@ -154,11 +154,19 @@ def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "exact_users",
-            (
+            # Zero-guard: a group whose user_ids are all NULL has
+            # exact_users = 0; the relative-error expression would be
+            # NULL there while the oracle emits literal true. Both
+            # sketches agree the group is empty, so the bound holds.
+            F.when(
+                F.col("exact_users") == 0, F.col("approx_users") == 0
+            )
+            .otherwise(
                 F.abs(F.col("approx_users") - F.col("exact_users"))
                 / F.col("exact_users")
                 <= 0.05
-            ).alias("within_bound"),
+            )
+            .alias("within_bound"),
         )
     )
 
@@ -354,10 +362,19 @@ def q_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderstatus",
             "exact_p95",
-            (
+            # Zero/NULL-guard (see q_agg_approx_cd): an all-NULL price
+            # group yields exact_p95 NULL (both sketches agree), an
+            # all-zero group yields exact_p95 = 0 — either way the
+            # division form would not be literal true like the oracle.
+            F.when(
+                F.col("exact_p95").isNull(), F.col("approx_p95").isNull()
+            )
+            .when(F.col("exact_p95") == 0, F.col("approx_p95") == 0)
+            .otherwise(
                 F.abs(F.col("approx_p95") - F.col("exact_p95")) / F.col("exact_p95")
                 <= 0.05
-            ).alias("within_bound"),
+            )
+            .alias("within_bound"),
         )
     )
 

@@ -40,20 +40,35 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Exact 3-gram-shingle Jaccard ≥ 0.8 pair set. Shared by
-# q_llm_jaccard_dedup AND q_llm_minhash_lsh: the LSH query exact-verifies
-# its candidates, so its output IS the exact pair set whenever banding
-# recall is 1.0 — which r=3,b=8 gives at j≥0.8 (P(miss) ≈ 0.3% per pair;
-# measured 0 misses at sf0.01 and sf0.1, asserted in tests).
-_EXACT_JACCARD_ORACLE = """
+# Exact 3-gram-shingle Jaccard ≥ 0.8 pair set, parameterized on the
+# hot-shingle cap so the oracle computes the SAME capped Jaccard the
+# Spark operator does (shingles with doc-frequency > cap dropped before
+# pairing, sizes on the capped space). Used uncapped (cap=None) by
+# q_llm_minhash_lsh — its operator has no df cap and exact-verifies
+# candidates, so its output IS the exact pair set whenever banding
+# recall is 1.0 (r=3,b=8 gives ≈99.7% at j≥0.8; measured 0 misses at
+# sf0.01/sf0.1, asserted in tests) — and capped (cap=1000, matching
+# jaccard_pairs' default) by q_llm_jaccard_dedup, so Spark and DuckDB
+# agree on any corpus, hot shingles included.
+def _exact_jaccard_oracle(max_doc_freq: int | None = None) -> str:
+    cap = (
+        ""
+        if max_doc_freq is None
+        else f"QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {max_doc_freq}"
+    )
+    return f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
-    sh AS (
+    sh_all AS (
         SELECT DISTINCT doc_id,
                unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
                                      i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
         FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT doc_id, shingle FROM sh_all
+        {cap}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     pairs AS (
@@ -70,14 +85,17 @@ _EXACT_JACCARD_ORACLE = """
 """
 
 
-@register("q_llm_jaccard_dedup", oracle=_EXACT_JACCARD_ORACLE)
+@register("q_llm_jaccard_dedup", oracle=_exact_jaccard_oracle(max_doc_freq=1000))
 def q_llm_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dedup, exact 3-gram-shingle Jaccard ≥ 0.8 (the oracle-able
-    ground truth that q_llm_minhash_lsh is validated against)."""
+    """Near-dedup, exact 3-gram-shingle Jaccard ≥ 0.8 with the default
+    hot-shingle cap (df ≤ 1000) — the oracle mirrors the cap, so the
+    two engines compute the same capped Jaccard on any corpus (the
+    oracle-able ground truth that q_llm_minhash_lsh is validated
+    against; on the fixtures no shingle is hot, so capped == full)."""
     return jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8, k=3)
 
 
-@register("q_llm_minhash_lsh", oracle=_EXACT_JACCARD_ORACLE)
+@register("q_llm_minhash_lsh", oracle=_exact_jaccard_oracle(max_doc_freq=None))
 def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup at scale: MinHash + LSH banding (seeded xxhash64,
     r=3 rows × b=8 bands) with exact verification of candidates.

@@ -231,13 +231,20 @@ def q_stream_sink_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink in complete mode and (b) a parquet directory via
     foreachBatch (idempotent-append — the exactly-once pattern).
     Both sinks must have seen every event exactly once, so both counts
-    equal COUNT(*) of the source — which is the oracle."""
+    equal COUNT(*) of the source — which is the oracle.
+
+    The parquet out_dir is uuid-suffixed (concurrent runs never
+    interleave) and its count enters the returned plan as a lazy scan
+    cross-joined in, not a driver-side collected literal."""
     import os
     import tempfile
-    import shutil
+    import uuid
 
-    out_dir = os.path.join(tempfile.gettempdir(), "fact_hive_custom_spark_stage", "feb_parquet")
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "fact_hive_custom_spark_stage",
+        f"feb_parquet_{uuid.uuid4().hex[:8]}",
+    )
 
     mem = run_stream_to_memory(
         spark,
@@ -246,8 +253,7 @@ def q_stream_sink_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     run_stream_foreach_batch_parquet(spark, streaming_events(spark, sf_dir), out_dir)
-    parquet_rows = spark.read.parquet(out_dir).count()
-    return mem.agg(
-        F.sum("n").alias("memory_rows_total"),
-        F.lit(parquet_rows).cast("long").alias("foreach_batch_rows"),
+    parquet_rows = spark.read.parquet(out_dir).agg(
+        F.count(F.lit(1)).alias("foreach_batch_rows")
     )
+    return mem.agg(F.sum("n").alias("memory_rows_total")).crossJoin(parquet_rows)

@@ -436,3 +436,30 @@ class TestRound2Hardening:
         assert set(by_v) == {1, 3}  # v2 superseded within the batch
         assert by_v[1].is_current is False and by_v[1].end_version == 3
         assert by_v[3].is_current is True and by_v[3].end_version is None
+
+    def test_scd2_two_batch_history_end_versions_survive(self, spark):
+        """Chained applies: batch 2 must NOT wipe the end_version stamps
+        batch 1 wrote onto now-history rows (round-2 advice item)."""
+        from fact_hive_custom_spark.operators.merge import scd2_close
+
+        target = spark.createDataFrame(
+            [(1, "v1", 1, True), (2, "x1", 1, True)],
+            "k long, v string, version int, is_current boolean",
+        )
+        batch1 = spark.createDataFrame([(1, "v2", 2)], "k long, v string, version int")
+        after1 = scd2_close(
+            target, batch1, key=["k"], version_col="version", end_version_col="end_version"
+        )
+        batch2 = spark.createDataFrame([(1, "v3", 3)], "k long, v string, version int")
+        after2 = scd2_close(
+            after1, batch2, key=["k"], version_col="version", end_version_col="end_version"
+        ).collect()
+        by_kv = {(r.k, r.version): r for r in after2}
+        assert len(after2) == 4
+        # batch-1 stamp survives on the history row
+        assert by_kv[(1, 1)].end_version == 2 and by_kv[(1, 1)].is_current is False
+        # batch-2 closes v2 with the superseding version
+        assert by_kv[(1, 2)].end_version == 3 and by_kv[(1, 2)].is_current is False
+        # new current row open-ended; untouched key unchanged
+        assert by_kv[(1, 3)].end_version is None and by_kv[(1, 3)].is_current is True
+        assert by_kv[(2, 1)].end_version is None and by_kv[(2, 1)].is_current is True
