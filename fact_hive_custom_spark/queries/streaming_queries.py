@@ -220,6 +220,56 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT c.user_id, COUNT(*) AS n_pairs, ROUND(SUM(v.value), 4) AS view_value
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND v.ts >= c.ts - INTERVAL '1 hour' AND v.ts <= c.ts
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+    GROUP BY c.user_id
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream watermarked interval join: clicks ⋈ views per user,
+    the view at most 1 hour before the click (the canonical attribution
+    join). Both sides are watermarked (30 min) and the join condition
+    bounds event time on BOTH sides, so state for either stream is
+    purged once the combined watermark passes the interval — bounded
+    state at 100 TB. Two independent readStream sources stand in for
+    two topics. Genuine streaming run, append mode; the inner interval
+    join emits each pair exactly once under AvailableNow, so the
+    settled table aggregates to the batch-join oracle. Cross-batch
+    late-drop semantics (not batch-expressible) are exercised in
+    tests/test_streaming.py::TestStreamStreamJoin."""
+    clicks = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+    )
+    views = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"), "value")
+        .withWatermark("view_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+    )
+    settled = run_stream_to_memory(
+        spark, joined, "q_stream_stream_join", output_mode="append"
+    )
+    return settled.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("value"), 4).alias("view_value"),
+    )
+
+
+@register(
     "q_stream_sink_modes",
     oracle="""
     SELECT COUNT(*) AS memory_rows_total, COUNT(*) AS foreach_batch_rows

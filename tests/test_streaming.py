@@ -148,6 +148,124 @@ class TestStatefulDedupAcrossBatches:
         assert keys == {"A"}, "the FIRST occurrence wins"
 
 
+class _TwoStreamHarness:
+    """Two file-source streams joined into one memory sink — the
+    stream–stream analogue of _StreamHarness. feed_left/feed_right land
+    one parquet file each; processAllAvailable() drains BOTH sources, so
+    each feed is one deterministic micro-batch per side."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        root = os.path.join(tempfile.gettempdir(), f"fhcs_ss_{uuid.uuid4().hex[:8]}")
+        self.left_src = os.path.join(root, "left")
+        self.right_src = os.path.join(root, "right")
+        self.ckpt = os.path.join(root, "ckpt")
+        os.makedirs(self.left_src)
+        os.makedirs(self.right_src)
+        self.n = 0
+        self.query = None
+        self.table = f"ss_out_{uuid.uuid4().hex[:8]}"
+
+    def start(self, join_fn, output_mode="append"):
+        def src(path):
+            return (
+                self.spark.readStream.schema(SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+            )
+
+        self.query = (
+            join_fn(src(self.left_src), src(self.right_src))
+            .writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(self.table)
+            .option("checkpointLocation", self.ckpt)
+            .start()
+        )
+        return self
+
+    def _feed(self, src_dir, rows):
+        import glob
+
+        self.n += 1
+        df = self.spark.createDataFrame(rows, schema=SCHEMA)
+        stage = os.path.join(os.path.dirname(self.ckpt), f"stage_{self.n}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src_dir, f"batch_{self.n}.parquet"))
+        self.query.processAllAvailable()
+
+    def feed_left(self, rows):
+        self._feed(self.left_src, rows)
+
+    def feed_right(self, rows):
+        self._feed(self.right_src, rows)
+
+    def result(self):
+        return self.spark.table(self.table)
+
+    def stop(self):
+        if self.query:
+            self.query.stop()
+
+
+@pytest.fixture()
+def two_stream(spark):
+    h = _TwoStreamHarness(spark)
+    yield h
+    h.stop()
+
+
+class TestStreamStreamJoin:
+    @staticmethod
+    def _interval_join(left, right):
+        l = (
+            left.select(F.col("key").alias("l_key"), F.col("ts").alias("l_ts"), "val")
+            .withWatermark("l_ts", "30 minutes")
+        )
+        r = (
+            right.select(F.col("key").alias("r_key"), F.col("ts").alias("r_ts"),
+                         F.col("val").alias("r_val"))
+            .withWatermark("r_ts", "30 minutes")
+        )
+        return l.join(
+            r,
+            (F.col("l_key") == F.col("r_key"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("r_ts") <= F.col("l_ts")),
+        )
+
+    def test_in_window_pair_emitted_across_batches(self, spark, two_stream):
+        two_stream.start(self._interval_join)
+        two_stream.feed_left([(_t(12, 0), "A", 1)])
+        # right row arrives in a LATER batch but inside the 1h window
+        two_stream.feed_right([(_t(11, 50), "A", 2)])
+        pairs = [(r.val, r.r_val) for r in two_stream.result().collect()]
+        assert pairs == [(1, 2)], f"cross-batch in-window pair must join: {pairs}"
+
+    def test_out_of_interval_never_joins(self, spark, two_stream):
+        two_stream.start(self._interval_join)
+        # right row 2h BEFORE the click — outside the interval
+        two_stream.feed_left([(_t(12, 0), "A", 1)])
+        two_stream.feed_right([(_t(10, 0), "A", 2)])
+        assert two_stream.result().count() == 0
+
+    def test_late_row_behind_watermark_dropped(self, spark, two_stream):
+        two_stream.start(self._interval_join)
+        two_stream.feed_left([(_t(12, 0), "A", 1)])
+        two_stream.feed_right([(_t(11, 50), "A", 2)])
+        # advance BOTH watermarks far past the join window (combined
+        # watermark = min(left, right); 16:00 - 30m = 15:30 ≫ 12:00+1h)
+        two_stream.feed_left([(_t(16, 0), "Z", 9)])
+        two_stream.feed_right([(_t(16, 0), "Z", 9)])
+        # a late right row that WOULD match 12:00 but is behind the
+        # watermark: state for that interval is purged → no new pair
+        two_stream.feed_right([(_t(11, 55), "A", 3)])
+        pairs = sorted((r.val, r.r_val) for r in two_stream.result().collect())
+        assert (1, 3) not in pairs, f"late row behind watermark must drop: {pairs}"
+        assert (1, 2) in pairs
+
+
 class TestSessionWindowStreaming:
     def test_sessions_emitted_after_watermark_passes(self, spark, harness):
         def sessions(stream):
