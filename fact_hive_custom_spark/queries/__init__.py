@@ -6,6 +6,7 @@ from fact_hive_custom_spark.queries import (  # noqa: F401
     llm_ops,
     llm_text,
     misc,
+    optimizer,
     relational,
     reshape,
     scalar_functions,

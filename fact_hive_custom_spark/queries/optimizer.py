@@ -1,0 +1,122 @@
+"""Optimizer-behavior operators (SURVEY.md §4): dynamic partition
+pruning and the cost-based optimizer, exercised as first-class queries
+so the correctness gate certifies their ANSWERS while tests/test_plans.py
+pins their PLANS (dynamicpruningexpression in the scan; stats-informed
+join reorder).
+
+Both matter only at scale — at sf0.01 they save milliseconds, at 100 TB
+DPP is the difference between scanning 7 and 365 date partitions, and
+CBO join order between shuffling the fact table once or twice — which is
+exactly why the plan shape, not the runtime, is the thing to assert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fact_hive_custom_spark.plans.stats import register_with_stats
+from fact_hive_custom_spark.queries.registry import register
+from fact_hive_custom_spark.sources.io import stage_dir
+from fact_hive_custom_spark.tables import load_table
+
+
+@register(
+    "q_scan_dpp",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a date-partitioned fact joined to a
+    calendar dim filtered to one week. The dim filter is only known at
+    plan time on the DIM side — DPP turns it into a runtime
+    PartitionFilter on the fact scan (reusing the dim's broadcast), so
+    only 7 of 31 date directories are read. At 100 TB with 365+
+    partitions this is the first-order scan optimization for star joins
+    on the partition key. Plan assertion: tests/test_plans.py asserts
+    `dynamicpruningexpression` inside the fact scan's PartitionFilters.
+
+    One file per date partition (repartition on the partition column
+    before the write) — the small-files discipline a daily-partitioned
+    100 TB table needs.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    fact_path = stage_dir("events_by_date")
+    ev.repartition("event_date").write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+
+    # Calendar dim as a real file source (not a literal LocalRelation) so
+    # the week filter is a genuine scan predicate DPP can harvest.
+    cal_path = stage_dir("calendar_dim")
+    spark.range(0, 31).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d")
+    ).coalesce(1).write.mode("overwrite").parquet(cal_path)
+    dim = spark.read.parquet(cal_path).filter(
+        (F.col("d") >= F.lit("2024-01-10")) & (F.col("d") <= F.lit("2024-01-16"))
+    )
+
+    return (
+        fact.join(dim, fact.event_date == dim.d)
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q_cbo_join_reorder",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 4) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY r.r_name
+    """,
+)
+def q_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join reordering over a 3-table star, written in the
+    WORST order (fact ⋈ unfiltered dim first, filtered dim last). With
+    ANALYZE'd statistics + spark.sql.cbo.joinReorder, Catalyst rewrites
+    it to (nation ⋈ filtered region) ⋈ customer — the dim cluster
+    collapses to a handful of rows before the fact table is touched.
+    At 100 TB that ordering is the difference between one broadcast
+    join and shuffling the fact twice. The reorder itself (top join
+    flipping from n_regionkey to c_nationkey) is plan-asserted in
+    tests/test_plans.py; CBO flags are restored after planning so the
+    session is left as found."""
+    names = register_with_stats(spark, sf_dir, ["customer", "nation", "region"])
+    old_cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    old_reorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        df = spark.sql(
+            f"""
+            SELECT r.r_name, COUNT(*) AS n_customers,
+                   ROUND(SUM(c.c_acctbal), 4) AS total_acctbal
+            FROM {names["customer"]} c
+            JOIN {names["nation"]} n ON c.c_nationkey = n.n_nationkey
+            JOIN {names["region"]} r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name IN ('ASIA', 'EUROPE')
+            GROUP BY r.r_name
+            """
+        )
+        # Force analysis + optimization while CBO is on; the optimized
+        # plan is cached on the QueryExecution, so later execution uses
+        # the reordered join even after the flags are restored.
+        df._jdf.queryExecution().optimizedPlan()
+        return df
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", old_reorder)

@@ -34,6 +34,28 @@ class TestScanEfficiency:
         pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
         assert "o_orderstatus" in pf.split("PartitionFilters")[1].split("]")[0]
 
+    def test_dynamic_partition_pruning(self, spark):
+        """The dim-side week filter must prune fact partitions at RUNTIME
+        (dynamicpruningexpression in the fact scan's PartitionFilters) —
+        static pruning can't see through the join."""
+        # FileScan metadata is truncated to spark.sql.maxMetadataStringLength
+        # (default 100) — widen it so the full PartitionFilters list prints
+        old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+        spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+        try:
+            plan = plan_of(spark, "q_scan_dpp")
+        finally:
+            spark.conf.set("spark.sql.maxMetadataStringLength", old)
+        fact_scans = [
+            l
+            for l in plan.splitlines()
+            if "FileScan" in l and "events_by_date" in l
+        ]
+        assert fact_scans, "fact scan missing from plan"
+        assert any("dynamicpruningexpression" in l for l in fact_scans), (
+            "DPP subquery not injected into the fact scan:\n" + "\n".join(fact_scans)
+        )
+
 
 class TestJoinStrategies:
     def test_broadcast_hint_respected(self, spark):
@@ -59,6 +81,32 @@ class TestJoinStrategies:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Window" in plan  # union-window composition, not a join explosion
+
+
+class TestCostBasedOptimizer:
+    def test_stats_informed_join_reorder(self, spark):
+        """q_cbo_join_reorder writes the star in the worst order
+        (customer ⋈ nation first, filtered region last). With ANALYZE'd
+        stats + CBO joinReorder the optimized top join must flip to
+        c_nationkey — customer joins the pre-collapsed dim cluster."""
+        from fact_hive_custom_spark.queries import QUERIES
+
+        # the query restores CBO flags after planning; .stats() re-reads
+        # the conf at CALL time, so assert with CBO on
+        old = spark.conf.get("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            df = QUERIES["q_cbo_join_reorder"](spark, SF_DIR)
+            opt = df._jdf.queryExecution().optimizedPlan()
+            assert opt.stats().rowCount().isDefined(), "CBO stats not propagated"
+            top_join = next(
+                l for l in opt.toString().splitlines() if "Join Inner" in l
+            )
+            assert "c_nationkey" in top_join, (
+                f"join not reordered (top join should bind customer last): {top_join}"
+            )
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", old)
 
 
 class TestAggregation:
