@@ -1,16 +1,24 @@
 """As-of join — Spark has no native operator (SURVEY.md §2.2.C, §7.3a).
 
 Strategy: the *union-window* composition. Tag both sides, UNION ALL,
-then one window pass per group key ordered by (ts, tiebreak) carrying
-the most recent right-side value forward with
-``last(..., ignoreNulls=True)``; left rows then read the carried
-value. Cost: one shuffle on the group key + one sort — the same cost
-profile as a sort-merge join, with NO n×m row explosion, so it scales
-to 100 TB the way a naive "self-join then max_by" would not.
+then one window pass per group key ordered by (ts, side, tiebreak)
+carrying the adjacent right-side value with ``last(..., ignoreNulls)``
+(backward) or ``first(..., ignoreNulls)`` (forward); left rows then
+read the carried value. Cost: one shuffle on the group key + one sort —
+the same cost profile as a sort-merge join, with NO n×m row explosion,
+so it scales to 100 TB the way a naive "self-join then max_by" would
+not. ``nearest`` composes the two directional passes (two shuffles on
+the same key) and picks the closer side, ties to backward — the
+pandas ``merge_asof(direction="nearest")`` contract.
 
 Alternative rejected: per-group ``applyInPandas`` + ``pd.merge_asof``
 — correct, but moves every row through Arrow into Python; the
 union-window plan stays entirely inside whole-stage codegen.
+
+Same-instant semantics (`strict`): the side ordering places right rows
+before/after left rows at an equal (ts) so that a ROWS frame excludes
+(strict) or includes (non-strict) the right row at the left row's own
+instant — no range frame or extra filter needed.
 """
 
 from __future__ import annotations
@@ -19,6 +27,58 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _asof_directional(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    ts: str,
+    tiebreak: str,
+    carry: Sequence[str],
+    strict: bool,
+    forward: bool,
+    prefix: str,
+) -> DataFrame:
+    """Union-window pass in one direction; carried columns get `prefix`."""
+    lcols = left.columns
+    tagged_l = left.select(*lcols).withColumn("__side", F.lit(1))
+    # Right side contributes only keys + ordering + carried payload.
+    tagged_r = (
+        right.select(
+            *by,
+            ts,
+            tiebreak,
+            *[F.col(c).alias(f"__carry_{c}") for c in carry],
+        ).withColumn("__side", F.lit(0))
+    )
+    unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+
+    # Side ordering at an equal ts decides same-instant visibility under
+    # a ROWS frame (see module docstring). Backward: frame ends at the
+    # current row (or -1 when strict, with rights sorted after lefts);
+    # forward is the exact mirror.
+    side_order: Column
+    if forward:
+        side_order = F.col("__side").asc() if strict else F.col("__side").desc()
+        frame = (1 if strict else 0, Window.unboundedFollowing)
+        pick = F.first
+    else:
+        side_order = F.col("__side").desc() if strict else F.col("__side").asc()
+        frame = (Window.unboundedPreceding, -1 if strict else 0)
+        pick = F.last
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts).asc(), side_order, F.col(tiebreak).asc())
+        .rowsBetween(*frame)
+    )
+    carried = [
+        pick(F.col(f"__carry_{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
+        for c in carry
+    ]
+    out = unioned.select("*", *carried).filter(F.col("__side") == 1)
+    return out.select(*lcols, *[f"{prefix}{c}" for c in carry])
 
 
 def asof_join_backward(
@@ -38,29 +98,93 @@ def asof_join_backward(
     `asof_<name>`). `strict=True` means strictly-preceding (<).
     Left columns are all preserved.
     """
-    lcols = left.columns
-    tagged_l = left.select(*lcols).withColumn("__side", F.lit(1))
-    # Right side contributes only keys + ordering + carried payload.
-    tagged_r = (
-        right.select(
-            *by,
-            ts,
-            tiebreak,
-            *[F.col(c).alias(f"__carry_{c}") for c in carry],
-        ).withColumn("__side", F.lit(0))
+    return _asof_directional(
+        left, right, by, ts, tiebreak, carry, strict, forward=False, prefix="asof_"
     )
-    unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
 
-    # Right rows sort before left rows at the same (ts, tiebreak) when
-    # strict=False (value visible at its own instant); after when strict.
-    side_order: Column = F.col("__side").asc() if not strict else F.col("__side").desc()
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(ts).asc(), side_order, F.col(tiebreak).asc())
-        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    ts: str,
+    tiebreak: str,
+    carry: Sequence[str],
+    strict: bool = True,
+) -> DataFrame:
+    """For each left row, attach the earliest right row with
+    right.ts >= / > left.ts (mirror of backward; `strict=True` means
+    strictly-following). Among equal-ts candidates the smallest
+    `tiebreak` wins (backward picks the largest — each direction takes
+    its nearest row in the total order)."""
+    return _asof_directional(
+        left, right, by, ts, tiebreak, carry, strict, forward=True, prefix="asof_"
     )
-    carried = [
-        F.last(F.col(f"__carry_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}") for c in carry
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    ts: str,
+    tiebreak: str,
+    carry: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the right row closest in time (either
+    direction); exact distance ties go BACKWARD (the pandas
+    `merge_asof(direction="nearest")` contract). `strict=True` excludes
+    same-instant rows from both directions.
+
+    Composition: one backward + one forward pass carrying the right ts,
+    then an arithmetic pick — two shuffles on the same `by` key, still
+    no row explosion. Timestamp distance is computed on exact integer
+    microseconds (unix_micros), not float seconds."""
+    ext = [*carry, ts]
+    b = _asof_directional(
+        left, right, by, ts, tiebreak, ext, strict, forward=False, prefix="__b_"
+    )
+    bf = _asof_directional(
+        b, right, by, ts, tiebreak, ext, strict, forward=True, prefix="__f_"
+    )
+
+    def _num(col: Column) -> Column:
+        if isinstance(bf.schema[f"__b_{ts}"].dataType, T.TimestampType):
+            return F.unix_micros(col)
+        return col.cast("double")
+
+    bts, fts, lts = F.col(f"__b_{ts}"), F.col(f"__f_{ts}"), F.col(ts)
+    choose_b = bts.isNotNull() & (
+        fts.isNull() | ((_num(lts) - _num(bts)) <= (_num(fts) - _num(lts)))
+    )
+    picked = [
+        F.when(choose_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(f"asof_{c}")
+        for c in carry
     ]
-    out = unioned.select("*", *carried).filter(F.col("__side") == 1)
-    return out.select(*lcols, *[f"asof_{c}" for c in carry])
+    return bf.select(*left.columns, *picked)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    ts: str,
+    tiebreak: str,
+    carry: Sequence[str],
+    direction: str = "backward",
+    strict: bool | None = None,
+) -> DataFrame:
+    """Dispatch on `direction` ("backward" | "forward" | "nearest").
+
+    `strict` defaults per direction: True for backward/forward
+    (strictly before/after — the trading-data convention), False for
+    nearest (same-instant match allowed, like pandas)."""
+    dispatch = {
+        "backward": (asof_join_backward, True),
+        "forward": (asof_join_forward, True),
+        "nearest": (asof_join_nearest, False),
+    }
+    if direction not in dispatch:
+        raise ValueError(f"direction must be one of {sorted(dispatch)}: {direction!r}")
+    fn, default_strict = dispatch[direction]
+    return fn(left, right, by, ts, tiebreak, carry, strict=default_strict if strict is None else strict)

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fact_hive_custom_spark.operators.asof import asof_join_backward
+from fact_hive_custom_spark.operators.asof import (
+    asof_join_backward,
+    asof_join_forward,
+    asof_join_nearest,
+)
 from fact_hive_custom_spark.queries.registry import register
 from fact_hive_custom_spark.tables import load_table, register_views
 
@@ -283,6 +287,66 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = asof_join_backward(
         errors, clicks, by=["user_id"], ts="ts", tiebreak="event_id", carry=["click_id"], strict=True
+    )
+    return joined.select("event_id", F.col("asof_click_id"))
+
+
+@register(
+    "q_join_asof_fwd",
+    oracle="""
+    SELECT e.event_id,
+           FIRST_VALUE(CASE WHEN e.event_type = 'click' THEN e.event_id END IGNORE NULLS)
+             OVER (PARTITION BY e.user_id
+                   ORDER BY e.ts, (e.event_type = 'click') DESC, e.event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS asof_click_id
+    FROM events e
+    QUALIFY e.event_type = 'error'
+    """,
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each error event, the earliest strictly-
+    following click by the same user (the mirror of q_join_asof — same
+    union-window plan, mirrored frame; operators/asof.py)."""
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join_forward(
+        errors, clicks, by=["user_id"], ts="ts", tiebreak="event_id", carry=["click_id"], strict=True
+    )
+    return joined.select("event_id", F.col("asof_click_id"))
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    SELECT e.event_id,
+           (SELECT c.event_id FROM events c
+             WHERE c.event_type = 'click' AND c.user_id = e.user_id
+             ORDER BY abs(epoch_us(c.ts) - epoch_us(e.ts)) ASC,
+                      (c.ts <= e.ts) DESC,
+                      CASE WHEN c.ts <= e.ts THEN -c.event_id ELSE c.event_id END ASC
+             LIMIT 1) AS asof_click_id
+    FROM events e
+    WHERE e.event_type = 'error'
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: for each error event, the click closest in
+    time either direction, exact-distance ties to backward (pandas
+    merge_asof nearest semantics). The oracle's correlated-subquery
+    ORDER mirrors the operator's full tie chain: distance, then
+    backward-wins, then nearest-in-total-order within the chosen side
+    (backward takes the largest tiebreak at an equal ts, forward the
+    smallest)."""
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join_nearest(
+        errors, clicks, by=["user_id"], ts="ts", tiebreak="event_id", carry=["click_id"], strict=False
     )
     return joined.select("event_id", F.col("asof_click_id"))
 

@@ -114,6 +114,82 @@ class TestAsof:
         ).collect()
         assert out[0].asof_val is None
 
+    def test_forward_same_instant_and_no_follower(self, spark):
+        from fact_hive_custom_spark.operators.asof import asof_join_forward
+
+        left = spark.createDataFrame(
+            [Row(k="u", ts=10, event_id=100), Row(k="u", ts=30, event_id=101)]
+        ).select("k", "ts", "event_id")
+        right = spark.createDataFrame(
+            [Row(k="u", ts=10, event_id=1, val="same-instant"), Row(k="u", ts=20, event_id=2, val="after")]
+        ).select("k", "ts", "event_id", "val")
+
+        strict = {
+            r.event_id: r.asof_val
+            for r in asof_join_forward(
+                left, right, by=["k"], ts="ts", tiebreak="event_id", carry=["val"], strict=True
+            ).collect()
+        }
+        # ts=10: same-instant excluded, next is ts=20; ts=30: no follower
+        assert strict[100] == "after"
+        assert strict[101] is None
+
+        inclusive = {
+            r.event_id: r.asof_val
+            for r in asof_join_forward(
+                left, right, by=["k"], ts="ts", tiebreak="event_id", carry=["val"], strict=False
+            ).collect()
+        }
+        assert inclusive[100] == "same-instant"
+
+    def test_forward_equal_ts_takes_smallest_tiebreak(self, spark):
+        from fact_hive_custom_spark.operators.asof import asof_join_forward
+
+        left = spark.createDataFrame([Row(k="u", ts=5, event_id=100)])
+        right = spark.createDataFrame(
+            [Row(k="u", ts=9, event_id=2, val="b"), Row(k="u", ts=9, event_id=1, val="a")]
+        )
+        out = asof_join_forward(
+            left, right, by=["k"], ts="ts", tiebreak="event_id", carry=["val"], strict=True
+        ).collect()
+        assert out[0].asof_val == "a"
+
+    def test_nearest_picks_closer_side_and_ties_backward(self, spark):
+        from fact_hive_custom_spark.operators.asof import asof_join_nearest
+
+        left = spark.createDataFrame(
+            [
+                Row(k="u", ts=10, event_id=100),  # back at 7 (d=3), fwd at 11 (d=1) → fwd
+                Row(k="u", ts=20, event_id=101),  # back at 17 (d=3), fwd at 23 (d=3) → tie → back
+                Row(k="u", ts=40, event_id=102),  # only back exists (d=17)
+            ]
+        ).select("k", "ts", "event_id")
+        right = spark.createDataFrame(
+            [
+                Row(k="u", ts=7, event_id=1, val="b7"),
+                Row(k="u", ts=11, event_id=2, val="f11"),
+                Row(k="u", ts=17, event_id=3, val="b17"),
+                Row(k="u", ts=23, event_id=4, val="f23"),
+            ]
+        ).select("k", "ts", "event_id", "val")
+        got = {
+            r.event_id: r.asof_val
+            for r in asof_join_nearest(
+                left, right, by=["k"], ts="ts", tiebreak="event_id", carry=["val"]
+            ).collect()
+        }
+        assert got == {100: "f11", 101: "b17", 102: "f23"}
+
+    def test_nearest_no_right_rows_yields_null(self, spark):
+        from fact_hive_custom_spark.operators.asof import asof_join_nearest
+
+        left = spark.createDataFrame([Row(k="u", ts=5, event_id=100)])
+        right = spark.createDataFrame([Row(k="z", ts=9, event_id=1, val="other-key")])
+        out = asof_join_nearest(
+            left, right, by=["k"], ts="ts", tiebreak="event_id", carry=["val"]
+        ).collect()
+        assert out[0].asof_val is None
+
 
 class TestSketches:
     def test_hll_error_bound(self, spark):
