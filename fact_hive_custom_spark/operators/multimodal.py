@@ -15,7 +15,7 @@ tested in tests/test_operators.py.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -65,13 +65,24 @@ def _fake_decode(payload: bytes) -> list[float]:
     ]
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    decode: Callable[[bytes | None], list[float]] | None = None,
+) -> DataFrame:
     """media frame (MEDIA_SCHEMA) → per-item feature vectors.
 
     `mapInPandas`: each Arrow batch of payloads is decoded in one
     Python call; output carries a payload hash so downstream exact
     dedup of media works without re-shipping bytes.
+
+    `decode` is the pluggable decoder seam: a picklable callable
+    `bytes | None -> list[float]` shipped to executors inside the UDF
+    closure (e.g. a module-level function wrapping PIL/librosa).
+    Defaults to the deterministic stub — production injects its real
+    decoder here instead of editing this operator.
     """
+    if decode is None:
+        decode = _fake_decode
 
     # payload_hash is ALWAYS the JVM xxhash64 (it's a column op anyway):
     # a Python-side hash library would make the dedup key depend on what
@@ -87,7 +98,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
                     "payload_hash": pdf["payload_hash"],
-                    "feature": pdf["payload"].map(_fake_decode),
+                    "feature": pdf["payload"].map(decode),
                 }
             )
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fact_hive_custom_spark.operators.skew import salted_aggregate, salted_join
 from fact_hive_custom_spark.queries.registry import register
 from fact_hive_custom_spark.tables import load_table
 
@@ -132,4 +133,61 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sampled"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty_est"),
         )
+    )
+
+
+@register(
+    "q_skew_salted_join",
+    oracle="""
+    SELECT s.s_nationkey, COUNT(*) AS n_items,
+           ROUND(SUM(l.l_quantity), 4) AS total_qty
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted hot-key join (operators/skew.py): the fact side gets a
+    deterministic salt, the small dimension is replicated salt×, so one
+    hot supplier key spreads over `salt` partitions instead of
+    straggling one reducer. The oracle is the PLAIN join — the driver
+    gate certifies result equivalence, not just the pytest property."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey", "l_quantity")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, supp, on=["l_suppkey"], salt=8, how="inner")
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+    )
+
+
+@register(
+    "q_skew_salted_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value,
+           MIN(user_id) AS min_user, MAX(user_id) AS max_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-level aggregation (operators/skew.py): phase 1 on
+    (key, salt) splits a hot key across 8 reducers, phase 2 merges the
+    algebraic partials. Oracle is the plain GROUP BY — driver-certified
+    equivalence. value sums are rounded AFTER the final merge, so the
+    float addition order inside partials never reaches the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        key=["event_type"],
+        salt=8,
+        n=("event_type", "count"),
+        total_value=("value", "sum"),
+        min_user=("user_id", "min"),
+        max_user=("user_id", "max"),
+    )
+    return out.select(
+        "event_type", "n", F.round("total_value", 4).alias("total_value"),
+        "min_user", "max_user",
     )

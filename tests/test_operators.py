@@ -244,6 +244,24 @@ class TestMultimodal:
         # identical payloads share a hash (media exact-dedup key)
         assert out1[0].payload_hash != out1[2].payload_hash
 
+    def test_injected_decoder_is_used(self, spark):
+        """The decode seam: a custom callable replaces the stub without
+        touching the operator body."""
+        from fact_hive_custom_spark.operators.multimodal import extract_features
+
+        # nested function: cloudpickle ships it by VALUE, like a real
+        # injected decoder defined in user code would be
+        def len_decoder(payload):
+            return [] if payload is None else [float(len(payload))]
+
+        out = (
+            extract_features(self._media(spark), decode=len_decoder)
+            .orderBy("media_id")
+            .collect()
+        )
+        assert out[0].feature == [15.0]
+        assert out[4].feature == []  # null payload handled by the decoder
+
     def test_frame_sampling(self, spark):
         from fact_hive_custom_spark.operators.multimodal import sample_frames
 
