@@ -129,12 +129,12 @@ def minhash_lsh_pairs(
     """
     # Same hashed-shingle representation as jaccard_pairs: signatures
     # hash the 64-bit key again per seed (a valid MinHash family), and
-    # the verification join shuffles longs. Persisted for the same
-    # reason as in jaccard_pairs: four consumers (signatures, sizes,
-    # both verification sides) would otherwise each re-scan the corpus.
-    sh = shingles(docs, k=k).select(
-        "doc_id", F.xxhash64("shingle").alias("shingle")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # the verification join shuffles longs. NOT persisted: unlike
+    # jaccard_pairs there is no df-cap window pass to amortize, and the
+    # measured cache-build cost exceeds the re-scan cost (bench r3:
+    # 2.6 s -> 4.2 s with persist at sf0.1); candidate verification
+    # touches only colliding pairs either way.
+    sh = shingles(docs, k=k).select("doc_id", F.xxhash64("shingle").alias("shingle"))
     sig = minhash_signatures(sh, num_hashes=rows_per_band * num_bands)
 
     bands = F.array(

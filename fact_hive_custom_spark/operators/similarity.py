@@ -190,34 +190,95 @@ def cosine_pairs(
        this bound is exact — NO false negatives at any threshold (LSH
        at cos 0.5 has per-plane collision prob 2/3 and cannot reach
        recall 1, measured on the fixtures);
-    5. exact cosine verify inside surviving cluster-pair blocks.
+    5. block-matrix verification inside surviving cluster-pair blocks:
+       each block pair is one Arrow batch, scored as a single BLAS
+       matmul (A·Bᵀ) with a 1e-6 candidate margin;
+    6. exact JVM rescoring of the (tiny) candidate set with the same
+       codegen dot expression as brute force, so emitted cosines are
+       bit-identical to the self-join at any scale.
+
+    Step 5 replaces the round-2 per-pair JVM expression dots: on
+    unclustered corpora (where the triangle bound cannot prune) the
+    verification is Θ(n²·d) FLOPs no matter what — the only question is
+    the constant, and a vectorized matmul over 64-float rows is ~100×
+    the throughput of per-row array folds (measured 653 s → ~8 s for
+    20 k × 64 at sf1.0). The margin is ~1e7× wider than the worst-case
+    FMA/reorder divergence between BLAS and sequential double sums, so
+    no qualifying pair can be missed; false candidates are removed by
+    the exact rescore.
 
     On well-clustered embeddings (the 100 TB reality) most cluster
     pairs fail the bound and are never scored; on adversarially uniform
-    vectors it degrades to the same all-pairs work, now spread evenly
-    across cluster-pair blocks instead of one giant self-join. Pruning
-    on a clustered corpus is asserted in tests/test_operators.py.
+    vectors the quadratic work spreads evenly across cluster-pair
+    blocks instead of one giant self-join, and replication is bounded
+    by `num_pivots` copies of each row. Pruning on a clustered corpus
+    is asserted in tests/test_operators.py.
     """
+    import numpy as np
+    import pandas as pd
+
     assigned, cluster_pairs = _pivot_blocks(
         corpus, threshold, id_col, vec_col, num_pivots, seed
     )
+    # The bound is symmetric — keep one orientation per block pair so
+    # each unordered vector pair is scored exactly once (each vector
+    # lives in exactly one cluster).
+    cp = cluster_pairs.filter(F.col("ca") <= F.col("cb"))
 
-    # Exact verification inside surviving blocks. The cluster-pair map
-    # is tiny -> broadcast; the heavy join is (a.cluster, b.cluster)
-    # co-partitioned block-by-block.
-    a = assigned.select(
-        F.col("vid").alias("vec_a"), F.col("vec").alias("vec_va"),
-        F.col("nrm").alias("nrm_a"), F.col("cluster").alias("ca"),
+    a_side = assigned.join(F.broadcast(cp), assigned.cluster == cp.ca).select(
+        "ca", "cb", "vid", "vec", "nrm", F.lit("a").alias("role")
     )
-    b = assigned.select(
-        F.col("vid").alias("vec_b"), F.col("vec").alias("vec_vb"),
-        F.col("nrm").alias("nrm_b"), F.col("cluster").alias("cb"),
+    b_side = assigned.join(
+        F.broadcast(cp.filter(F.col("ca") != F.col("cb"))),
+        assigned.cluster == cp.cb,
+    ).select("ca", "cb", "vid", "vec", "nrm", F.lit("b").alias("role"))
+    blocks = a_side.unionByName(b_side)
+
+    id_type = assigned.schema["vid"].dataType.simpleString()
+    margin = 1e-6
+
+    def verify(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ca, cb = key
+        thr = threshold - margin
+        if ca == cb:
+            rows = pdf[pdf["role"] == "a"]
+            ids = rows["vid"].to_numpy()
+            m = np.stack(rows["vec"].to_numpy()).astype(np.float64)
+            nr = rows["nrm"].to_numpy()
+            s = (m @ m.T) / np.outer(nr, nr)
+            ii, jj = np.nonzero(np.triu(s >= thr, k=1))
+            return pd.DataFrame({"ia": ids[ii], "ib": ids[jj]})
+        ra = pdf[pdf["role"] == "a"]
+        rb = pdf[pdf["role"] == "b"]
+        if ra.empty or rb.empty:
+            return pd.DataFrame({"ia": ra["vid"].to_numpy()[:0], "ib": ra["vid"].to_numpy()[:0]})
+        a_m = np.stack(ra["vec"].to_numpy()).astype(np.float64)
+        b_m = np.stack(rb["vec"].to_numpy()).astype(np.float64)
+        s = (a_m @ b_m.T) / np.outer(ra["nrm"].to_numpy(), rb["nrm"].to_numpy())
+        ii, jj = np.nonzero(s >= thr)
+        return pd.DataFrame(
+            {"ia": ra["vid"].to_numpy()[ii], "ib": rb["vid"].to_numpy()[jj]}
+        )
+
+    cands = blocks.groupBy("ca", "cb").applyInPandas(
+        verify, schema=f"ia {id_type}, ib {id_type}"
+    )
+    # Normalize pair order engine-side (works for any orderable id type),
+    # then rescore exactly with the brute-force dot expression. The
+    # candidate set is ~|result| rows -> broadcast through both joins.
+    pairs = cands.select(
+        F.least("ia", "ib").alias("vec_a"), F.greatest("ia", "ib").alias("vec_b")
+    )
+    va = assigned.select(
+        F.col("vid").alias("vec_a"), F.col("vec").alias("vec_va"), F.col("nrm").alias("nrm_a")
+    )
+    vb = assigned.select(
+        F.col("vid").alias("vec_b"), F.col("vec").alias("vec_vb"), F.col("nrm").alias("nrm_b")
     )
     cos_ab = _dot(F.col("vec_va"), F.col("vec_vb")) / (F.col("nrm_a") * F.col("nrm_b"))
-    cp = cluster_pairs.withColumnRenamed("cb", "cb_match")
+    with_a = va.join(F.broadcast(pairs), "vec_a")
     return (
-        a.join(F.broadcast(cp), "ca")
-        .join(b, (F.col("cb") == F.col("cb_match")) & (F.col("vec_a") < F.col("vec_b")))
+        vb.join(F.broadcast(with_a), "vec_b")
         .withColumn("cosine", cos_ab)
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))

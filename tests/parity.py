@@ -80,8 +80,53 @@ def _strict_rows(cols, rows):
     return Counter(tuple(_strict_value(row[i]) for i in order) for row in rows)
 
 
-def compare(spark, name: str, sf_dir: str = DEFAULT_SF_DIR) -> tuple[bool, str]:
-    """Run query `name` on Spark and DuckDB; return (ok, detail)."""
+def _is_floatish(v):
+    return isinstance(v, (float, decimal.Decimal)) and not isinstance(v, bool)
+
+
+def _align_key(row):
+    """Sort key aligning rows across engines for tolerant comparison:
+    floats blurred to 6 significant digits (≫ any FP-tail divergence,
+    ≪ any semantic difference), everything else canonical-exact."""
+    parts = []
+    for v in row:
+        if _is_floatish(v):
+            f = float(v)
+            parts.append("f:NaN" if math.isnan(f) else f"f:{f:.6g}")
+        else:
+            parts.append(_strict_value(v))
+    return tuple(parts)
+
+
+def _rows_close(s_rows, d_rows, rtol):
+    """Cell-wise float-tolerant equality of two row lists (aligned by
+    _align_key; non-float cells must match exactly)."""
+    for sr, dr in zip(sorted(s_rows, key=_align_key), sorted(d_rows, key=_align_key)):
+        for sv, dv in zip(sr, dr):
+            if _is_floatish(sv) or _is_floatish(dv):
+                sf_, df_ = float(sv), float(dv)
+                if math.isnan(sf_) and math.isnan(df_):
+                    continue
+                if not math.isclose(sf_, df_, rel_tol=rtol, abs_tol=rtol):
+                    return False, f"float diff beyond rtol: {sv!r} vs {dv!r}"
+            elif _strict_value(sv) != _strict_value(dv):
+                return False, f"cell mismatch: {sv!r} vs {dv!r}"
+    return True, ""
+
+
+def compare(
+    spark, name: str, sf_dir: str = DEFAULT_SF_DIR, rtol: float = 0.0
+) -> tuple[bool, str]:
+    """Run query `name` on Spark and DuckDB; return (ok, detail).
+
+    `rtol=0` (default) is the exact driver-hash mirror. A non-zero rtol
+    is for SCALE runs only (tests/test_scale.py): float cells compare
+    with a relative tolerance because order-of-addition differences in
+    multi-million-row double sums exceed any fixed decimal rounding
+    (e.g. the flagship's SUM at sf1.0 is ~2.8e10, where the two
+    engines' 4-dp rounds differ by ~1e-4 — a 4e-15 relative artifact of
+    IEEE754, not a semantic divergence; measured 2026-08-13). Integers,
+    strings, timestamps, row counts, and schemas stay exact."""
     from fact_hive_custom_spark.queries import ORACLE, QUERIES
 
     sdf = QUERIES[name](spark, sf_dir)
@@ -113,6 +158,16 @@ def compare(spark, name: str, sf_dir: str = DEFAULT_SF_DIR) -> tuple[bool, str]:
         return False, f"oracle side: {e}"
 
     if s_set != d_set:
+        if rtol > 0.0:
+            order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            ok, why = _rows_close(
+                [tuple(r[i] for i in order) for r in s_rows],
+                [tuple(r[i] for i in order) for r in d_rows],
+                rtol,
+            )
+            if ok:
+                return True, f"ok within rtol={rtol} ({len(s_rows)} rows)"
+            return False, f"beyond rtol={rtol}: {why}"
         only_s = list((s_set - d_set).items())[:3]
         only_d = list((d_set - s_set).items())[:3]
         return (
