@@ -191,3 +191,43 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", F.round("total_value", 4).alias("total_value"),
         "min_user", "max_user",
     )
+
+
+@register(
+    "q_sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) FROM orders
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < (SELECT CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) FROM orders)
+    )
+    SELECT months.m AS month_start, COALESCE(g.n, 0) AS n_orders
+    FROM months LEFT JOIN (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, COUNT(*) AS n
+        FROM orders GROUP BY 1
+    ) g ON months.m = g.m
+    """,
+)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.0 WITH RECURSIVE): generate the dense
+    month spine from MIN to MAX order date — including months with zero
+    orders, which a plain GROUP BY cannot produce — then left-join the
+    per-month counts. The classic gap-filling calendar pattern."""
+    view = f"orders_rcte_{abs(hash(sf_dir)) % 10**8}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE months(m) AS (
+            SELECT CAST(date_trunc('MONTH', MIN(o_orderdate)) AS DATE) FROM {view}
+            UNION ALL
+            SELECT add_months(m, 1) FROM months
+            WHERE m < (SELECT CAST(date_trunc('MONTH', MAX(o_orderdate)) AS DATE) FROM {view})
+        )
+        SELECT months.m AS month_start, COALESCE(g.n, 0) AS n_orders
+        FROM months LEFT JOIN (
+            SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m, COUNT(*) AS n
+            FROM {view} GROUP BY 1
+        ) g ON months.m = g.m
+        """
+    )

@@ -311,3 +311,30 @@ def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
     )
+
+
+@register(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS VARCHAR) AS k_str,
+           to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS INTEGER))) AS rebuilt
+    FROM events
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT family (Spark 4.0 semi-structured type): parse_json ->
+    open-schema VARIANT, typed extraction via variant_get, serialization
+    via to_json. Unlike from_json(struct<...>) (q_fn_json) the schema is
+    not declared up front — the 100 TB ingestion pattern for evolving
+    event payloads; parquet stores VARIANT as a binary-encoded column
+    supporting shredded pushdown."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.to_json(v).alias("rebuilt"),
+    )

@@ -58,6 +58,44 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_source_xml",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip (built-in `xml` source since Spark 4.0): write
+    with a rowTag, read back with the explicit original schema."""
+    n = load_table(spark, sf_dir, "nation")
+    return round_trip(spark, n, "xml", "nation_xml", rowTag="nation")
+
+
+@register(
+    "q_source_python_ds",
+    oracle="""
+    SELECT r AS id, r % 97 AS bucket,
+           (r * 2654435761 % 1000003) / 1000003 AS score
+    FROM range(10000) t(r)
+    """,
+)
+def q_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 `pyspark.sql.datasource`):
+    a deterministic generator source read in 8 parallel InputPartitions
+    (sources/python_datasource.py). The oracle recomputes the integer
+    arithmetic + single IEEE754 division bit-for-bit, so this certifies
+    the partitioned read loses/duplicates no rows."""
+    from fact_hive_custom_spark.sources.python_datasource import (
+        SyntheticEventsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    return (
+        spark.read.format("fhcs_synthetic")
+        .option("n", 10000)
+        .option("partitions", 8)
+        .load()
+    )
+
+
+@register(
     "q_sink_partitioned",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total

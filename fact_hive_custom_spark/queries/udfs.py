@@ -139,3 +139,37 @@ def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT d.doc_id, t.token FROM {view} d, LATERAL split_words(d.text) t"
     )
+
+
+@register(
+    "q_udf_sql",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS total_net,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDF (Spark 4.0 CREATE FUNCTION ... RETURN <expr>): the
+    declarative UDF path — the body is inlined into the plan by
+    Catalyst, so unlike a Python UDF it stays inside codegen with zero
+    JVM<->Python boundary; the right default for any expressible logic."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION fhcs_net_price(p DOUBLE, d DOUBLE, t DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)
+        """
+    )
+    view = f"lineitem_sqludf_{abs(hash(sf_dir)) % 10**8}"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               ROUND(SUM(fhcs_net_price(l_extendedprice, l_discount, l_tax)), 4) AS total_net,
+               COUNT(*) AS n
+        FROM {view}
+        GROUP BY l_returnflag
+        """
+    )
