@@ -439,3 +439,36 @@ def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q_join_lateral",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated-subquery join: top-2 orders by price per
+    customer. Catalyst decorrelates the per-row subquery into a
+    ranked-window join — the same plan shape as q_topk_group — rather
+    than executing it per outer row; deterministic via the orderkey
+    tiebreak."""
+    cview = f"customer_lat_{abs(hash(sf_dir)) % 10**8}"
+    oview = f"orders_lat_{abs(hash(sf_dir)) % 10**8}"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(cview)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(oview)
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM {cview} c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM {oview} o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )

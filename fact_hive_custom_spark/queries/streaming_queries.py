@@ -307,3 +307,13 @@ def q_stream_sink_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("foreach_batch_rows")
     )
     return mem.agg(F.sum("n").alias("memory_rows_total")).crossJoin(parquet_rows)
+
+
+# NOT registered: transformWithStateInPandas (Spark 4.0 StatefulProcessor,
+# the successor API to applyInPandasWithState) is environment-blocked here —
+# its state-server protocol needs google.protobuf, which this sandbox lacks
+# (verified: the TWS driver worker crashes on `from google.protobuf import
+# descriptor`). Arbitrary stateful streaming is covered by q_stream_stateful
+# (applyInPandasWithState); the TWS port is mechanical when protobuf exists:
+# a StatefulProcessor with handle.getValueState + RocksDB state store
+# provider (the HDFS-backed default does not support TWS).
