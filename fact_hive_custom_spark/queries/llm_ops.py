@@ -297,3 +297,63 @@ def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.size("embedding")).alias("dim"),
         )
     )
+
+
+@register(
+    "q_llm_corpus_pipeline",
+    oracle="""
+    WITH filtered AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+        WHERE lang = 'en' AND n_chars BETWEEN 40 AND 4000
+    ),
+    quality AS (
+        SELECT * FROM filtered WHERE n_tokens >= 5
+    ),
+    deduped AS (
+        SELECT MIN(doc_id) AS doc_id,
+               MIN(n_tokens) AS n_tokens,
+               MIN(source) AS source,
+               COUNT(*) AS n_copies
+        FROM quality
+        GROUP BY sha256(text)
+    )
+    SELECT source,
+           COUNT(*) AS kept_docs,
+           CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS removed_dups,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens
+    FROM deduped
+    GROUP BY source
+    """,
+)
+def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-preparation pipeline in ONE declarative DAG:
+    language filter → length band → token-count quality gate → exact
+    content dedup (keep min doc_id) → per-source yield report. The
+    composition a real training-data job runs nightly — every stage is
+    an engine primitive from this inventory, fused by Catalyst into
+    scan→filter→project→two hash aggregations (the only shuffles are
+    the two groupBys; the text column is dropped before either, so
+    only hashes and counters move).
+
+    MIN(source)/MIN(n_tokens) in the dedup stage: exact copies can in
+    principle appear under different sources — pick the deterministic
+    representative so both engines agree."""
+    d = load_table(spark, sf_dir, "documents")
+    quality = (
+        d.filter((F.col("lang") == "en") & F.col("n_chars").between(40, 4000))
+        .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+        .filter(F.col("n_tokens") >= 5)
+    )
+    deduped = quality.groupBy(F.sha2("text", 256)).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("source").alias("source"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("removed_dups"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
