@@ -269,6 +269,29 @@ class TestMultimodal:
         assert [f.frame_ms for f in frames] == [0, 1000, 2000, 3000]
 
 
+class TestPythonDataSource:
+    def test_partitioned_read_parallelism(self, spark):
+        """The custom source must expose its splits to the scheduler:
+        8 requested InputPartitions -> 8 RDD partitions, all non-empty,
+        and the union of strides covers every row exactly once."""
+        from fact_hive_custom_spark.sources.python_datasource import (
+            SyntheticEventsDataSource,
+        )
+
+        spark.dataSource.register(SyntheticEventsDataSource)
+        df = (
+            spark.read.format("fhcs_synthetic")
+            .option("n", 1000)
+            .option("partitions", 8)
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 8
+        sizes = df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+        assert len(sizes) == 8 and all(s == 125 for s in sizes)
+        ids = [r.id for r in df.collect()]
+        assert sorted(ids) == list(range(1000))
+
+
 class TestMerge:
     def test_upsert_updates_win_and_rest_survive(self, spark):
         from fact_hive_custom_spark.operators.merge import upsert
