@@ -109,7 +109,30 @@ class TestCostBasedOptimizer:
             spark.conf.set("spark.sql.cbo.enabled", old)
 
 
-class TestAggregation:
+class TestRound3PlanShapes:
+    def test_lateral_join_decorrelates(self, spark):
+        """LATERAL with ORDER BY/LIMIT must plan as a ranked-window join,
+        never a per-row nested loop or cartesian product."""
+        plan = plan_of(spark, "q_join_lateral")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Window" in plan  # rank-based rewrite of the LIMIT 2
+
+    def test_corpus_pipeline_shuffles_only_hashes(self, spark):
+        """The corpus pipeline's only exchanges are its two aggregations,
+        and the text column is projected away before either (only hashes
+        and counters move)."""
+        plan = plan_of(spark, "q_llm_corpus_pipeline")
+        exchanges = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        assert len(exchanges) == 2, f"expected 2 exchanges: {exchanges}"
+        assert all("text" not in e for e in exchanges)
+
+    def test_python_ds_scan_parallelism(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+
+        assert QUERIES["q_source_python_ds"](spark, SF_DIR).rdd.getNumPartitions() == 8
     def test_flagship_partial_aggregation(self, spark):
         # two-phase hash aggregation: partial_ functions before the shuffle
         plan = plan_of(spark, "q_agg_flagship")
