@@ -67,6 +67,33 @@ class TestSimilarity:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.5, f"sign-LSH recall too low: {recall}"
 
+    def test_ivf_recall_vs_exact_and_graceful_degradation(self, spark):
+        """IVF top-5: decent recall at nprobe=4/16, and EXACT results
+        when probing every cluster (nprobe == num_pivots ⇒ the candidate
+        set is the whole corpus — brute force with extra steps)."""
+        from fact_hive_custom_spark.operators.similarity import cosine_topk, ivf_topk
+        from fact_hive_custom_spark.tables import load_table
+
+        emb = load_table(spark, SF_TINY, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 10)
+        exact = {(r.probe_id, r.neighbor_id) for r in cosine_topk(probes, emb, k=5).collect()}
+
+        approx = {
+            (r.probe_id, r.neighbor_id)
+            for r in ivf_topk(probes, emb, k=5, num_pivots=16, nprobe=4).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        # near-random fixture embeddings are the IVF worst case (clusters
+        # carry little signal) — still must beat the nprobe/num_pivots=25%
+        # random-candidate floor by a wide margin
+        assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+        full = {
+            (r.probe_id, r.neighbor_id)
+            for r in ivf_topk(probes, emb, k=5, num_pivots=16, nprobe=16).collect()
+        }
+        assert full == exact, "nprobe=num_pivots must equal exact brute force"
+
     def test_cosine_self_similarity_is_one(self, spark):
         from fact_hive_custom_spark.operators.similarity import cosine
 
