@@ -250,6 +250,43 @@ class TestStreamStreamJoin:
         two_stream.feed_right([(_t(10, 0), "A", 2)])
         assert two_stream.result().count() == 0
 
+    def test_left_outer_emits_null_extension_after_watermark(self, spark, two_stream):
+        """Outer stream-stream join: an unmatched left row may only be
+        emitted null-extended once the watermark proves no future right
+        row can still match — before that it sits in state, silent."""
+
+        def outer_join(left, right):
+            l = (
+                left.select(F.col("key").alias("l_key"), F.col("ts").alias("l_ts"), "val")
+                .withWatermark("l_ts", "30 minutes")
+            )
+            r = (
+                right.select(F.col("key").alias("r_key"), F.col("ts").alias("r_ts"),
+                             F.col("val").alias("r_val"))
+                .withWatermark("r_ts", "30 minutes")
+            )
+            return l.join(
+                r,
+                (F.col("l_key") == F.col("r_key"))
+                & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR"))
+                & (F.col("r_ts") <= F.col("l_ts")),
+                "left_outer",
+            )
+
+        two_stream.start(outer_join)
+        # a click with no view, and one with a matching view
+        two_stream.feed_left([(_t(12, 0), "A", 1), (_t(12, 0), "B", 2)])
+        two_stream.feed_right([(_t(11, 50), "B", 3)])
+        matched = {(r.val, r.r_val) for r in two_stream.result().collect()}
+        assert (2, 3) in matched
+        # the unmatched A row must NOT be emitted yet — its window is open
+        assert (1, None) not in matched
+        # advance both watermarks far past 12:00 + 1h + 30m slack
+        two_stream.feed_left([(_t(16, 0), "Z", 9)])
+        two_stream.feed_right([(_t(16, 0), "Z", 9)])
+        final = {(r.val, r.r_val) for r in two_stream.result().collect()}
+        assert (1, None) in final, f"null-extended row must flush: {final}"
+
     def test_late_row_behind_watermark_dropped(self, spark, two_stream):
         two_stream.start(self._interval_join)
         two_stream.feed_left([(_t(12, 0), "A", 1)])
