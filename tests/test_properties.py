@@ -90,6 +90,63 @@ class TestOperatorInvariants:
         )
         assert out.count() == left.count()
 
+    @given(
+        lefts=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 6)), max_size=10
+        ),
+        rights=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 6)), max_size=10
+        ),
+        direction=st.sampled_from(["backward", "forward", "nearest"]),
+        strict=st.booleans(),
+    )
+    @settings(**SETTINGS)
+    def test_asof_matches_bruteforce(self, spark, lefts, rights, direction, strict):
+        """All three as-of directions agree with an O(n·m) per-row oracle,
+        including same-instant strictness and equal-ts / equal-distance
+        tie-breaks (backward: max (ts, tiebreak); forward: min; nearest:
+        distance ties go backward — the pandas merge_asof contract)."""
+        from fact_hive_custom_spark.operators.asof import asof_join
+
+        def brute(lk, lt):
+            back = [
+                (rt, tb)
+                for tb, (rk, rt) in enumerate(rights)
+                if rk == lk and (rt < lt if strict else rt <= lt)
+            ]
+            fwd = [
+                (rt, tb)
+                for tb, (rk, rt) in enumerate(rights)
+                if rk == lk and (rt > lt if strict else rt >= lt)
+            ]
+            b = max(back) if back else None          # latest, then max tiebreak
+            f = min(fwd) if fwd else None            # earliest, then min tiebreak
+            if direction == "backward":
+                return b and b[1]
+            if direction == "forward":
+                return f and f[1]
+            if b is None:
+                return f and f[1]
+            if f is None:
+                return b[1]
+            return b[1] if (lt - b[0]) <= (f[0] - lt) else f[1]
+
+        schema = "k int, ts int, tb int"
+        ldata = [(k, t, i) for i, (k, t) in enumerate(lefts)]
+        rdata = [(k, t, i) for i, (k, t) in enumerate(rights)]
+        ldf = spark.createDataFrame(ldata, schema=schema)
+        rdf = spark.createDataFrame(rdata, schema=schema).withColumn(
+            "payload", F.col("tb")
+        )
+        out = asof_join(
+            ldf, rdf, by=["k"], ts="ts", tiebreak="tb",
+            carry=["payload"], direction=direction, strict=strict,
+        ).collect()
+        assert len(out) == len(lefts)
+        got = {r.tb: r.asof_payload for r in out}
+        want = {i: brute(k, t) for i, (k, t) in enumerate(lefts)}
+        assert got == want
+
     @given(a=st.lists(st.text(alphabet="ab ", min_size=0, max_size=12), max_size=12))
     @settings(**SETTINGS)
     def test_jaccard_pairs_bounded_and_canonical(self, spark, a):
