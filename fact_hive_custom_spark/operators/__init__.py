@@ -13,6 +13,7 @@ from fact_hive_custom_spark.operators.dedup import (
     shingles,
     simhash_64,
 )
+from fact_hive_custom_spark.operators.graph import connected_components
 from fact_hive_custom_spark.operators.merge import scd2_close, upsert
 from fact_hive_custom_spark.operators.multimodal import extract_features, sample_frames
 from fact_hive_custom_spark.operators.similarity import cosine, cosine_topk, signlsh_topk
@@ -24,6 +25,7 @@ __all__ = [
     "jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_64",
+    "connected_components",
     "upsert",
     "scd2_close",
     "extract_features",

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fact_hive_custom_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+from fact_hive_custom_spark.operators.graph import connected_components
 from fact_hive_custom_spark.operators.similarity import cosine_topk
 from fact_hive_custom_spark.queries.registry import register
 from fact_hive_custom_spark.tables import load_table
@@ -296,6 +297,67 @@ def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias("avg_first_dim"),
             F.min(F.size("embedding")).alias("dim"),
         )
+    )
+
+
+@register(
+    "q_llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_exact_jaccard_oracle(max_doc_freq=None)}) ej
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    -- min-label propagation: the component minimum m reaches every
+    -- node along edges (the `lbl < v` guard prunes non-minimal labels
+    -- without blocking m, since m is smaller than everything else in
+    -- its component), so MIN(lbl) per node == component minimum.
+    walk(id, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id WHERE w.lbl < e.v
+    ),
+    comp AS (SELECT id, MIN(lbl) AS cluster_id FROM walk GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           COUNT(*) OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id)) AS cluster_size,
+           d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """,
+)
+def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: every document labeled with its near-dup
+    cluster (component-min doc_id), cluster size, and whether it is the
+    canonical keeper — the final assignment step of a dedup pipeline.
+
+    Composition: MinHash-LSH exact-verified pairs (the oracle-validated
+    exact pair set) → large-star/small-star connected components
+    (operators/graph.py, O(log n) rounds, only long ids shuffle) →
+    left-join back to the corpus (singletons keep themselves). The
+    oracle recomputes the same clusters with a recursive-CTE min-label
+    propagation over the exact Jaccard pairs.
+
+    At 100 TB: the pair graph is orders of magnitude smaller than the
+    corpus (only near-dups appear); the final join shuffles two long
+    columns, and AQE broadcast-demotes it when the cluster map is small.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.8, k=3, rows_per_band=3, num_bands=8)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    labeled = (
+        d.select("doc_id")
+        .join(cc, d.doc_id == cc.node, "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster_id"))
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
 
 

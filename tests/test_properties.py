@@ -147,6 +147,42 @@ class TestOperatorInvariants:
         want = {i: brute(k, t) for i, (k, t) in enumerate(lefts)}
         assert got == want
 
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 25), st.integers(0, 25)), max_size=40
+        )
+    )
+    @settings(**SETTINGS)
+    def test_connected_components_matches_union_find(self, spark, edges):
+        """large-star/small-star agrees with a sequential union-find on
+        arbitrary graphs (self-loops, duplicate and reversed edges,
+        multiple components, chains and cycles); component label is the
+        min node id."""
+        from fact_hive_custom_spark.operators.graph import connected_components
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            if u != v:
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[max(ru, rv)] = min(ru, rv)
+        want = {n: find(n) for n in parent}
+
+        df = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+        got = {
+            r.node: r.component
+            for r in connected_components(df, "a", "b").collect()
+        }
+        assert got == want
+
     @given(a=st.lists(st.text(alphabet="ab ", min_size=0, max_size=12), max_size=12))
     @settings(**SETTINGS)
     def test_jaccard_pairs_bounded_and_canonical(self, spark, a):
