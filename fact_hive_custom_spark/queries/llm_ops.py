@@ -301,6 +301,42 @@ def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_centroids",
+    oracle="""
+    WITH ex AS (
+        SELECT label,
+               unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    )
+    SELECT label, CAST(i AS BIGINT) AS dim,
+           ROUND(AVG(CAST(e AS DOUBLE)), 6) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM ex GROUP BY label, i
+    """,
+)
+def q_llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (class prototype) in long form
+    (label, dim, centroid) — the building block for prototype
+    classification, IVF coarse quantizers, and drift monitoring.
+
+    posexplode keeps the dimension index JVM-side; the aggregation is
+    a plain partial+final avg on (label, dim) — at 100 TB the shuffle
+    carries one (sum, count) pair per label×dim, independent of corpus
+    size. No Python, no vector materialization on the driver.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).cast("bigint").alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+@register(
     "q_llm_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE pairs AS (

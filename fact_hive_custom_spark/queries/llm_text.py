@@ -208,3 +208,115 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     in operators/dedup.simhash_64.
     """
     return simhash_64(load_table(spark, sf_dir, "documents"), portable=True)
+
+
+@register(
+    "q_llm_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    ttr AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(COUNT(DISTINCT token) * 1.0 / COUNT(*), 6) AS ttr
+        FROM tok GROUP BY doc_id
+    ),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bg
+        FROM toks WHERE len(t) >= 2
+    ),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+    rep AS (
+        SELECT doc_id,
+               ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac,
+               ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c), 6)
+                   AS dup_bigram_frac
+        FROM bc GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens, t.ttr, r.top_bigram_frac, r.dup_bigram_frac,
+           (t.ttr >= 0.3 AND r.dup_bigram_frac <= 0.6) AS keep
+    FROM ttr t JOIN rep r ON t.doc_id = r.doc_id
+    """,
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality filter (Gopher-style): type-
+    token ratio, most-frequent-bigram share, and duplicated-bigram
+    share per document, with a keep flag combining them.
+
+    Two explodes of the token stream aggregated per doc_id — narrow
+    shuffles on the doc key only; no text leaves the scan stage. At
+    100 TB this is the same single-pass shape as q_llm_text_stats:
+    repetition scoring is embarrassingly parallel per document.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    tok = d.select("doc_id", F.explode(t).alias("token"))
+    ttr = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.countDistinct("token") / F.count(F.lit(1)), 6).alias("ttr"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+    )
+    bc = (
+        d.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rep = bc.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 6
+        ).alias("dup_bigram_frac"),
+    )
+    return ttr.join(rep, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "ttr",
+        "top_bigram_frac",
+        "dup_bigram_frac",
+        ((F.col("ttr") >= 0.3) & (F.col("dup_bigram_frac") <= 0.6)).alias("keep"),
+    )
+
+
+@register(
+    "q_llm_stratified_sample",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS sample_rank
+    FROM documents
+    QUALIFY sample_rank <= 5
+    """,
+)
+def q_llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly k=5 documents per
+    source stratum, chosen by md5(doc_id) order — an eval-set carve
+    that is reproducible across engines and runs (no RNG state).
+
+    One window shuffle on the stratum key; at 100 TB k-per-stratum via
+    TopK-per-partition beats a global sort, and the md5 order is
+    uniform so no stratum's window partition is skewed beyond its own
+    stratum size.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("bigint").alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= 5)
+    )
