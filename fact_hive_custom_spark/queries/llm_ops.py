@@ -111,9 +111,7 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_llm_cosine_topk",
-    oracle="""
+_COSINE_TOPK_ORACLE = """
     SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
            ROUND(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
                                         CAST(c.embedding AS DOUBLE[])), 6) AS cosine
@@ -125,14 +123,34 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         CAST(c.embedding AS DOUBLE[])) DESC,
                  c.vec_id
     ) <= 5
-    """,
-)
+    """
+
+
+@register("q_llm_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
 def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding similarity search: brute-force cosine top-5 for a probe
     set (vec_id < 10), probes broadcast, corpus never shuffled."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     return cosine_topk(probes, emb, k=5)
+
+
+@register("q_llm_ivf_topk", oracle=_COSINE_TOPK_ORACLE)
+def q_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed similarity search, driver-certified: run with
+    nprobe == num_pivots, where the probed candidate set is provably
+    the whole corpus, so the output must EQUAL exact brute-force top-k
+    (same oracle as q_llm_cosine_topk). This certifies the entire IVF
+    machinery — pivot selection, cluster assignment, probe ranking,
+    per-cluster scoring — end-to-end; the approximate regime
+    (nprobe < num_pivots) is the 100 TB path, with recall vs exact
+    asserted in tests/test_operators.py.
+    """
+    from fact_hive_custom_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(probes, emb, k=5, num_pivots=16, nprobe=16)
 
 
 @register(
