@@ -142,10 +142,59 @@ class TestRound3PlanShapes:
         assert "TakeOrderedAndProject" in plan_of(spark, "q_limit")
 
 
+class TestPipelineOpPlanShapes:
+    def test_centroids_partial_aggregation_no_python(self, spark):
+        """Centroid avg must plan as partial+final hash aggregation (the
+        shuffle carries one (sum,count) per label×dim, not vectors) with
+        no Python evaluation anywhere."""
+        plan = plan_of(spark, "q_llm_centroids")
+        assert "partial_avg" in plan or "partial_average" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_repetition_text_never_shuffles(self, spark):
+        """Both repetition aggregations shuffle on doc-keyed hashes of
+        exploded tokens/bigrams — the raw text column must be projected
+        away before every exchange."""
+        plan = plan_of(spark, "q_llm_repetition")
+        exchanges = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        assert exchanges, "expected hash exchanges in repetition plan"
+        assert all("text#" not in e for e in exchanges)
+
+    def test_stratified_sample_single_stratum_shuffle(self, spark):
+        """One window shuffle on the stratum key and nothing else; the
+        rank filter must not add a second exchange or a global sort."""
+        plan = plan_of(spark, "q_llm_stratified_sample")
+        exchanges = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        assert len(exchanges) == 1, f"expected 1 exchange: {exchanges}"
+        assert "source" in exchanges[0]
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_dedup_clusters_no_text_in_exchanges(self, spark):
+        """The clusters query joins the corpus on doc_id against the
+        (tiny, checkpointed) component map — document text must never
+        appear in any exchange."""
+        plan = plan_of(spark, "q_llm_dedup_clusters")
+        exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+        assert all("text#" not in e for e in exchanges)
+
+
 class TestCodegenPurity:
     @pytest.mark.parametrize(
         "name",
-        ["q_agg_flagship", "q_fn_array", "q_llm_cosine_topk", "q_llm_minhash_lsh", "q_fn_string"],
+        [
+            "q_agg_flagship",
+            "q_fn_array",
+            "q_llm_cosine_topk",
+            "q_llm_minhash_lsh",
+            "q_fn_string",
+            "q_llm_repetition",
+            "q_llm_centroids",
+            "q_llm_stratified_sample",
+        ],
     )
     def test_no_python_in_jvm_only_pipelines(self, spark, name):
         plan = plan_of(spark, name)
