@@ -320,3 +320,129 @@ def q_llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sample_rank") <= 5)
     )
+
+
+@register(
+    "q_llm_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+                      i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS shingle
+        FROM toks WHERE len(t) >= 5
+    ),
+    ev AS (SELECT * FROM sh WHERE doc_id < 20),
+    tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id >= 20),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY doc_id),
+    m AS (
+        SELECT doc_id, COUNT(*) AS c FROM ev
+        WHERE shingle IN (SELECT shingle FROM tr)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id AS eval_id, t.n_shingles,
+           COALESCE(m.c, 0) AS n_contaminated,
+           ROUND(COALESCE(m.c, 0) * 1.0 / t.n_shingles, 6) AS containment,
+           (COALESCE(m.c, 0) * 1.0 / t.n_shingles >= 0.5) AS flagged
+    FROM tot t LEFT JOIN m ON t.doc_id = m.doc_id
+    """,
+)
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: 5-gram containment of each eval
+    document (doc_id < 20 stands in for the benchmark set) against the
+    whole training corpus, with a flag at ≥ 0.5 containment — the
+    standard n-gram-overlap contamination check run before training.
+
+    Shingles hash to longs map-side (same xxhash64 representation and
+    collision argument as jaccard_pairs); the train side dedupes to a
+    distinct-shingle set and the check is one left-semi join on the
+    hash — at 100 TB the eval side is tiny (benchmarks), so the join
+    broadcasts and the training corpus is a single narrow pass that
+    never shuffles text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from fact_hive_custom_spark.operators.dedup import shingles
+
+    sh = shingles(d, k=5).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    ev = sh.filter(F.col("doc_id") < 20)
+    tr = sh.filter(F.col("doc_id") >= 20).select("shingle").distinct()
+    tot = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    m = (
+        ev.join(tr, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_cont = F.coalesce(F.col("c"), F.lit(0).cast("bigint"))
+    ratio = n_cont / F.col("n_shingles")
+    return (
+        tot.join(m, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            "n_shingles",
+            n_cont.alias("n_contaminated"),
+            F.round(ratio, 6).alias("containment"),
+            (ratio >= 0.5).alias("flagged"),
+        )
+    )
+
+
+@register(
+    "q_llm_pack_sequences",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id, source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS start_offset
+        FROM sized
+    )
+    SELECT doc_id, source, n_tokens, start_offset,
+           CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS bin_id,
+           start_offset % 256 AS offset_in_bin
+    FROM placed
+    """,
+)
+def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing layout (concat-and-chunk): documents are
+    concatenated in doc_id order within each source shard and every doc
+    gets its context-window bin (budget 256 tokens) and offset — the
+    deterministic packing plan an LLM pretraining loader executes.
+
+    Packing is sequential by nature; sharding by source makes it
+    embarrassingly parallel (one running-sum window per shard, no
+    global sort). At 100 TB the shard key is the file/path prefix and
+    each window partition is one task's worth of metadata (doc_id +
+    token count only — text never enters the window).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = sized.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    )
+    return placed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / 256.0).cast("bigint").alias("bin_id"),
+        (F.col("start_offset") % 256).alias("offset_in_bin"),
+    )
