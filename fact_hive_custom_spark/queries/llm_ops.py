@@ -328,7 +328,10 @@ def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT label, CAST(i AS BIGINT) AS dim,
-           ROUND(AVG(CAST(e AS DOUBLE)), 6) AS centroid,
+           -- + 0.0 normalizes DuckDB's signed zero: ROUND on DOUBLE
+           -- keeps -0.0, but Spark's round never emits it, and the
+           -- driver hashes float bits (-0.0 != +0.0)
+           ROUND(AVG(CAST(e AS DOUBLE)), 6) + 0.0 AS centroid,
            COUNT(*) AS n_vectors
     FROM ex GROUP BY label, i
     """,
@@ -472,4 +475,52 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("kept_docs"),
         (F.sum("n_copies") - F.count(F.lit(1))).alias("removed_dups"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+
+
+@register(
+    "q_llm_incremental_dedup",
+    oracle="""
+    WITH hist AS (
+        SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id < 400
+    ),
+    batch AS (
+        SELECT doc_id, source, sha256(text) AS h FROM documents WHERE doc_id >= 400
+    ),
+    fresh AS (
+        SELECT MIN(doc_id) AS keep_id, h,
+               COUNT(*) AS n_in_batch,
+               MIN(source) AS source
+        FROM batch
+        WHERE h NOT IN (SELECT h FROM hist)
+        GROUP BY h
+    )
+    SELECT keep_id, n_in_batch, source FROM fresh
+    """,
+)
+def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-history) dedup: the nightly-crawl shape.
+    New documents (doc_id ≥ 400 stands in for today's batch) survive
+    only if their content hash is absent from the historical corpus
+    (doc_id < 400) AND they are the min-doc_id copy within the batch.
+
+    Plan: history reduces to a distinct-hash set (one shuffle of
+    256-bit hashes, never text); the batch anti-joins on the hash and
+    then dedupes within itself — at 100 TB the history-hash table is
+    the only persistent state a rolling dedup needs, and both sides
+    shuffle on the same uniform key (no skew by construction).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", "source", F.sha2(F.col("text"), 256).alias("h"))
+    hist = hashed.filter(F.col("doc_id") < 400).select("h").distinct()
+    batch = hashed.filter(F.col("doc_id") >= 400)
+    return (
+        batch.join(hist, "h", "left_anti")
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_in_batch"),
+            F.min("source").alias("source"),
+        )
+        .select("keep_id", "n_in_batch", "source")
     )

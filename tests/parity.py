@@ -92,6 +92,14 @@ def _align_key(row):
     for v in row:
         if _is_floatish(v):
             f = float(v)
+            if f == 0.0:
+                # -0.0 formats as "-0" but +0.0 as "0": DuckDB's ROUND
+                # on DOUBLE preserves the zero sign while Spark's
+                # (BigDecimal HALF_UP) never emits -0.0, so without
+                # normalization the two engines' zero rows sort apart
+                # and every later row pairs off-by-one (observed:
+                # q_llm_centroids @ sf1.0).
+                f = 0.0
             parts.append("f:NaN" if math.isnan(f) else f"f:{f:.6g}")
         else:
             parts.append(_strict_value(v))
