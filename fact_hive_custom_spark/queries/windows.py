@@ -360,3 +360,62 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.exceptAll(s)
+
+
+@register(
+    "q_win_sessionize",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    lagd AS (
+        SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        FROM e
+    ),
+    marked AS (
+        SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM lagd
+    ),
+    sess AS (
+        SELECT *, CAST(SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(us) AS start_us, MAX(us) AS end_us,
+           MAX(us) - MIN(us) AS duration_us
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the batch counterpart of q_stream_session):
+    per-user 30-minute-gap sessions via lag → new-session flag →
+    running-sum session ids → per-session rollup.
+
+    All three windows and the final aggregation share ONE partitioning
+    (user_id), so Spark plans a single exchange and sorts once; time
+    arithmetic stays on exact integer microseconds (unix_micros /
+    epoch_us) — no float-seconds drift between engines. At 100 TB
+    user_id is the natural partition key and no per-user history is
+    unbounded (windows are per-partition streams, never materialized
+    whole)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("us").over(w)
+    new_s = F.when(prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1).otherwise(0)
+    sess = (
+        e.withColumn("new_s", new_s)
+        .withColumn("session_seq", F.sum("new_s").over(run).cast("bigint"))
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )

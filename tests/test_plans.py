@@ -173,6 +173,17 @@ class TestPipelineOpPlanShapes:
         assert "source" in exchanges[0]
         assert "Exchange rangepartitioning" not in plan
 
+    def test_sessionize_single_partitioning(self, spark):
+        """lag, running-sum, and the session rollup all key on user_id —
+        the plan must reuse ONE hash exchange (plus AQE reads), not
+        re-shuffle per window."""
+        plan = plan_of(spark, "q_win_sessionize")
+        exchanges = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        assert len(exchanges) == 1, f"expected 1 exchange: {exchanges}"
+        assert "user_id" in exchanges[0]
+
     def test_dedup_clusters_no_text_in_exchanges(self, spark):
         """The clusters query joins the corpus on doc_id against the
         (tiny, checkpointed) component map — document text must never
