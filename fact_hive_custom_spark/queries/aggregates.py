@@ -401,3 +401,34 @@ def q_agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
         )
     )
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS price_bin,
+           COUNT(*) AS n,
+           ROUND(MIN(l_extendedprice), 2) AS bin_min,
+           ROUND(MAX(l_extendedprice), 2) AS bin_max,
+           ROUND(SUM(l_extendedprice), 2) AS bin_sum
+    FROM lineitem
+    GROUP BY price_bin
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram (5000-wide price bins) with per-bin
+    extrema and mass — the profiling staple. The bin key is computed
+    in codegen, so the plan is one partial+final hash aggregation on a
+    small key domain; at 100 TB map-side partials reduce each bin to
+    one row per task before the (tiny) shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = F.floor(F.col("l_extendedprice") / 5000.0).cast("bigint")
+    return (
+        li.groupBy(bin_col.alias("price_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("bin_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("bin_max"),
+            F.round(F.sum("l_extendedprice"), 2).alias("bin_sum"),
+        )
+    )

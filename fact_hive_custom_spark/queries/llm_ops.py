@@ -524,3 +524,55 @@ def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("keep_id", "n_in_batch", "source")
     )
+
+
+@register(
+    "q_llm_domain_mix",
+    oracle="""
+    WITH per_source AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT SUM(n_tokens) AS total_tokens,
+               COUNT(*) AS n_sources
+        FROM per_source
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           ROUND(p.n_tokens * 1.0 / t.total_tokens, 6) AS token_share,
+           ROUND((t.total_tokens * 1.0 / t.n_sources) / p.n_tokens, 6)
+               AS resample_weight
+    FROM per_source p CROSS JOIN tot t
+    """,
+)
+def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture report: per-source token share and the resampling
+    weight that would equalize the mix (weight = target-share /
+    actual-share with a uniform target) — the static data-mixing step
+    of pretraining corpus assembly.
+
+    One narrow aggregation per source plus a broadcast of the 1-row
+    totals; token counting stays in codegen (size(split())), so at
+    100 TB this is a single corpus pass shuffling only per-source
+    counters.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("total_tokens"), 6).alias("token_share"),
+        F.round(
+            (F.col("total_tokens") / F.col("n_sources")) / F.col("n_tokens"), 6
+        ).alias("resample_weight"),
+    )
