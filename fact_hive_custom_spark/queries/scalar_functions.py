@@ -338,3 +338,51 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "string").alias("k_str"),
         F.to_json(v).alias("rebuilt"),
     )
+
+
+@register(
+    "q_fn_struct",
+    oracle="""
+    WITH nested AS (
+        SELECT struct_pack(
+                   key := o_orderkey,
+                   cust := o_custkey,
+                   pr := struct_pack(price := o_totalprice,
+                                     prio := o_orderpriority)
+               ) AS o
+        FROM orders
+    )
+    SELECT o.key AS order_key,
+           o.cust AS cust_key,
+           o.pr.price * 2 AS doubled,
+           upper(o.pr.prio) AS prio,
+           (o.pr.price > 300000) AS is_large
+    FROM nested
+    WHERE o.pr.price > 100000
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct (nested-record) construction, nested access, and
+    filtering through two levels — the column shape typed multimodal
+    metadata rides in. Catalyst flattens the struct accesses back to
+    the source columns (no materialized intermediate), so the parquet
+    scan still prunes to exactly the four referenced fields.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    nested = o.select(
+        F.struct(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_custkey").alias("cust"),
+            F.struct(
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderpriority").alias("prio"),
+            ).alias("pr"),
+        ).alias("o")
+    )
+    return nested.filter(F.col("o.pr.price") > 100000).select(
+        F.col("o.key").alias("order_key"),
+        F.col("o.cust").alias("cust_key"),
+        (F.col("o.pr.price") * 2).alias("doubled"),
+        F.upper(F.col("o.pr.prio")).alias("prio"),
+        (F.col("o.pr.price") > 300000).alias("is_large"),
+    )

@@ -173,6 +173,17 @@ class TestPipelineOpPlanShapes:
         assert "source" in exchanges[0]
         assert "Exchange rangepartitioning" not in plan
 
+    def test_struct_accesses_flatten_to_pruned_scan(self, spark):
+        """Struct construction + nested access must collapse back to a
+        plain column-pruned scan of exactly the four referenced fields."""
+        read = plans.read_schema(QUERIES["q_fn_struct"](spark, SF_DIR))
+        assert set(read) == {
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderpriority",
+        }
+
     def test_sessionize_single_partitioning(self, spark):
         """lag, running-sum, and the session rollup all key on user_id —
         the plan must reuse ONE hash exchange (plus AQE reads), not
