@@ -14,7 +14,7 @@ from fact_hive_custom_spark.operators.dedup import (
     simhash_64,
 )
 from fact_hive_custom_spark.operators.graph import connected_components
-from fact_hive_custom_spark.operators.merge import scd2_close, upsert
+from fact_hive_custom_spark.operators.merge import cdc_latest, scd2_close, upsert
 from fact_hive_custom_spark.operators.multimodal import extract_features, sample_frames
 from fact_hive_custom_spark.operators.similarity import cosine, cosine_topk, signlsh_topk
 from fact_hive_custom_spark.operators.skew import salted_aggregate, salted_join
@@ -28,6 +28,7 @@ __all__ = [
     "connected_components",
     "upsert",
     "scd2_close",
+    "cdc_latest",
     "extract_features",
     "sample_frames",
     "cosine",

@@ -99,3 +99,27 @@ def scd2_close(
     closed = closed.drop("__new_v")
     still_current = still_current.drop("__new_v")
     return still_current.unionByName(closed).unionByName(hist).unionByName(fresh)
+
+
+def cdc_latest(
+    state: DataFrame | None,
+    batch: DataFrame,
+    key: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """Last-writer-wins CDC apply: one row per key survives, the max by
+    `order_by` across existing state and the incoming batch.
+
+    Unlike plain `upsert` (updates always win), a batch row only
+    replaces state if it is strictly newer in the `order_by` total
+    order — so replaying late/out-of-order CDC events can never
+    regress the state table. One shuffle on the key; state stays one
+    row per key by induction.
+    """
+    w = Window.partitionBy(*key).orderBy(*[F.desc(c) for c in order_by])
+    cand = state.unionByName(batch) if state is not None else batch
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -317,3 +317,94 @@ def q_stream_sink_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (applyInPandasWithState); the TWS port is mechanical when protobuf exists:
 # a StatefulProcessor with handle.getValueState + RocksDB state store
 # provider (the HDFS-backed default does not support TWS).
+
+
+@register(
+    "q_stream_cdc_upsert",
+    oracle="""
+    SELECT user_id, event_type AS last_type, value AS last_value,
+           epoch_us(ts) AS last_us
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+)
+def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply loop: the event stream is staged into four
+    files and consumed one file per micro-batch (maxFilesPerTrigger=1);
+    every batch MERGEs its latest-per-key rows into a parquet-backed
+    state table inside foreachBatch (compact batch → union with state →
+    keep max (ts, event_id) per key → atomic swap via write-new +
+    rename). The final state must equal "latest event per user" over
+    the whole feed — the oracle — REGARDLESS of how events were split
+    across batches, which is exactly the out-of-order-safe CDC-upsert
+    contract.
+
+    This is the poor-man's-Delta MERGE: on a lakehouse table the
+    write-new+rename swap becomes an ACID commit (documented
+    out-of-sandbox in operators/merge.py); state size is one row per
+    key, batch cost is one shuffle of (key, version) pairs.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from fact_hive_custom_spark.streaming.jobs import EVENTS_RAW_SCHEMA
+
+    run_id = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), "fact_hive_custom_spark_stage")
+    stage_dir = os.path.join(base, f"cdc_src_{run_id}")
+    state_dir = os.path.join(base, f"cdc_state_{run_id}")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    (
+        spark.read.schema(EVENTS_RAW_SCHEMA)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(stage_dir)
+    )
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    ev = raw.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("ts div 1000").alias("us"),
+    )
+
+    from fact_hive_custom_spark.operators.merge import cdc_latest
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        state = spark.read.parquet(state_dir) if os.path.isdir(state_dir) else None
+        new_state = cdc_latest(
+            state, batch_df, key=["user_id"], order_by=["us", "event_id"]
+        )
+        tmp = f"{state_dir}_next_{epoch_id}"
+        new_state.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    checkpoint = os.path.join(base, f"cdc_ckpt_{run_id}")
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return spark.read.parquet(state_dir).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("us").alias("last_us"),
+    )

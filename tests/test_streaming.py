@@ -323,3 +323,34 @@ class TestSessionWindowStreaming:
         got = {(r.s.hour, r.s.minute, r.n) for r in harness.result().collect()}
         assert (10, 0, 2) in got, f"merged 2-event session expected: {got}"
         assert (11, 0, 1) in got, f"singleton session expected: {got}"
+
+
+class TestCdcUpsert:
+    def test_out_of_order_batch_never_regresses_state(self, spark):
+        """cdc_latest is last-writer-wins by the ORDER columns, not by
+        arrival: a later batch carrying an older event must lose to the
+        state row, and a genuinely newer event must replace it."""
+        from fact_hive_custom_spark.operators.merge import cdc_latest
+
+        schema = "user_id long, event_id long, event_type string, us long"
+        b1 = spark.createDataFrame(
+            [(1, 10, "new", 100), (2, 11, "only", 40)], schema
+        )
+        b2 = spark.createDataFrame(
+            [(1, 5, "stale", 50), (2, 12, "newer", 60)], schema
+        )
+        state = cdc_latest(None, b1, key=["user_id"], order_by=["us", "event_id"])
+        state = cdc_latest(state, b2, key=["user_id"], order_by=["us", "event_id"])
+        got = {(r.user_id, r.event_type, r.us) for r in state.collect()}
+        assert got == {(1, "new", 100), (2, "newer", 60)}
+
+    def test_equal_ts_breaks_on_later_order_column(self, spark):
+        from fact_hive_custom_spark.operators.merge import cdc_latest
+
+        schema = "user_id long, event_id long, event_type string, us long"
+        b = spark.createDataFrame(
+            [(1, 7, "lo", 100), (1, 9, "hi", 100)], schema
+        )
+        state = cdc_latest(None, b, key=["user_id"], order_by=["us", "event_id"])
+        rows = state.collect()
+        assert len(rows) == 1 and rows[0].event_type == "hi"
