@@ -432,3 +432,48 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("bin_sum"),
         )
     )
+
+
+@register(
+    "q_agg_sketch_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           true AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE 100 TB pre-aggregation trick:
+    fine-grained groups keep an HLL sketch (hll_sketch_agg), and any
+    coarser rollup merges the stored sketches (hll_union_agg) instead
+    of rescanning raw data. Here (returnflag, linestatus) sketches
+    merge up to per-returnflag distinct-part estimates.
+
+    Like q_agg_approx_cd, the oracle contract is the accuracy bound
+    (merged estimate within 5% of the exact distinct count, rsd ≈1.6%
+    at the default lgConfigK=12), because sketch bytes are
+    engine-specific. The merge path itself is what's under test: a
+    wrong union would blow the bound immediately.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = fine.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_parts")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return exact.join(merged, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        F.when(F.col("exact_parts") == 0, F.col("approx_parts") == 0)
+        .otherwise(
+            F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts")
+            <= 0.05
+        )
+        .alias("within_bound"),
+    )
