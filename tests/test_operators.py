@@ -607,3 +607,21 @@ class TestRound2Hardening:
         # new current row open-ended; untouched key unchanged
         assert by_kv[(1, 3)].end_version is None and by_kv[(1, 3)].is_current is True
         assert by_kv[(2, 1)].end_version is None and by_kv[(2, 1)].is_current is True
+
+
+class TestConnectedComponentsScale:
+    def test_long_chain_converges_logarithmically(self, spark):
+        """A 16384-node path graph is the worst case for naive label
+        propagation (diameter = n); large-star/small-star must still
+        converge inside the default max_iter=25 ≈ O(log n) bound and
+        label every node with the chain's minimum."""
+        from fact_hive_custom_spark.operators.graph import connected_components
+
+        n = 16384
+        edges = spark.range(n - 1).selectExpr("id AS a", "id + 1 AS b")
+        cc = connected_components(edges, "a", "b")
+        comps = cc.selectExpr("count(*) AS nodes", "count(distinct component) AS comps",
+                              "max(component) AS mx").collect()[0]
+        assert comps.nodes == n
+        assert comps.comps == 1
+        assert comps.mx == 0
