@@ -446,3 +446,32 @@ def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("start_offset") / 256.0).cast("bigint").alias("bin_id"),
         (F.col("start_offset") % 256).alias("offset_in_bin"),
     )
+
+
+@register(
+    "q_llm_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]{1,4}')) AS bpe_tokens,
+           ROUND(len(regexp_extract_all(text, '[a-z]{1,4}')) * 1.0 /
+                 len(string_split(text, ' ')), 6) AS tokens_per_word
+    FROM documents
+    """,
+)
+def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways the charter names: whitespace words and
+    a BPE-ish greedy regex (≤4-char alpha chunks — a fixed-vocab
+    subword proxy), plus the subword-inflation ratio used for token
+    budgeting. One narrow codegen pass; the regex dialect is chosen to
+    behave identically under Java regex (Spark) and RE2 (DuckDB).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), " "))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]{1,4}"), 0))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(bpe / ws, 6).alias("tokens_per_word"),
+    )
