@@ -408,3 +408,32 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.col("us").alias("last_us"),
     )
+
+
+@register(
+    "q_stream_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-BOUNDED streaming dedup: dropDuplicatesWithinWatermark
+    keeps a key's state only until the watermark passes its event time,
+    so the dedup state store is bounded by the delay window instead of
+    growing forever — the production counterpart of q_stream_dedup's
+    unbounded dropDuplicates.
+
+    The 365-day delay provably covers the fixture's whole event span,
+    so the settled output equals plain DISTINCT (the oracle) while the
+    state-expiry machinery is genuinely engaged. At 100 TB the delay is
+    the dedup-correctness horizon the pipeline owner chooses (e.g.
+    48 h for at-least-once upstreams), and state stays O(keys within
+    horizon)."""
+    ev = streaming_events(spark, sf_dir)
+    deduped = (
+        ev.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_stream_to_memory(
+        spark, deduped, "q_stream_dedup_wm", output_mode="append"
+    )
