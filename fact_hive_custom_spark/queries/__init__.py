@@ -13,6 +13,7 @@ from fact_hive_custom_spark.queries import (  # noqa: F401
     scans,
     sources_sinks,
     streaming_queries,
+    timeseries,
     udfs,
     windows,
 )

@@ -1,0 +1,214 @@
+"""Time-series queries: gap filling with linear interpolation and
+EWMA smoothing (SURVEY.md §2.2.J additions).
+
+The reference corpus (`/root/reference/fact-hive`) has no dataflow
+operators (SURVEY.md §0); these cover the hypertable-style surface a
+time-series user of the charter engine expects: regularize an event
+stream onto a fixed grid (gap-fill) and exponentially smooth it.
+
+Cross-engine determinism rules used here (SURVEY.md §7.4):
+- time arithmetic on exact integer microseconds / integer bucket ids
+  (`unix_micros` / `epoch_us`, integer division) — never float seconds;
+- observed per-bucket averages are SUMs of integer-scaled values with
+  a single float division, so both engines interpolate bit-identical
+  inputs (a float AVG's summation order differs between engines and
+  lands 4-dp rounds on knife edges — measured, not hypothetical);
+- the EWMA decay is 0.5 so weights are exact powers of two (no libm
+  `pow` last-ulp divergence between JVM and C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fact_hive_custom_spark.queries.registry import register
+from fact_hive_custom_spark.tables import load_table
+
+_US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "q_ts_gapfill",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, value FROM events
+    ),
+    obs AS (
+        -- exact-integer average: SUM over scaled bigints, ONE float
+        -- division — no multi-term float summation whose order could
+        -- differ between engines (knife-edge-free at any rounding)
+        SELECT user_id, us // {_US_PER_HOUR} AS bucket,
+               SUM(CAST(round(value * 10000) AS BIGINT))
+                   / (10000.0 * COUNT(*)) AS obs_val
+        FROM e GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+        FROM obs GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM span
+    ),
+    j AS (
+        SELECT g.user_id, g.bucket, o.obs_val
+        FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+    ),
+    f AS (
+        SELECT *,
+            last_value(obs_val IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            last_value(CASE WHEN obs_val IS NOT NULL THEN bucket END
+                       IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+            first_value(obs_val IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN obs_val IS NOT NULL THEN bucket END
+                        IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        FROM j
+    )
+    SELECT user_id, bucket,
+           ROUND(CASE WHEN obs_val IS NOT NULL THEN obs_val
+                 ELSE pv + (nv - pv) *
+                      (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+                 END, 4) AS value_filled,
+           obs_val IS NULL AS interpolated
+    FROM f
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill: regularize per-user event values onto an hourly grid,
+    linearly interpolating missing buckets (TimescaleDB
+    `time_bucket_gapfill` + `interpolate` semantics).
+
+    Plan: one groupBy(user, bucket) for the observed series, a tiny
+    per-user span aggregate whose `sequence()` explode generates the
+    grid WITHOUT a join against a calendar table, then a single
+    window partitioning (user_id) for all four neighbor lookups — one
+    exchange end to end after the grid join. At 100 TB the grid is
+    generated (never materialized globally) and every step is
+    partitioned by user_id; no per-user history lives outside one
+    window partition. Boundary buckets are observed by construction
+    (the grid spans min..max observed), so interpolation never probes
+    off the edge."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    obs = (
+        e.withColumn("bucket", F.expr(f"us DIV {_US_PER_HOUR}"))
+        .withColumn("scaled", F.round(F.col("value") * 10000).cast("bigint"))
+        .groupBy("user_id", "bucket")
+        .agg(
+            (
+                F.sum("scaled") / (F.lit(10000.0) * F.count(F.lit(1)))
+            ).alias("obs_val")
+        )
+    )
+    span = obs.groupBy("user_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    j = grid.join(obs, ["user_id", "bucket"], "left")
+
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ob = F.col("obs_val")
+    f = (
+        j.withColumn("pv", F.last("obs_val", ignorenulls=True).over(wp))
+        .withColumn(
+            "pb",
+            F.last(F.when(ob.isNotNull(), F.col("bucket")), ignorenulls=True).over(wp),
+        )
+        .withColumn("nv", F.first("obs_val", ignorenulls=True).over(wn))
+        .withColumn(
+            "nb",
+            F.first(F.when(ob.isNotNull(), F.col("bucket")), ignorenulls=True).over(wn),
+        )
+    )
+    frac = (F.col("bucket") - F.col("pb")).cast("double") / (
+        F.col("nb") - F.col("pb")
+    ).cast("double")
+    filled = F.when(ob.isNotNull(), ob).otherwise(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    )
+    return f.select(
+        "user_id",
+        "bucket",
+        F.round(filled, 4).alias("value_filled"),
+        ob.isNull().alias("interpolated"),
+    )
+
+
+@register(
+    "q_ts_ewma",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+    ),
+    lw AS (
+        SELECT user_id, event_id, value,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS xs
+        FROM e
+    )
+    SELECT user_id, event_id, value,
+           ROUND(
+               list_sum(list_transform(generate_series(1, len(xs)),
+                        j -> xs[j] * power(0.5, len(xs) - j)))
+               / list_sum(list_transform(generate_series(1, len(xs)),
+                        j -> power(0.5, len(xs) - j))),
+           4) AS ewma
+    FROM lw
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized EWMA (decay 0.5) of each user's value series over a
+    bounded 10-event lookback.
+
+    A plain windowed SUM cannot express recency weights (they depend
+    on distance from the current row), so the frame is collected
+    (bounded: ≤10 values/row) and folded with higher-order array
+    functions — all JVM codegen, no Python. Decay 0.5 keeps every
+    weight an exact power of two, so Spark and DuckDB agree bit-for-bit
+    before the final 4-dp round. One window partitioning (user_id)
+    = one exchange; the frame bound (not a watermark) is what caps
+    state at any scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    lw = e.withColumn("xs", F.collect_list("value").over(w))
+    num = F.expr(
+        "aggregate(transform(xs, (x, i) -> x * power(0.5D, size(xs) - 1 - i)),"
+        " 0D, (a, b) -> a + b)"
+    )
+    den = F.expr(
+        "aggregate(transform(xs, (x, i) -> power(0.5D, size(xs) - 1 - i)),"
+        " 0D, (a, b) -> a + b)"
+    )
+    return lw.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(num / den, 4).alias("ewma"),
+    )
