@@ -2,6 +2,8 @@
 
 from fact_hive_custom_spark.queries import (  # noqa: F401
     aggregates,
+    analytics,
+    corpus,
     joins,
     llm_ops,
     llm_text,

@@ -1,0 +1,196 @@
+"""Event-analytics queries: funnel conversion, cohort retention, and
+OHLC resampling (SURVEY.md §2.2 event-stream surface).
+
+The reference corpus (`/root/reference/fact-hive`) has no dataflow
+operators (SURVEY.md §0); these cover the product-analytics shapes an
+events-table user runs daily: ordered-step conversion (funnel),
+first-seen cohort retention, and financial-style bar resampling.
+
+Determinism: all time arithmetic is integer epoch-micros / integer day
+or hour buckets; OHLC prices are 1e-4-scaled bigints (one shared rule
+with queries/timeseries.py) — no float crosses an engine boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fact_hive_custom_spark.queries.registry import register
+from fact_hive_custom_spark.tables import load_table
+
+_US_PER_DAY = 86_400_000_000
+_US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "q_funnel_steps",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    u1 AS (
+        SELECT user_id, MIN(us) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    u2 AS (
+        SELECT e.user_id, MIN(us) AS t2
+        FROM e JOIN u1 USING (user_id)
+        WHERE event_type = 'click' AND us > t1
+        GROUP BY e.user_id
+    ),
+    u3 AS (
+        SELECT e.user_id, MIN(us) AS t3
+        FROM e JOIN u2 USING (user_id)
+        WHERE event_type = 'purchase' AND us > t2
+        GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, 1 AS step_ord,
+           (SELECT COUNT(*) FROM u1) AS n_users
+    UNION ALL
+    SELECT 'click', 2, (SELECT COUNT(*) FROM u2)
+    UNION ALL
+    SELECT 'purchase', 3, (SELECT COUNT(*) FROM u3)
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER their first
+    view, then purchased AFTER that first qualifying click — the
+    strictly-ordered conversion count (not mere co-occurrence).
+
+    Plan: three per-user min-aggregations chained by joins that are all
+    keyed on user_id — every stage shuffles on the SAME key, so after
+    the first exchange the rest co-locate (and AQE keeps the shrinking
+    u2/u3 sides broadcast-eligible). State per user is one timestamp
+    per stage; at 100 TB this is the scalable alternative to a
+    sessionized sequence-match over raw history."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    u1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    u2 = (
+        e.join(u1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("us") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    u3 = (
+        e.join(u2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("us") > F.col("t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    row = lambda df, name, ord_: df.agg(  # noqa: E731
+        F.lit(name).alias("step"),
+        F.lit(ord_).cast("int").alias("step_ord"),
+        F.count(F.lit(1)).alias("n_users"),
+    ).select("step", "step_ord", "n_users")
+    return row(u1, "view", 1).unionAll(row(u2, "click", 2)).unionAll(
+        row(u3, "purchase", 3)
+    )
+
+
+@register(
+    "q_retention_cohort",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id
+    )
+    SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM e JOIN cohort c USING (user_id)
+    WHERE e.day - c.cohort_day <= 7
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted on each of their first 7 ± offset days of activity.
+
+    Plan: the cohort table is a per-user min (one shuffle on user_id);
+    the join back to events reuses the same key, and the final
+    (cohort_day, offset) aggregate is low-cardinality — its distinct
+    count shuffles (cohort, offset, user) triples that partial-agg
+    dedup first. Day buckets are integer micros-division: no calendar
+    functions, no timezone edge."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}").alias("day")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(cohort, "user_id")
+        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "q_ts_resample_ohlc",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id,
+               epoch_us(ts) // {_US_PER_HOUR} AS bucket,
+               epoch_us(ts) AS us, event_id,
+               CAST(round(value * 10000) AS BIGINT) AS px
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+            row_number() OVER (PARTITION BY user_id, bucket
+                               ORDER BY us, event_id) AS rn_a,
+            row_number() OVER (PARTITION BY user_id, bucket
+                               ORDER BY us DESC, event_id DESC) AS rn_d
+        FROM e
+    )
+    SELECT user_id, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN px END) AS open_e4,
+           MAX(px) AS high_e4,
+           MIN(px) AS low_e4,
+           MAX(CASE WHEN rn_d = 1 THEN px END) AS close_e4,
+           COUNT(*) AS n_events
+    FROM r GROUP BY user_id, bucket
+    """,
+)
+def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling: per (user, hour) open / high / low / close
+    in exact 1e-4 price units — the financial-downsample shape of a
+    hypertable rollup.
+
+    Open/close are row_number picks over the unique (us, event_id)
+    order (min_by/max_by on a composite key is engine-divergent on
+    ties; row_number is not). Plan: both window passes and the final
+    aggregate share the (user_id, bucket)-hash partitioning, so the
+    whole query is ONE exchange; at 100 TB bars build independently
+    per partition with bounded state."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}").alias("bucket"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.round(F.col("value") * 10000).cast("bigint").alias("px"),
+    )
+    wa = Window.partitionBy("user_id", "bucket").orderBy("us", "event_id")
+    wd = Window.partitionBy("user_id", "bucket").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    r = e.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return r.groupBy("user_id", "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("px"))).alias("open_e4"),
+        F.max("px").alias("high_e4"),
+        F.min("px").alias("low_e4"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("px"))).alias("close_e4"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

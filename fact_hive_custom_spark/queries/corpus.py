@@ -1,0 +1,246 @@
+"""Corpus-construction queries: chunking, n-gram statistics, inverted
+index, and embedding quantization (SURVEY.md §2.2 LLM-pipeline surface).
+
+The reference corpus (`/root/reference/fact-hive`) has no dataflow
+operators (SURVEY.md §0); these extend the training-data-pipeline
+surface the charter asks for: preparing documents for retrieval /
+training (overlapping chunks), language-model count statistics
+(bigrams), search-index construction (postings lists), and embedding
+compression (int8 scalar quantization).
+
+Cross-engine determinism rules (SURVEY.md §7.4):
+- token positions are 1-based `element_at`/`list_extract` on both
+  engines — never 0-based subscripts (Spark's `arr[i]` is 0-based,
+  DuckDB's is 1-based; positional builtins avoid the trap);
+- quantization rounds half-up via `floor(x + 0.5)` on doubles —
+  `floor` is exact on IEEE doubles in both engines, while `round()`
+  diverges on knife edges (Spark HALF_UPs the shortest-decimal repr,
+  DuckDB rounds the binary double);
+- everything emitted is int/string; no float leaves a query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fact_hive_custom_spark.queries.registry import register
+from fact_hive_custom_spark.tables import load_table
+
+_CHUNK = 20  # tokens per chunk
+_STRIDE = 15  # tokens between chunk starts (overlap = _CHUNK - _STRIDE)
+
+
+@register(
+    "q_llm_chunk_docs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, source, toks, n,
+               unnest(generate_series(0, n - 1, {_STRIDE})) AS s
+        FROM t
+    )
+    SELECT doc_id, source,
+           CAST(s // {_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(least(s + {_CHUNK}, n) - s AS BIGINT) AS chunk_tokens,
+           array_to_string(
+               list_slice(toks, s + 1, least(s + {_CHUNK}, n)), ' '
+           ) AS chunk_text
+    FROM starts
+    """,
+)
+def q_llm_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/training prep
+    step that splits each document into {_CHUNK}-token chunks every
+    {_STRIDE} tokens (fixed overlap keeps boundary context in two
+    chunks, the standard RAG layout).
+
+    Plan: pure per-row array work (split → generated starts → slice)
+    fused into one codegen stage with the scan; the explode multiplies
+    rows ~n/stride× but never shuffles — at 100 TB chunking is a
+    map-only pass whose output partitioning inherits the input's, so a
+    downstream embed/tokenize stage starts co-located."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    )
+    s = t.select(
+        "doc_id",
+        "source",
+        "toks",
+        "n",
+        F.explode(F.expr(f"sequence(0, n - 1, {_STRIDE})")).alias("s"),
+    )
+    return s.select(
+        "doc_id",
+        "source",
+        F.expr(f"s DIV {_STRIDE}").cast("bigint").alias("chunk_id"),
+        (F.least(F.col("s") + _CHUNK, F.col("n")) - F.col("s"))
+        .cast("bigint")
+        .alias("chunk_tokens"),
+        F.expr(
+            f"array_join(slice(toks, s + 1, least(s + {_CHUNK}, n) - s), ' ')"
+        ).alias("chunk_text"),
+    )
+
+
+@register(
+    "q_llm_ngram_counts",
+    oracle="""
+    WITH t AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM t
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bg GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 100
+    """,
+)
+def q_llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 bigram counts over the corpus — the n-gram LM statistic
+    behind classic contamination checks and quality heuristics.
+
+    Plan: bigrams are built per row with 1-based element_at (engine-
+    portable indexing), one explode, one partial+final count
+    aggregation, then sort+limit — Spark plans TakeOrderedAndProject,
+    a distributed per-partition top-k with an O(k) driver merge, never
+    a global sort. The (cnt DESC, bigram) key is unique per group row,
+    so LIMIT is deterministic on both engines. At 100 TB the shuffle
+    carries map-side-combined (bigram, count) partials only."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat(element_at(split(text, ' '), i), ' ',"
+                "             element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(100)
+    )
+
+
+@register(
+    "q_llm_inverted_index",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    )
+    SELECT term,
+           COUNT(*) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM tok
+    GROUP BY term
+    HAVING COUNT(*) >= 20
+    """,
+)
+def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: term → document frequency + sorted
+    postings list (serialized — the driver's hasher rejects arrays),
+    restricted to terms appearing in ≥20 documents.
+
+    Plan: explode → per-(term, doc) distinct → one groupBy(term) whose
+    shuffle carries (term, doc_id) pairs, with the postings built by
+    sort+join inside the aggregate. At 100 TB the skew risk is stop-
+    words (a term in every doc); the df floor here is the report
+    filter, and a production index would cap or shard hot terms
+    exactly like dedup's hot-shingle cap (operators/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).distinct()
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(doc_id)),"
+                " x -> cast(x as string)), ',')"
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 20)
+    )
+
+
+@register(
+    "q_llm_embed_quantize",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, label, embedding,
+               len(embedding) AS n_dims,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label, n_dims, scale,
+               list_transform(embedding,
+                   x -> CAST(floor((CAST(x AS DOUBLE) * 127) / scale + 0.5)
+                        AS BIGINT)) AS qs
+        FROM s WHERE scale > 0
+    )
+    SELECT vec_id, label, n_dims,
+           CAST(list_sum(qs) AS BIGINT) AS q_sum,
+           CAST(list_min(qs) AS BIGINT) AS q_min,
+           CAST(list_max(qs) AS BIGINT) AS q_max,
+           CAST(list_sum(list_transform(qs, v -> abs(v))) AS BIGINT) AS q_l1
+    FROM q
+    """,
+)
+def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric scalar quantization of the embedding column —
+    the 4× storage/bandwidth compression step before ANN serving —
+    reported as integer per-vector summaries (sum / min / max / L1 of
+    the quantized codes) that pin every code bit-for-bit.
+
+    Rounding is floor(x + 0.5) on doubles (exact in IEEE on both
+    engines); `round()` would diverge on .5 knife edges. Plan: one
+    narrow map-only pass, all higher-order array functions in codegen,
+    no shuffle, no Python — at 100 TB this is scan-bound, exactly what
+    a quantization sweep should be."""
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.size("embedding").alias("n_dims"),
+        F.expr(
+            "array_max(transform(embedding, x -> abs(cast(x as double))))"
+        ).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    q = s.withColumn(
+        "qs",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(floor((cast(x as double) * 127) / scale + 0.5)"
+            " as bigint))"
+        ),
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        "n_dims",
+        F.expr("aggregate(qs, 0L, (a, v) -> a + v)").alias("q_sum"),
+        F.array_min("qs").alias("q_min"),
+        F.array_max("qs").alias("q_max"),
+        F.expr("aggregate(qs, 0L, (a, v) -> a + abs(v))").alias("q_l1"),
+    )

@@ -541,9 +541,10 @@ def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_source
     )
     SELECT p.source, p.n_docs, p.n_tokens,
-           ROUND(p.n_tokens * 1.0 / t.total_tokens, 6) AS token_share,
-           ROUND((t.total_tokens * 1.0 / t.n_sources) / p.n_tokens, 6)
-               AS resample_weight
+           CAST((p.n_tokens * 1000000) // t.total_tokens AS BIGINT)
+               AS token_share_ppm,
+           CAST((t.total_tokens * 1000000) // (t.n_sources * p.n_tokens)
+               AS BIGINT) AS resample_weight_ppm
     FROM per_source p CROSS JOIN tot t
     """,
 )
@@ -567,12 +568,17 @@ def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.count(F.lit(1)).alias("n_sources"),
     )
+    # Shares as integer parts-per-million: float ROUND at the 6th
+    # decimal is engine-dependent (HALF_UP vs representation ties), so
+    # the report is exact integer arithmetic on both engines.
     return per_source.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens") / F.col("total_tokens"), 6).alias("token_share"),
-        F.round(
-            (F.col("total_tokens") / F.col("n_sources")) / F.col("n_tokens"), 6
-        ).alias("resample_weight"),
+        F.expr("CAST((n_tokens * 1000000) DIV total_tokens AS BIGINT)").alias(
+            "token_share_ppm"
+        ),
+        F.expr(
+            "CAST((total_tokens * 1000000) DIV (n_sources * n_tokens) AS BIGINT)"
+        ).alias("resample_weight_ppm"),
     )

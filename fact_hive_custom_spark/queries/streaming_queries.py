@@ -351,33 +351,43 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from fact_hive_custom_spark.streaming.jobs import EVENTS_RAW_SCHEMA
+    from pyspark.sql import types as T
 
     run_id = uuid.uuid4().hex[:8]
     base = os.path.join(tempfile.gettempdir(), "fact_hive_custom_spark_stage")
     stage_dir = os.path.join(base, f"cdc_src_{run_id}")
     state_dir = os.path.join(base, f"cdc_state_{run_id}")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Stage through the normalized batch reader (load_table handles
+    # whichever ts encoding the fixture ships) so the CDC feed has a
+    # FIXED layout — `us` epoch-micros long — independent of the source.
     (
-        spark.read.schema(EVENTS_RAW_SCHEMA)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
         .repartition(4)
         .write.mode("overwrite")
         .parquet(stage_dir)
     )
 
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    staged_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("us", T.LongType(), True),
+        ]
+    )
+    ev = (
+        spark.readStream.schema(staged_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage_dir)
-    )
-    ev = raw.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "value",
-        F.expr("ts div 1000").alias("us"),
     )
 
     from fact_hive_custom_spark.operators.merge import cdc_latest

@@ -35,12 +35,11 @@ _US_PER_HOUR = 3_600_000_000
         SELECT user_id, epoch_us(ts) AS us, value FROM events
     ),
     obs AS (
-        -- exact-integer average: SUM over scaled bigints, ONE float
-        -- division — no multi-term float summation whose order could
-        -- differ between engines (knife-edge-free at any rounding)
+        -- integer-exact per-bucket state: sum of 1e-4-scaled values
+        -- and the count; the average is never materialized as a float
         SELECT user_id, us // {_US_PER_HOUR} AS bucket,
-               SUM(CAST(round(value * 10000) AS BIGINT))
-                   / (10000.0 * COUNT(*)) AS obs_val
+               SUM(CAST(round(value * 10000) AS BIGINT)) AS s,
+               COUNT(*) AS n
         FROM e GROUP BY 1, 2
     ),
     span AS (
@@ -51,33 +50,45 @@ _US_PER_HOUR = 3_600_000_000
         SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM span
     ),
     j AS (
-        SELECT g.user_id, g.bucket, o.obs_val
+        SELECT g.user_id, g.bucket, o.s, o.n
         FROM grid g LEFT JOIN obs o USING (user_id, bucket)
     ),
     f AS (
         SELECT *,
-            last_value(obs_val IGNORE NULLS) OVER (
+            last_value(s IGNORE NULLS) OVER (
                 PARTITION BY user_id ORDER BY bucket
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-            last_value(CASE WHEN obs_val IS NOT NULL THEN bucket END
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_s,
+            last_value(n IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_n,
+            last_value(CASE WHEN s IS NOT NULL THEN bucket END
                        IGNORE NULLS) OVER (
                 PARTITION BY user_id ORDER BY bucket
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
-            first_value(obs_val IGNORE NULLS) OVER (
+            first_value(s IGNORE NULLS) OVER (
                 PARTITION BY user_id ORDER BY bucket
-                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-            first_value(CASE WHEN obs_val IS NOT NULL THEN bucket END
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv_s,
+            first_value(n IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv_n,
+            first_value(CASE WHEN s IS NOT NULL THEN bucket END
                         IGNORE NULLS) OVER (
                 PARTITION BY user_id ORDER BY bucket
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
         FROM j
     )
+    -- value in exact 1e-4 units, half-up in INTEGER arithmetic:
+    --   observed: s/n            → (2s + n) // 2n
+    --   gap: linear interpolation as one rational NUM/DEN
     SELECT user_id, bucket,
-           ROUND(CASE WHEN obs_val IS NOT NULL THEN obs_val
-                 ELSE pv + (nv - pv) *
-                      (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
-                 END, 4) AS value_filled,
-           obs_val IS NULL AS interpolated
+           CAST(CASE WHEN s IS NOT NULL
+                THEN (2 * s + n) // (2 * n)
+                ELSE (2 * (pv_s * nv_n * (nb - bucket)
+                           + nv_s * pv_n * (bucket - pb))
+                      + pv_n * nv_n * (nb - pb))
+                     // (2 * pv_n * nv_n * (nb - pb))
+                END AS BIGINT) AS value_e4,
+           s IS NULL AS interpolated
     FROM f
     """,
 )
@@ -89,13 +100,20 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one groupBy(user, bucket) for the observed series, a tiny
     per-user span aggregate whose `sequence()` explode generates the
     grid WITHOUT a join against a calendar table, then a single
-    window partitioning (user_id) for all four neighbor lookups — one
+    window partitioning (user_id) for all six neighbor lookups — one
     exchange end to end after the grid join. At 100 TB the grid is
     generated (never materialized globally) and every step is
     partitioned by user_id; no per-user history lives outside one
     window partition. Boundary buckets are observed by construction
     (the grid spans min..max observed), so interpolation never probes
-    off the edge."""
+    off the edge.
+
+    Output is in exact 1e-4 units (BIGINT): carrying (sum, count)
+    instead of a float average and interpolating as one integer
+    rational keeps both engines bit-identical — a 4-dp float ROUND
+    diverges on knife edges (Spark rounds the shortest-decimal repr
+    HALF_UP, DuckDB rounds the binary double; measured: 49.50375 →
+    49.5038 vs 49.5037)."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("us"), "value"
     )
@@ -104,9 +122,8 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("scaled", F.round(F.col("value") * 10000).cast("bigint"))
         .groupBy("user_id", "bucket")
         .agg(
-            (
-                F.sum("scaled") / (F.lit(10000.0) * F.count(F.lit(1)))
-            ).alias("obs_val")
+            F.sum("scaled").alias("s"),
+            F.count(F.lit(1)).alias("n"),
         )
     )
     span = obs.groupBy("user_id").agg(
@@ -127,29 +144,26 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    ob = F.col("obs_val")
+    ob = F.col("s")
+    marked = F.when(ob.isNotNull(), F.col("bucket"))
     f = (
-        j.withColumn("pv", F.last("obs_val", ignorenulls=True).over(wp))
-        .withColumn(
-            "pb",
-            F.last(F.when(ob.isNotNull(), F.col("bucket")), ignorenulls=True).over(wp),
-        )
-        .withColumn("nv", F.first("obs_val", ignorenulls=True).over(wn))
-        .withColumn(
-            "nb",
-            F.first(F.when(ob.isNotNull(), F.col("bucket")), ignorenulls=True).over(wn),
-        )
+        j.withColumn("pv_s", F.last("s", ignorenulls=True).over(wp))
+        .withColumn("pv_n", F.last("n", ignorenulls=True).over(wp))
+        .withColumn("pb", F.last(marked, ignorenulls=True).over(wp))
+        .withColumn("nv_s", F.first("s", ignorenulls=True).over(wn))
+        .withColumn("nv_n", F.first("n", ignorenulls=True).over(wn))
+        .withColumn("nb", F.first(marked, ignorenulls=True).over(wn))
     )
-    frac = (F.col("bucket") - F.col("pb")).cast("double") / (
-        F.col("nb") - F.col("pb")
-    ).cast("double")
-    filled = F.when(ob.isNotNull(), ob).otherwise(
-        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    value_e4 = F.expr(
+        "CASE WHEN s IS NOT NULL THEN (2 * s + n) DIV (2 * n)"
+        " ELSE (2 * (pv_s * nv_n * (nb - bucket) + nv_s * pv_n * (bucket - pb))"
+        "       + pv_n * nv_n * (nb - pb))"
+        "      DIV (2 * pv_n * nv_n * (nb - pb)) END"
     )
     return f.select(
         "user_id",
         "bucket",
-        F.round(filled, 4).alias("value_filled"),
+        value_e4.cast("bigint").alias("value_e4"),
         ob.isNull().alias("interpolated"),
     )
 

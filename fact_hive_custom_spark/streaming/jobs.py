@@ -23,33 +23,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# The events parquet is nanosecond-timestamped; streaming readers need
-# an explicit schema, so ts arrives as long-nanos and is rebuilt to a
-# µs timestamp exactly like tables.load_table does for batch.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos since epoch
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+# Streaming readers need an explicit schema; the fixture's ts encoding
+# has varied across driver versions (int64 nanos vs parquet
+# timestamp[us] → TIMESTAMP_NTZ), so the schema is built around a
+# footer probe instead of a hardcoded type — mirroring
+# tables.load_table's adaptive batch read.
+
+
+def events_raw_schema(ts_dtype: T.DataType) -> T.StructType:
+    """events schema with `ts` in the fixture's physical encoding."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_dtype, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+def events_ts_dtype(spark: SparkSession, sf_dir: str) -> T.DataType:
+    """Probe how the fixture encodes events.ts (parquet footer only)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.schema["ts"].dataType
 
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the batch-identical schema."""
+    """readStream over the events parquet, normalized like the batch read."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # see tables.load_table
+    ts_dtype = events_ts_dtype(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(ts_dtype))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # Integer division (`div`) — double division loses µs precision on
-    # int64 nanos (> 2^53); see tables.load_table.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_dtype, T.LongType):
+        # Integer division (`div`) — double division loses µs precision
+        # on int64 nanos (> 2^53); see tables.load_table.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_stream_to_memory(

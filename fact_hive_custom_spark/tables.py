@@ -29,11 +29,17 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (columnar Parquet, schema-on-read).
 
-    `events.ts` is nanosecond parquet, which Spark 4 refuses to read as
-    a timestamp (PARQUET_TYPE_ILLEGAL). We read it as long nanos
-    (legacy.parquet.nanosAsLong) and rebuild a microsecond timestamp —
-    lossless for this corpus (all values are µs-aligned; FIXTURES.md)
-    and identical to what a cluster ingesting µs data would see.
+    `events.ts` is normalized to a session-TZ TimestampType regardless
+    of how the fixture encodes it (the driver has shipped both):
+
+    - parquet timestamp[us]: Spark reads TIMESTAMP_NTZ (no UTC flag);
+      with the session pinned to UTC, a cast to TimestampType is a
+      bit-identical relabel and matches DuckDB's naive TIMESTAMP read.
+    - parquet timestamp[ns]: Spark 4 refuses to read it as a timestamp
+      (PARQUET_TYPE_ILLEGAL); we read long nanos
+      (legacy.parquet.nanosAsLong) and rebuild microseconds. Integer
+      `div` — `/` would promote int64 nanos to double and lose
+      precision above 2^53, shifting some timestamps by 1 µs.
 
     The session timezone is pinned to UTC here (runtime conf) because
     queries may run under a caller-built session: TZ-dependent
@@ -43,12 +49,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        # Integer division: `/` would promote int64 nanos to double and
-        # lose precision above 2^53, shifting some timestamps by 1 µs.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
