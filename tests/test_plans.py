@@ -195,6 +195,45 @@ class TestPipelineOpPlanShapes:
         assert len(exchanges) == 1, f"expected 1 exchange: {exchanges}"
         assert "user_id" in exchanges[0]
 
+    def test_chunking_and_quantization_are_map_only(self, spark):
+        """Chunking and int8 quantization are per-row array work — the
+        plan must contain NO exchange and no Python evaluation; output
+        co-location is what lets a downstream embed stage start without
+        a shuffle."""
+        for name in ("q_llm_chunk_docs", "q_llm_embed_quantize"):
+            plan = plan_of(spark, name)
+            assert "Exchange" not in plan, f"{name} should not shuffle"
+            assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_ngram_topk_avoids_global_sort(self, spark):
+        """Top-100 bigrams must plan as TakeOrderedAndProject (per-
+        partition top-k + O(k) driver merge) over ONE count exchange —
+        never a global range-sort of all bigram counts."""
+        plan = plan_of(spark, "q_llm_ngram_counts")
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+        exchanges = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        assert len(exchanges) == 1, f"expected 1 exchange: {exchanges}"
+
+    def test_ohlc_single_partitioning(self, spark):
+        """Both row_number windows and the OHLC aggregate key on
+        (user_id, bucket) — the plan must reuse ONE hash exchange."""
+        plan = plan_of(spark, "q_ts_resample_ohlc")
+        exchanges = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        assert len(exchanges) == 1, f"expected 1 exchange: {exchanges}"
+        assert "user_id" in exchanges[0] and "bucket" in exchanges[0]
+
+    def test_inverted_index_no_text_in_exchanges(self, spark):
+        """The postings build shuffles (term, doc_id) pairs only — raw
+        document text must be projected away before every exchange."""
+        plan = plan_of(spark, "q_llm_inverted_index")
+        exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+        assert exchanges and all("text#" not in e for e in exchanges)
+
     def test_dedup_clusters_no_text_in_exchanges(self, spark):
         """The clusters query joins the corpus on doc_id against the
         (tiny, checkpointed) component map — document text must never
