@@ -136,6 +136,48 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_event_transitions",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+    ),
+    nx AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id) AS to_type
+        FROM e
+    )
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM nx WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user — the behavioral-model statistic behind next-action
+    prediction and anomaly scoring.
+
+    Plan: one window shuffle on user_id for the lead(), then a
+    low-cardinality (from, to) count whose shuffle carries map-side
+    partials — at 100 TB the transition matrix is |types|² rows no
+    matter the input size. Order is the unique (us, event_id) chain,
+    so ties can't reorder across engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    nx = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        nx.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@register(
     "q_ts_resample_ohlc",
     oracle=f"""
     WITH e AS (
