@@ -149,6 +149,66 @@ def q_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+               AS revenue_e4,
+           COUNT(*) AS n_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact⋈fact join: both tables are written
+    `bucketBy(8, <orderkey>)` + sorted, then joined and aggregated
+    WITHOUT A SINGLE EXCHANGE — the pre-shuffle layout SCALING.md
+    prescribes for recurring 100 TB fact joins, demonstrated rather
+    than claimed (plan-pinned in tests/test_plans.py). The merge hint
+    keeps the optimizer from broadcasting the fixture-small side so
+    the plan is the one a cluster would run.
+
+    Revenue is exact-integer: cents × discount-complement-in-percent
+    (both 2-dp by data contract), so no float summation order can
+    diverge between engines.
+    """
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for tbl, src, key in (
+        ("fhcs_orders_bkt", "orders", "o_orderkey"),
+        ("fhcs_lineitem_bkt", "lineitem", "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(
+            os.path.join(warehouse.removeprefix("file:"), tbl),
+            ignore_errors=True,
+        )
+        df = load_table(spark, sf_dir, src)
+        # one file per bucket: cluster rows onto their bucket before the
+        # write so each bucket is a single sorted run (readable without
+        # a re-sort)
+        (
+            df.repartition(8, F.col(key))
+            .write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+    o = spark.table("fhcs_orders_bkt")
+    l = spark.table("fhcs_lineitem_bkt")
+    j = o.hint("merge").join(l, l["l_orderkey"] == o["o_orderkey"])
+    return j.groupBy("o_orderkey", "o_orderstatus").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
     "q_stream_file_source",
     oracle="SELECT COUNT(*) AS n_events, SUM(user_id) AS sum_users FROM events",
 )

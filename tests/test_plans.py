@@ -76,6 +76,14 @@ class TestJoinStrategies:
         plan = plan_of(spark, "q_join_theta")
         assert "BroadcastNestedLoopJoin" not in plan or "p_brand" in plan.split("Join")[1]
 
+    def test_bucketed_join_no_exchange(self, spark):
+        """Two tables bucketed on the join key must sort-merge join AND
+        aggregate with ZERO exchanges — the pre-shuffled layout that
+        removes the recurring fact⋈fact shuffle at 100 TB."""
+        plan = plan_of(spark, "q_join_bucketed")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+
     def test_asof_join_has_no_cartesian(self, spark):
         plan = plan_of(spark, "q_join_asof")
         assert "CartesianProduct" not in plan
