@@ -9,7 +9,11 @@ at 100 TB, partition layout is the first-order scan optimization.
 
 JDBC / Kafka connectors are out of scope in this environment (no
 endpoints); the production path is stock `spark.read.jdbc` /
-`format("kafka")`.
+`format("kafka")`. Avro is likewise out of scope: it is an external
+module since Spark 2.4 (`spark-avro` jar, not on this classpath and no
+network to fetch it — verified: `format("avro")` raises
+FAILED_FIND_DATA_SOURCE); the production path is stock
+`format("avro")` with the package deployed.
 """
 
 from __future__ import annotations
