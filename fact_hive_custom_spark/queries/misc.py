@@ -81,6 +81,43 @@ def q_agg_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_event_type, cnt AS n_occurrences
+    FROM c
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY cnt DESC, event_type
+    ) = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per group (most frequent event type per user) with a
+    DETERMINISTIC tiebreak (count desc, then lexicographic) — the
+    builtin `mode()` leaves ties engine-defined, so the portable form
+    is count + row_number, which also partial-aggregates: the shuffle
+    carries (user, type, partial-count) triples, and both the count and
+    the window key on user_id, reusing one partitioning."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("cnt").alias("n_occurrences"),
+        )
+    )
+
+
+@register(
     "q_fn_hash",
     oracle="""
     SELECT doc_id,
