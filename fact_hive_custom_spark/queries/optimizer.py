@@ -120,3 +120,59 @@ def q_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old_cbo)
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", old_reorder)
+
+
+@register(
+    "q_join_bloom",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS price_c
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: a selective dim-side filter
+    (URGENT orders, ~20%) whose key set Spark condenses into a bloom
+    filter injected on the PROBE side of the shuffle join — probe rows
+    that can't match are dropped BEFORE the shuffle, the runtime
+    analogue of DPP for non-partition keys. At 100 TB this cuts the
+    dominant cost (the fact-side exchange) by the filter's selectivity.
+
+    The rule only fires when the creation side isn't broadcast-able, so
+    the flags (incl. autoBroadcastJoinThreshold=-1) are set for ONE
+    forced optimization (cached on this QueryExecution, the
+    q_cbo_join_reorder trick) and restored; re-planning under default
+    confs simply broadcasts instead — same rows either way. Plan
+    assertion: tests/test_plans.py checks bloom_filter_agg +
+    might_contain under these flags.
+    """
+    flags = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in flags}
+    for k, v in flags.items():
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = load_table(spark, sf_dir, "lineitem")
+        df = (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                ).alias("price_c"),
+            )
+        )
+        df._jdf.queryExecution().optimizedPlan()
+        return df
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -150,6 +150,17 @@ class TestRound3PlanShapes:
         assert "TakeOrderedAndProject" in plan_of(spark, "q_limit")
 
 
+class TestRuntimeFilters:
+    def test_bloom_filter_injected_on_probe_side(self, spark):
+        """With the creation side non-broadcastable, the selective
+        order-priority filter must become a bloom filter probed on the
+        lineitem side before its shuffle (bloom_filter_agg builds it,
+        might_contain applies it)."""
+        plan = plan_of(spark, "q_join_bloom")
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan
+
+
 class TestPipelineOpPlanShapes:
     def test_centroids_partial_aggregation_no_python(self, spark):
         """Centroid avg must plan as partial+final hash aggregation (the
