@@ -625,3 +625,37 @@ class TestConnectedComponentsScale:
         assert comps.nodes == n
         assert comps.comps == 1
         assert comps.mx == 0
+
+
+class TestChunkingInvariants:
+    def test_chunks_tile_every_document_exactly(self, spark):
+        """Independent semantic check (the DuckDB oracle shares the
+        formulation, so it can't catch a shared spec bug): chunk starts
+        are 0, 15, 30, ... per doc, the last chunk ends exactly at the
+        doc's token count, and consecutive chunks overlap by
+        window - stride tokens."""
+        from fact_hive_custom_spark.queries import QUERIES
+        from fact_hive_custom_spark.tables import load_table
+
+        chunks = QUERIES["q_llm_chunk_docs"](spark, SF_DIR)
+        per_doc = (
+            chunks.withColumn("start", F.col("chunk_id") * 15)
+            .groupBy("doc_id")
+            .agg(
+                F.min("chunk_id").alias("first_id"),
+                F.max("chunk_id").alias("last_id"),
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.max(F.col("start") + F.col("chunk_tokens")).alias("covered_to"),
+            )
+        )
+        docs = load_table(spark, SF_DIR, "documents").select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        j = per_doc.join(docs, "doc_id")
+        bad = j.filter(
+            (F.col("first_id") != 0)
+            | (F.col("covered_to") != F.col("n_tokens"))
+            | (F.col("last_id") != F.col("n_chunks") - 1)
+            | (F.col("n_chunks") != F.floor((F.col("n_tokens") - 1) / 15) + 1)
+        )
+        assert bad.count() == 0, bad.limit(5).collect()
