@@ -173,3 +173,70 @@ def q_udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "q_udf_cogroup",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS k, COUNT(*) AS n_orders,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
+        FROM orders GROUP BY 1
+    ),
+    e AS (
+        SELECT user_id AS k, COUNT(*) AS n_events,
+               SUM(CAST(round(value * 10000) AS BIGINT)) AS value_e4
+        FROM events GROUP BY 1
+    )
+    SELECT COALESCE(o.k, e.k) AS custkey,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(spend_c, 0) AS spend_c,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(value_e4, 0) AS value_e4
+    FROM o FULL OUTER JOIN e ON o.k = e.k
+    """,
+)
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped map (`groupBy().cogroup().applyInPandas`): the
+    two-sided grouped UDF — each key's FULL order history and FULL
+    event history arrive together as two pandas frames, the shape of
+    reconciliation jobs (ledger vs activity) where neither side's
+    aggregate alone suffices. Keys present on either side are emitted
+    (cogroup is a full-outer alignment).
+
+    Plan: both sides shuffle ONCE on the key and meet in a single
+    Arrow-batched FlatMapCoGroupsInPandas — at 100 TB this is two
+    co-partitioned exchanges and no join, with per-key state bounded
+    by that key's rows. Sums are integer cents/1e-4 units so pandas
+    int64 arithmetic matches the SQL oracle exactly."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+    )
+
+    def reconcile(key, o_pdf: pd.DataFrame, e_pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "custkey": int(key[0]),
+                    "n_orders": len(o_pdf),
+                    "spend_c": int(o_pdf["price_c"].sum()) if len(o_pdf) else 0,
+                    "n_events": len(e_pdf),
+                    "value_e4": int(e_pdf["v_e4"].sum()) if len(e_pdf) else 0,
+                }
+            ]
+        )
+
+    return (
+        o.groupBy("o_custkey")
+        .cogroup(e.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            schema="custkey bigint, n_orders bigint, spend_c bigint,"
+            " n_events bigint, value_e4 bigint",
+        )
+    )
