@@ -55,8 +55,8 @@ _STRIDE = 15  # tokens between chunk starts (overlap = _CHUNK - _STRIDE)
 )
 def q_llm_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking — the retrieval/training prep
-    step that splits each document into {_CHUNK}-token chunks every
-    {_STRIDE} tokens (fixed overlap keeps boundary context in two
+    step that splits each document into 20-token (_CHUNK) chunks every
+    15 (_STRIDE) tokens (fixed overlap keeps boundary context in two
     chunks, the standard RAG layout).
 
     Plan: pure per-row array work (split → generated starts → slice)
@@ -119,14 +119,23 @@ def q_llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a distributed per-partition top-k with an O(k) driver merge, never
     a global sort. The (cnt DESC, bigram) key is unique per group row,
     so LIMIT is deterministic on both engines. At 100 TB the shuffle
-    carries map-side-combined (bigram, count) partials only."""
+    carries map-side-combined (bigram, count) partials only.
+
+    Docs with <2 tokens are filtered out before the sequence() —
+    Spark's sequence(1, 0) defaults to step -1 and yields [1, 0],
+    whose index 0 would crash element_at, while DuckDB's
+    generate_series(1, 0) is empty; the filter makes both engines
+    emit nothing for them."""
     d = load_table(spark, sf_dir, "documents")
-    bg = d.select(
+    toks = d.select(F.split(F.col("text"), " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = toks.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> concat(element_at(split(text, ' '), i), ' ',"
-                "             element_at(split(text, ' '), i + 1)))"
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ',"
+                "             element_at(toks, i + 1)))"
             )
         ).alias("bigram")
     )

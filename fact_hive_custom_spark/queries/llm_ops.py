@@ -482,10 +482,12 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_incremental_dedup",
     oracle="""
     WITH hist AS (
-        SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id < 400
+        SELECT DISTINCT sha256(text) AS h FROM documents
+        WHERE doc_id < 400 AND text IS NOT NULL
     ),
     batch AS (
-        SELECT doc_id, source, sha256(text) AS h FROM documents WHERE doc_id >= 400
+        SELECT doc_id, source, sha256(text) AS h FROM documents
+        WHERE doc_id >= 400 AND text IS NOT NULL
     ),
     fresh AS (
         SELECT MIN(doc_id) AS keep_id, h,
@@ -509,8 +511,14 @@ def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then dedupes within itself — at 100 TB the history-hash table is
     the only persistent state a rolling dedup needs, and both sides
     shuffle on the same uniform key (no skew by construction).
+
+    NULL texts are excluded on BOTH engines explicitly: Spark's
+    left_anti KEEPS a NULL join key (never matches) while SQL's
+    NOT IN drops it — and a NULL in the history set would turn
+    NOT IN into an empty result. The filter is a fixture no-op
+    today but survives nullable-text drift.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     hashed = d.select("doc_id", "source", F.sha2(F.col("text"), 256).alias("h"))
     hist = hashed.filter(F.col("doc_id") < 400).select("h").distinct()
     batch = hashed.filter(F.col("doc_id") >= 400)

@@ -19,6 +19,7 @@ FAILED_FIND_DATA_SOURCE); the production path is stock
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -178,17 +179,34 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverge between engines.
     """
     import shutil
+    import uuid
 
+    # Per-run table names: two concurrent invocations (parallel test
+    # workers, bench alongside parity) must not race on a shared
+    # DROP/rmtree/saveAsTable under a fixed name. The returned frame
+    # reads the bucket files lazily, so the tables can't be dropped
+    # here; instead sweep orphans from *finished* runs — only dirs
+    # older than an hour, which no live invocation can still be using.
+    run = uuid.uuid4().hex[:12]
+    orders_tbl = f"fhcs_orders_bkt_{run}"
+    lineitem_tbl = f"fhcs_lineitem_bkt_{run}"
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_dir = warehouse.removeprefix("file:")
+    if os.path.isdir(wh_dir):
+        now = time.time()
+        for name in os.listdir(wh_dir):
+            if name.startswith(("fhcs_orders_bkt", "fhcs_lineitem_bkt")):
+                p = os.path.join(wh_dir, name)
+                try:
+                    if now - os.path.getmtime(p) > 3600:
+                        spark.sql(f"DROP TABLE IF EXISTS {name}")
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
     for tbl, src, key in (
-        ("fhcs_orders_bkt", "orders", "o_orderkey"),
-        ("fhcs_lineitem_bkt", "lineitem", "l_orderkey"),
+        (orders_tbl, "orders", "o_orderkey"),
+        (lineitem_tbl, "lineitem", "l_orderkey"),
     ):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(
-            os.path.join(warehouse.removeprefix("file:"), tbl),
-            ignore_errors=True,
-        )
         df = load_table(spark, sf_dir, src)
         # one file per bucket: cluster rows onto their bucket before the
         # write so each bucket is a single sorted run (readable without
@@ -200,8 +218,8 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .sortBy(key)
             .saveAsTable(tbl)
         )
-    o = spark.table("fhcs_orders_bkt")
-    l = spark.table("fhcs_lineitem_bkt")
+    o = spark.table(orders_tbl)
+    l = spark.table(lineitem_tbl)
     j = o.hint("merge").join(l, l["l_orderkey"] == o["o_orderkey"])
     return j.groupBy("o_orderkey", "o_orderstatus").agg(
         F.sum(

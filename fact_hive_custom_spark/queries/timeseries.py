@@ -77,7 +77,10 @@ _US_PER_HOUR = 3_600_000_000
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
         FROM j
     )
-    -- value in exact 1e-4 units, half-up in INTEGER arithmetic:
+    -- value in exact 1e-4 units in INTEGER arithmetic (half-up for the
+    -- non-negative sums the events fixture guarantees; for negative
+    -- sums both engines' integer division truncates identically, so
+    -- parity holds either way — it just isn't "half-up" there):
     --   observed: s/n            → (2s + n) // 2n
     --   gap: linear interpolation as one rational NUM/DEN
     SELECT user_id, bucket,

@@ -1,0 +1,129 @@
+"""Fixture-drift parity: the driver regenerates testdata between
+rounds (round 3 lost 9 CORRECTNESS rows + the bench to a silent
+events.ts re-encode), so every drift-prone encoding gets a synthesized
+variant here and the affected queries must stay Spark==DuckDB on it.
+
+Variants covered:
+- documents with degenerate texts: empty string, single token, two
+  tokens, NULL — the ADVICE-flagged latent crash class (Spark's
+  sequence(1, 0) is a descending [1, 0], not empty like DuckDB's
+  generate_series(1, 0));
+- embeddings with float64 elements / int64 labels (current fixture:
+  float32 / int32).
+
+Each case copies sf0.001 and swaps one table, then runs the strict
+driver-hash replica (tests.parity.compare) for every query that reads
+the swapped table.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.parity import compare
+
+_SRC = "/root/testdata/sf0.001"
+
+# Queries over the documents table (text-shape sensitive).
+DOC_QUERIES = [
+    "q_llm_chunk_docs",
+    "q_llm_ngram_counts",
+    "q_llm_inverted_index",
+    "q_llm_exact_dedup",
+    "q_llm_jaccard_dedup",
+    "q_llm_minhash_lsh",
+    "q_llm_text_stats",
+    "q_llm_tfidf",
+    "q_llm_lang_filter",
+    "q_llm_dedup_clusters",
+    "q_llm_corpus_pipeline",
+    "q_llm_incremental_dedup",
+    "q_llm_domain_mix",
+    "q_llm_lang_id",
+    "q_llm_quality_score",
+    "q_llm_fingerprint",
+    "q_llm_simhash",
+    "q_llm_repetition",
+    "q_llm_stratified_sample",
+    "q_llm_decontaminate",
+    "q_llm_pack_sequences",
+    "q_llm_token_count",
+]
+
+# Queries over the embeddings table (element/label dtype sensitive).
+EMB_QUERIES = [
+    "q_llm_embed_quantize",
+    "q_llm_cosine_topk",
+    "q_llm_ivf_topk",
+    "q_llm_knn_label",
+    "q_llm_centroids",
+    "q_llm_cosine_dedup",
+    "q_llm_multimodal",
+]
+
+
+def _clone_fixture(dst) -> str:
+    dst.mkdir(exist_ok=True)
+    for f in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings".split()
+    ):
+        shutil.copy(f"{_SRC}/{f}.parquet", str(dst / f"{f}.parquet"))
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def degenerate_docs_dir(tmp_path_factory):
+    """sf0.001 with four degenerate documents appended."""
+    d = tmp_path_factory.mktemp("drift_docs")
+    sf_dir = _clone_fixture(d)
+    t = pq.read_table(f"{_SRC}/documents.parquet")
+    base = t.to_pydict()
+    next_id = max(base["doc_id"]) + 1
+    lang = base["lang"][0]
+    source = base["source"][0]
+    for i, text in enumerate(["", "solo", "two tokens", None]):
+        base["doc_id"].append(next_id + i)
+        base["text"].append(text)
+        base["lang"].append(lang)
+        base["source"].append(source)
+        base["n_chars"].append(len(text) if text is not None else None)
+    pq.write_table(
+        pa.table(base, schema=t.schema), f"{sf_dir}/documents.parquet"
+    )
+    return sf_dir
+
+
+@pytest.fixture(scope="module")
+def wide_embeddings_dir(tmp_path_factory):
+    """sf0.001 with embeddings re-encoded float32→float64, int32→int64."""
+    d = tmp_path_factory.mktemp("drift_emb")
+    sf_dir = _clone_fixture(d)
+    t = pq.read_table(f"{_SRC}/embeddings.parquet")
+    wide = pa.table(
+        {
+            "vec_id": t.column("vec_id"),
+            "embedding": t.column("embedding").cast(
+                pa.list_(pa.float64())
+            ),
+            "label": t.column("label").cast(pa.int64()),
+        }
+    )
+    pq.write_table(wide, f"{sf_dir}/embeddings.parquet")
+    return sf_dir
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_degenerate_documents_parity(spark, degenerate_docs_dir, name):
+    ok, detail = compare(spark, name, degenerate_docs_dir)
+    assert ok, f"{name} on degenerate docs: {detail}"
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_float64_embeddings_parity(spark, wide_embeddings_dir, name):
+    ok, detail = compare(spark, name, wide_embeddings_dir)
+    assert ok, f"{name} on float64/int64 embeddings: {detail}"
