@@ -29,11 +29,20 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k:
 
     Documents shorter than k tokens produce no shingles (they cannot
     near-duplicate anything under k-shingle Jaccard).
-    """
-    from fact_hive_custom_spark.functions.text import ngram_shingles
 
-    sh = F.explode(ngram_shingles(F.col(text_col), k))
-    return docs.select(F.col(id_col).alias("doc_id"), sh.alias("shingle"))
+    Two-step projection on purpose: tokens are materialized as a bound
+    column BEFORE the shingling lambda, so the document is split once
+    per row, not once per shingle position (the higher-order-function
+    re-evaluation trap — 4.7× on the sf1.0 corpus; functions/text.py).
+    """
+    from fact_hive_custom_spark.functions.text import ngram_shingles_of, tokens
+
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    return toked.select(
+        "doc_id", F.explode(ngram_shingles_of(F.col("__toks"), k)).alias("shingle")
+    )
 
 
 def jaccard_pairs(
@@ -129,12 +138,19 @@ def minhash_lsh_pairs(
     """
     # Same hashed-shingle representation as jaccard_pairs: signatures
     # hash the 64-bit key again per seed (a valid MinHash family), and
-    # the verification join shuffles longs. NOT persisted: unlike
-    # jaccard_pairs there is no df-cap window pass to amortize, and the
-    # measured cache-build cost exceeds the re-scan cost (bench r3:
-    # 2.6 s -> 4.2 s with persist at sf0.1); candidate verification
-    # touches only colliding pairs either way.
-    sh = shingles(docs, k=k).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    # the verification join shuffles longs. Persisted: the frame feeds
+    # four consumers (signatures, sizes, both verification join sides)
+    # and caching (doc_id, long) pairs is ~16 B/shingle. The r3 bench
+    # note that re-scan beat persist predates the bound-tokens shingle
+    # fix — with the scan 4.7× cheaper the cache build is cheap too,
+    # and the A/B flipped (sf1.0: 5.5 s persisted vs 6.2 s re-scan);
+    # at 100 TB re-scanning would be four full corpus tokenize passes.
+    # Released by Spark's LRU / clearCache(), like jaccard_pairs.
+    sh = (
+        shingles(docs, k=k)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sig = minhash_signatures(sh, num_hashes=rows_per_band * num_bands)
 
     bands = F.array(

@@ -130,15 +130,19 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 4-row-per-doc index — the compact alternative to full MinHash
     signatures when index size matters. md5 (not xxhash) keeps the
     oracle engine-portable. Fingerprint serialized to a comma string:
-    the driver's value-hash can't hash list cells."""
+    the driver's value-hash can't hash list cells.
+
+    Tokens are projected to a bound column before the shingling lambda
+    (inline split would re-tokenize per position — functions/text.py
+    documents the 4.7× higher-order-function trap)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
+    toked = d.select("doc_id", F.split("text", " ").alias("toks"))
+    n = F.size("toks")
     idx = F.when(n >= 4, F.sequence(F.lit(1), n - 3)).otherwise(F.array().cast("array<int>"))
     hashes = F.array_distinct(
-        F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i, 4), " ")))
+        F.transform(idx, lambda i: F.md5(F.array_join(F.slice("toks", i, 4), " ")))
     )
-    return d.filter(n >= 4).select(
+    return toked.filter(n >= 4).select(
         "doc_id",
         F.concat_ws(",", F.slice(F.sort_array(hashes), 1, 4)).alias("fingerprint"),
     )
@@ -252,18 +256,20 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition scoring is embarrassingly parallel per document.
     """
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ")
-    tok = d.select("doc_id", F.explode(t).alias("token"))
+    # bound tokens column: an inline split inside the bigram lambda
+    # would re-tokenize the doc per position (functions/text.py trap)
+    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    tok = toked.select("doc_id", F.explode("t").alias("token"))
     ttr = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.countDistinct("token") / F.count(F.lit(1)), 6).alias("ttr"),
     )
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
     )
     bc = (
-        d.filter(F.size(t) >= 2)
+        toked.filter(F.size("t") >= 2)
         .select("doc_id", F.explode(bigrams).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("c"))
