@@ -40,6 +40,12 @@ HEADLINE = [
     "q_llm_minhash_lsh",
     "q_llm_cosine_topk",
     "q_llm_tfidf",
+    # round-4 plan shapes: zero-exchange pre-bucketed fact join and
+    # runtime bloom-filter join pruning — benched so a regression in
+    # either newest physical strategy shows up in the driver's BENCH,
+    # not only in tests/test_plans.py
+    "q_join_bucketed",
+    "q_join_bloom",
 ]
 
 

@@ -261,6 +261,50 @@ class TestPipelineOpPlanShapes:
         exchanges = [l for l in plan.splitlines() if "Exchange" in l]
         assert all("text#" not in e for e in exchanges)
 
+    def test_funnel_all_shuffles_key_on_user(self, spark):
+        """Every funnel stage (per-user min-aggs, stage joins) keys on
+        user_id; the only other exchanges are the SinglePartition scalar
+        counts and broadcasts of the shrinking stage outputs. A foreign
+        hash key would mean a stage re-shuffling events on something
+        other than the funnel subject — the 100 TB regression to catch.
+        The identical event-scan subplans in stages 2/3 are also
+        exchange-reusable (same child ⇒ ReusedExchange at SMJ scale)."""
+        plan = plan_of(spark, "q_funnel_steps")
+        hash_ex = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        assert hash_ex, "expected per-user hash exchanges"
+        assert all("user_id" in e for e in hash_ex), hash_ex
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_retention_first_seen_broadcasts(self, spark):
+        """The first-seen (cohort) side must reach the events join as a
+        broadcast: the fact table never shuffles for the join itself —
+        its only hash exchanges are the distinct-user and cohort-cell
+        aggregations (all keyed on cohort_day/day_offset/user_id)."""
+        plan = plan_of(spark, "q_retention_cohort")
+        assert "BroadcastExchange" in plan
+        hash_ex = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        assert hash_ex
+        for e in hash_ex:
+            assert "user_id" in e or ("cohort_day" in e and "day_offset" in e), e
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_transitions_two_exchanges(self, spark):
+        """First-order transition counts: ONE per-user exchange feeds the
+        lag window, ONE (from_type, to_type) exchange the pair count —
+        nothing else. Output is |types|² regardless of input scale."""
+        plan = plan_of(spark, "q_event_transitions")
+        hash_ex = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        assert len(hash_ex) == 2, f"expected 2 exchanges: {hash_ex}"
+        assert any("user_id" in e for e in hash_ex)
+        assert any("from_type" in e and "to_type" in e for e in hash_ex)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
 
 class TestCodegenPurity:
     @pytest.mark.parametrize(
