@@ -21,7 +21,8 @@ Cross-engine determinism rules (SURVEY.md §7.4):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fact_hive_custom_spark.queries.registry import register
@@ -252,4 +253,159 @@ def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qs").alias("q_min"),
         F.array_max("qs").alias("q_max"),
         F.expr("aggregate(qs, 0L, (a, v) -> a + abs(v))").alias("q_l1"),
+    )
+
+
+_BM25_TERMS = ("join", "hash", "scan")  # in-corpus query terms
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "q_llm_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        WHERE term IN ('join', 'hash', 'scan') GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+        WHERE term IN ('join', 'hash', 'scan') GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(
+                   ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * (tf.tf * ({_BM25_K1} + 1))
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / stats.avgdl)),
+               6) AS bm25
+        FROM tf
+        JOIN dfreq ON tf.term = dfreq.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    )
+    SELECT term, doc_id, bm25
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY term ORDER BY bm25 DESC, doc_id) <= 10
+    """,
+)
+def q_llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75): top-10 documents per
+    query term — the lexical-retrieval baseline every RAG corpus needs
+    next to its ANN index.
+
+    Plan: SINGLE corpus pass — one token explode feeds a per-doc
+    conditional aggregation (doc length + one tf counter per query
+    term in the same groupBy), so the corpus is tokenized once and
+    shuffles once on doc_id with map-side partial aggregation. The
+    (n_docs, avgdl, per-term df) scalar derives from that frame and
+    broadcasts back; stack() unpivots the tf columns into (term, tf,
+    df) rows for scoring. Ranking is per-term row_number over the
+    ROUNDED score with a doc_id tiebreak — deterministic on both
+    engines. (The relational oracle recomputes tf/df/dl from scratch —
+    same numbers, different plan; the driver compares values only.)"""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    # persisted: feeds both the corpus-stats scalar and the scoring
+    # unpivot — without it the tokenize+aggregate pass runs twice
+    # (observed as two doc_id exchanges in the plan). One row per doc
+    # (id + 4 longs ≈ 40 B), so the cache is corpus-count-sized, not
+    # corpus-sized. Released by Spark's LRU, same policy as
+    # operators/dedup.py.
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    triplets = ", ".join(
+        f"'{t}', tf_{t}, df_{t}" for t in _BM25_TERMS
+    )
+    unpivoted = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "dl",
+            "n_docs",
+            "avgdl",
+            F.expr(
+                f"stack({len(_BM25_TERMS)}, {triplets}) AS (term, tf, df)"
+            ),
+        )
+        .filter(F.col("tf") > 0)
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = unpivoted.select(
+        "term", "doc_id", F.round(idf * tf_norm, 6).alias("bm25")
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("term", "doc_id", "bm25")
+    )
+
+
+@register(
+    "q_llm_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+    SELECT token, cnt,
+           CAST((cnt * 1000000) // tot.n AS BIGINT) AS share_ppm
+    FROM c CROSS JOIN tot
+    WHERE cnt * 200 >= tot.n
+    """,
+)
+def q_llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: tokens holding ≥ 0.5% of all token mass,
+    with exact integer ppm shares — the stop-word / boilerplate
+    detector that feeds dedup's hot-shingle cap and the inverted
+    index's df floor.
+
+    All-integer arithmetic (share_ppm = cnt*1e6 DIV total — both
+    engines truncate non-negative integer division identically). Plan:
+    one map-side-combined token count shuffle; the scalar total
+    broadcasts into the filter, so output is the (tiny) heavy-hitter
+    set regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    c = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * 200 >= F.col("n"))
+        .select(
+            "token",
+            "cnt",
+            F.expr("(cnt * 1000000) DIV n").cast("bigint").alias("share_ppm"),
+        )
     )

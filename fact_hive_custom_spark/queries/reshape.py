@@ -5,7 +5,7 @@ unpivot = a generate, no shuffle at all)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fact_hive_custom_spark.queries.registry import register
@@ -89,3 +89,82 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_mktsegment", F.lit("UPDATED"))
     )
     return upsert(c, updates, key=["c_custkey"])
+
+
+@register(
+    "q_scd2_history",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type AS status, epoch_us(ts) AS us, event_id
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, status, us, event_id,
+               lag(status) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id) AS prev
+        FROM e
+    ),
+    r AS (
+        SELECT user_id, status, us, event_id,
+               SUM(CASE WHEN prev IS NULL OR prev <> status THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS version_no
+        FROM o
+    ),
+    g AS (
+        SELECT user_id, status, CAST(version_no AS BIGINT) AS version_no,
+               MIN(us) AS valid_from_us, COUNT(*) AS n_events
+        FROM r GROUP BY user_id, status, version_no
+    )
+    SELECT user_id, status, version_no, valid_from_us,
+           lead(valid_from_us) OVER (
+               PARTITION BY user_id ORDER BY version_no) AS valid_to_us,
+           (lead(valid_from_us) OVER (
+               PARTITION BY user_id ORDER BY version_no) IS NULL) AS is_current,
+           n_events
+    FROM g
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event stream:
+    consecutive runs of the same per-user status collapse into
+    versioned validity intervals (valid_from/valid_to half-open,
+    NULL = current) — the warehouse dimension-history shape.
+
+    Plan: lag → run-id running sum → run rollup → lead, ALL keyed on
+    user_id, so Catalyst reuses ONE hash exchange across every window
+    and the aggregate (plan-pinned in tests). Exact integer
+    epoch-micros; ties broken by event_id, so versions are total-
+    ordered and engine-identical."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    r = e.withColumn("prev", F.lag("status").over(wo)).withColumn(
+        "version_no",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") != F.col("status")), 1
+            ).otherwise(0)
+        )
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    g = r.groupBy("user_id", "status", "version_no").agg(
+        F.min("us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version_no")
+    nxt = F.lead("valid_from_us").over(wv)
+    return g.select(
+        "user_id",
+        "status",
+        "version_no",
+        "valid_from_us",
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+        "n_events",
+    )

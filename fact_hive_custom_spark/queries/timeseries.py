@@ -229,3 +229,64 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(num / den, 4).alias("ewma"),
     )
+
+
+@register(
+    "q_ts_anomaly",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+    ),
+    w AS (
+        SELECT user_id, event_id, value,
+               avg(value) OVER win AS mu,
+               stddev_samp(value) OVER win AS sd,
+               COUNT(*) OVER win AS n
+        FROM e
+        WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CAST(round(value * 10000) AS BIGINT) AS value_e4,
+           ROUND((value - mu) / sd, 4) AS z
+    FROM w
+    WHERE n >= 10 AND sd > 0 AND abs(value - mu) > 2 * sd
+    """,
+)
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: events whose value deviates
+    more than 2 sample-stddevs from their user's trailing 20-event
+    window (minimum 10 observations) — the monitoring/outlier-flagging
+    shape over any metric stream.
+
+    One exchange on user_id serves all three frame aggregates. The
+    2-sigma predicate compares UNROUNDED doubles: both engines compute
+    mu/sd over the identical frame rows, and the fixture's continuous
+    values keep knife-edge ties measure-zero; only the reported z is
+    rounded (4 dp) for the value hash."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    w = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sd"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    return w.filter(
+        (F.col("n") >= 10)
+        & (F.col("sd") > 0)
+        & (F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sd"))
+    ).select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 10000).cast("bigint").alias("value_e4"),
+        F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+    )

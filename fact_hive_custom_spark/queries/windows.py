@@ -419,3 +419,37 @@ def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("us").alias("end_us"),
         (F.max("us") - F.min("us")).alias("duration_us"),
     )
+
+
+@register(
+    "q_win_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           ntile(4) OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank bundle per market segment: ntile(4) quartile,
+    percent_rank, cume_dist over account balance.
+
+    The order key is (c_acctbal, c_custkey) — unique, so ntile's
+    bucket boundaries and both rank fractions are engine-deterministic
+    (an acctbal-only ordering would leave tied rows in
+    implementation-defined order). One exchange on c_mktsegment; at
+    100 TB a high-cardinality partition key keeps windows parallel —
+    segment count here is 5, the demo's limitation, not the plan's."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )

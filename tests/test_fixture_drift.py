@@ -9,7 +9,11 @@ Variants covered:
   sequence(1, 0) is a descending [1, 0], not empty like DuckDB's
   generate_series(1, 0));
 - embeddings with float64 elements / int64 labels (current fixture:
-  float32 / int32).
+  float32 / int32);
+- events with compact (no-space) props JSON and int64-nanos ts — the
+  exact encoding pair the round-3 regression taught us to probe
+  (tables.py normalizes ts; props formatting must not matter because
+  both engines parse, never substring, the JSON).
 
 Each case copies sf0.001 and swaps one table, then runs the strict
 driver-hash replica (tests.parity.compare) for every query that reads
@@ -117,6 +121,32 @@ def wide_embeddings_dir(tmp_path_factory):
     return sf_dir
 
 
+# Representative events readers: props parsers + ts/value consumers.
+EVT_QUERIES = [
+    "q_fn_map",
+    "q_fn_json",
+    "q_event_transitions",
+    "q_ts_resample_ohlc",
+]
+
+
+@pytest.fixture(scope="module")
+def reencoded_events_dir(tmp_path_factory):
+    """sf0.001 with events re-encoded: compact props JSON, ns ts."""
+    d = tmp_path_factory.mktemp("drift_evt")
+    sf_dir = _clone_fixture(d)
+    t = pq.read_table(f"{_SRC}/events.parquet")
+    cols = {n: t.column(n) for n in t.column_names}
+    cols["props"] = pa.array(
+        [None if v is None else v.replace(": ", ":").replace(", ", ",")
+         for v in t.column("props").to_pylist()],
+        pa.string(),
+    )
+    cols["ts"] = t.column("ts").cast(pa.timestamp("ns"))
+    pq.write_table(pa.table(cols), f"{sf_dir}/events.parquet")
+    return sf_dir
+
+
 @pytest.mark.parametrize("name", DOC_QUERIES)
 def test_degenerate_documents_parity(spark, degenerate_docs_dir, name):
     ok, detail = compare(spark, name, degenerate_docs_dir)
@@ -127,3 +157,9 @@ def test_degenerate_documents_parity(spark, degenerate_docs_dir, name):
 def test_float64_embeddings_parity(spark, wide_embeddings_dir, name):
     ok, detail = compare(spark, name, wide_embeddings_dir)
     assert ok, f"{name} on float64/int64 embeddings: {detail}"
+
+
+@pytest.mark.parametrize("name", EVT_QUERIES)
+def test_reencoded_events_parity(spark, reencoded_events_dir, name):
+    ok, detail = compare(spark, name, reencoded_events_dir)
+    assert ok, f"{name} on compact-props/ns-ts events: {detail}"

@@ -292,6 +292,46 @@ class TestPipelineOpPlanShapes:
             assert "user_id" in e or ("cohort_day" in e and "day_offset" in e), e
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    @pytest.mark.parametrize(
+        "name,key",
+        [
+            ("q_scd2_history", "user_id"),
+            ("q_win_ntile", "c_mktsegment"),
+            ("q_ts_anomaly", "user_id"),
+        ],
+    )
+    def test_single_exchange_window_pipelines(self, spark, name, key):
+        """SCD2, the rank bundle, and rolling anomaly detection each
+        chain windows (and, for SCD2, a rollup) that all key on the
+        same column — the plan must reuse ONE hash exchange."""
+        plan = plan_of(spark, name)
+        hash_ex = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        assert len(hash_ex) == 1, f"{name}: expected 1 exchange: {hash_ex}"
+        assert key in hash_ex[0]
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_bm25_single_corpus_pass(self, spark):
+        """BM25 must tokenize the corpus ONCE: the persisted per-doc
+        conditional aggregate feeds both the stats scalar and the
+        scoring unpivot, so the plan has exactly one doc_id exchange
+        (reused via InMemoryRelation), one SinglePartition stats
+        exchange, and the final per-term ranking exchange."""
+        import re
+
+        plan = plan_of(spark, "q_llm_bm25_topk")
+        doc_ex = [
+            l
+            for l in plan.splitlines()
+            if "Exchange hashpartitioning(doc_id" in l
+        ]
+        # the cached relation's child plan prints once per consumer —
+        # distinct plan_ids, not line count, detect a real recompute
+        ids = {m.group(1) for l in doc_ex for m in [re.search(r"plan_id=(\d+)", l)] if m}
+        assert len(ids) <= 1, f"per-doc agg recomputed: {doc_ex}"
+        assert plan.count("InMemoryTableScan") >= 2, "both consumers should read the cache"
+
     def test_transitions_two_exchanges(self, spark):
         """First-order transition counts: ONE per-user exchange feeds the
         lag window, ONE (from_type, to_type) exchange the pair count —
