@@ -320,6 +320,12 @@ class TestPipelineOpPlanShapes:
         exchange, and the final per-term ranking exchange."""
         import re
 
+        # a prior invocation (parity test) leaves the per-doc frame
+        # cached; re-persisting an identical lineage then prints BOTH
+        # the original cached exchange and the fresh build plan (two
+        # plan_ids for one physical cache). Clear for a deterministic
+        # single-invocation plan.
+        spark.catalog.clearCache()
         plan = plan_of(spark, "q_llm_bm25_topk")
         doc_ex = [
             l
