@@ -90,7 +90,19 @@ def degenerate_docs_dir(tmp_path_factory):
     next_id = max(base["doc_id"]) + 1
     lang = base["lang"][0]
     source = base["source"][0]
-    for i, text in enumerate(["", "solo", "two tokens", None]):
+    edge_texts = [
+        "",
+        "solo",
+        "two tokens",
+        None,
+        # unicode: md5/sha2/xxhash operate on UTF-8 bytes in both
+        # engines; token splitting must not mangle multibyte chars
+        "naïve café 日本語 décor naïve café",
+        # consecutive spaces: split(' ') yields empty tokens on BOTH
+        # engines — they must agree, not be silently dropped by one
+        "a  b   c a  b",
+    ]
+    for i, text in enumerate(edge_texts):
         base["doc_id"].append(next_id + i)
         base["text"].append(text)
         base["lang"].append(lang)
