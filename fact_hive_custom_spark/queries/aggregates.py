@@ -477,3 +477,37 @@ def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("within_bound"),
     )
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct customers per order status via MERGEABLE bitmap
+    sketches (Spark 4 bitmap_construct_agg): keys bucket into 32k-bit
+    bitmaps per (status, bucket), and the rollup SUMS per-bucket
+    bitmap_count — buckets partition the key space, so the sum IS the
+    exact distinct count.
+
+    Why not COUNT(DISTINCT) directly: bitmaps are the PRE-AGGREGABLE
+    form — at 100 TB a daily (status, bucket, bitmap) table lets every
+    later dashboard query roll up exact distincts (bitmap_or_agg for
+    arbitrary re-grouping) without ever re-shuffling raw keys; this
+    query demonstrates the two-level pattern. The oracle states plain
+    COUNT(DISTINCT) — identical result, the point of the rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    l1 = o.groupBy(
+        "o_orderstatus",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias(
+            "bm"
+        )
+    )
+    return l1.groupBy("o_orderstatus").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_customers")
+    )

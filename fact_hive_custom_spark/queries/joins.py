@@ -472,3 +472,83 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+_OVL_US = 3_600_000_000  # 1 h interval length / bucket grain
+
+
+@register(
+    "q_join_interval",
+    oracle=f"""
+    WITH a AS (
+        SELECT event_id AS a_id, user_id, epoch_us(ts) AS s_a,
+               epoch_us(ts) + {_OVL_US} AS e_a
+        FROM events WHERE event_type = 'view'
+    ),
+    b AS (
+        SELECT event_id AS b_id, user_id, epoch_us(ts) AS s_b,
+               epoch_us(ts) + {_OVL_US} AS e_b
+        FROM events WHERE event_type = 'purchase'
+    ),
+    p AS (
+        SELECT a.user_id, a_id, b_id,
+               least(e_a, e_b) - greatest(s_a, s_b) AS ovl_us
+        FROM a JOIN b ON a.user_id = b.user_id
+                     AND s_a < e_b AND s_b < e_a
+    )
+    SELECT user_id, COUNT(*) AS n_overlap_pairs,
+           SUM(ovl_us) AS sum_overlap_us
+    FROM p GROUP BY user_id
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (interval × interval, both sides large):
+    each user's 1 h view-activity windows against their 1 h
+    purchase-activity windows, reporting overlapping pairs and total
+    overlap — the telemetry/session-correlation shape q_join_range's
+    point-in-range broadcast cannot cover.
+
+    Scale path: each interval is DECOMPOSED into the hour buckets it
+    touches (explode of a 1–2 element sequence), the pair join is a
+    plain equi-join on (user_id, bucket), the true-overlap predicate
+    filters bucket co-tenants, and pairs colliding in two buckets
+    dedup BEFORE aggregation. Work is O(pairs-sharing-a-bucket), never
+    O(n²) per user, and the shuffle key (user, hour) is skew-bounded
+    by per-user-per-hour activity. The oracle states the naive
+    overlap join — same pairs by construction, since an overlapping
+    pair shares at least one covering bucket at bucket_len ≥
+    interval_len. Exact integer microseconds throughout."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("s")
+    )
+
+    def side(tag: str, etype: str) -> DataFrame:
+        iv = e.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(f"{tag}_id"),
+            "user_id",
+            F.col("s").alias(f"s_{tag}"),
+            (F.col("s") + _OVL_US).alias(f"e_{tag}"),
+        )
+        return iv.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s_{tag} DIV {_OVL_US}"),
+                    F.expr(f"(e_{tag} - 1) DIV {_OVL_US}"),
+                )
+            ),
+        )
+    a = side("a", "view")
+    b = side("b", "purchase")
+    pairs = (
+        a.join(b, ["user_id", "bucket"])
+        .filter((F.col("s_a") < F.col("e_b")) & (F.col("s_b") < F.col("e_a")))
+        .select("user_id", "a_id", "b_id", "s_a", "e_a", "s_b", "e_b")
+        .distinct()
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_overlap_pairs"),
+        F.sum(
+            F.least("e_a", "e_b") - F.greatest("s_a", "s_b")
+        ).alias("sum_overlap_us"),
+    )
