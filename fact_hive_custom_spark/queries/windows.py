@@ -453,3 +453,57 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@register(
+    "q_win_pattern",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS n1,
+               lead(event_type, 2) OVER w AS n2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_matches
+    FROM o
+    WHERE event_type = 'view' AND (n1 = 'click' OR n2 = 'click')
+    GROUP BY user_id
+    """,
+)
+def q_win_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (MATCH_RECOGNIZE-lite): count, per
+    user, the 'view' events followed by a 'click' within the next two
+    events — order-sensitive micro-sequences that funnels (global
+    first-times, q_funnel_steps) and adjacent-pair transitions
+    (q_event_transitions) cannot express.
+
+    Fixed-lookahead lead() columns keep the match a pure window
+    projection — no self-join, no per-user array materialization; the
+    window and the count share ONE user_id exchange. A longer pattern
+    widens the lead set (or, beyond a few steps, becomes the
+    collect-sorted-array + higher-order-scan shape); the n1/n2
+    disjunction here is the 'reluctant quantifier' case in its
+    cheapest form. Ordering key (ts, event_id) is unique per user, so
+    both engines see identical sequences."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    o = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("n1"),
+        F.lead("event_type", 2).over(w).alias("n2"),
+    )
+    return (
+        o.filter(
+            (F.col("event_type") == "view")
+            & ((F.col("n1") == "click") | (F.col("n2") == "click"))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
