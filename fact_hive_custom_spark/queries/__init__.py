@@ -5,6 +5,7 @@ from fact_hive_custom_spark.queries import (  # noqa: F401
     analytics,
     corpus,
     joins,
+    layout,
     llm_ops,
     llm_text,
     misc,
@@ -14,6 +15,7 @@ from fact_hive_custom_spark.queries import (  # noqa: F401
     scalar_functions,
     scans,
     sources_sinks,
+    stats,
     streaming_queries,
     timeseries,
     udfs,

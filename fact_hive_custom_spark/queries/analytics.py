@@ -236,3 +236,118 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("px"))).alias("close_e4"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+_PR_SCALE = 1_000_000  # rank unit: parts-per-million of one page's mass
+_PR_ITER = 3
+
+
+def _pagerank_oracle() -> str:
+    """Build the DuckDB oracle: the same 3 power-method iterations as
+    chained CTEs. All arithmetic is BIGINT with truncating division
+    (operands non-negative, so DuckDB `//` == Spark `div`), making the
+    fixpoint bit-identical across engines — no float summation order."""
+    head = f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+    ),
+    nx AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id) AS to_type
+        FROM e
+    ),
+    edges AS (
+        SELECT from_type, to_type, COUNT(*) AS w
+        FROM nx WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    outw AS (
+        SELECT from_type, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY 1
+    ),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank_ppm FROM nodes)"""
+    iters = []
+    for k in range(1, _PR_ITER + 1):
+        iters.append(f"""
+    r{k} AS (
+        SELECT n.node,
+               CAST({15 * _PR_SCALE // 100}
+                    + COALESCE(CAST(SUM((r.rank_ppm * 85 * e.w)
+                                        // (100 * o.ow)) AS BIGINT), 0)
+                    AS BIGINT) AS rank_ppm
+        FROM nodes n
+        LEFT JOIN edges e ON e.to_type = n.node
+        LEFT JOIN outw o ON o.from_type = e.from_type
+        LEFT JOIN r{k - 1} r ON r.node = e.from_type
+        GROUP BY n.node
+    )""")
+    return (
+        head + "," + ",".join(iters)
+        + f"\n    SELECT node, rank_ppm FROM r{_PR_ITER}"
+    )
+
+
+@register("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power-method iterations, damping 0.85) over the
+    event-type transition graph — the canonical iterative graph
+    algorithm, run on the same per-user consecutive-event edges as
+    q_event_transitions.
+
+    Determinism: ranks are BIGINT parts-per-million and every step is
+    integer multiply + truncating division, so both engines reach the
+    identical fixpoint — no float accumulation order to diverge.
+    Dangling mass (types with no outgoing edge) is dropped, the
+    standard simplification; documented rather than redistributed.
+
+    Scale shape: the expensive part is building the edge list — one
+    window shuffle over the raw events (same as q_event_transitions);
+    the iteration then runs on the aggregated |types|² edge matrix,
+    which Spark broadcasts, so 3 iterations add negligible cost. For
+    web-scale graphs (edges >> memory) the identical loop runs with
+    the rank frame checkpointed per iteration exactly as
+    operators/graph.py:connected_components does (Kiveris et al.,
+    SoCC'14 lineage-capping pattern).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    nx = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    edges = (
+        nx.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges.groupBy("from_type").agg(
+        F.sum("w").cast("bigint").alias("ow")
+    )
+    nodes = e.select(F.col("event_type").alias("node")).distinct()
+    ranks = nodes.withColumn(
+        "rank_ppm", F.lit(_PR_SCALE).cast("bigint")
+    )
+    base = 15 * _PR_SCALE // 100
+    for _ in range(_PR_ITER):
+        contrib = (
+            edges.join(outw, "from_type")
+            .join(
+                ranks.withColumnRenamed("node", "from_type"), "from_type"
+            )
+            .select(
+                F.col("to_type").alias("node"),
+                F.expr("(rank_ppm * 85 * w) div (100 * ow)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("bigint").alias("in_mass"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0)))
+            .cast("bigint")
+            .alias("rank_ppm"),
+        )
+    return ranks

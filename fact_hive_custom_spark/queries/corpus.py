@@ -409,3 +409,165 @@ def q_llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(cnt * 1000000) DIV n").cast("bigint").alias("share_ppm"),
         )
     )
+
+
+@register(
+    "q_llm_dedup_survivor",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               sha256(array_to_string(list_sort(list_transform(
+                   list_distinct(string_split(text, ' ')),
+                   t -> md5(t))), '')) AS text_hash
+        FROM documents WHERE text IS NOT NULL
+    ),
+    r AS (
+        SELECT doc_id, text_hash,
+               CAST(row_number() OVER (
+                   PARTITION BY text_hash
+                   ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn,
+               CAST(first_value(doc_id) OVER (
+                   PARTITION BY text_hash
+                   ORDER BY n_chars DESC, doc_id) AS BIGINT) AS survivor_id,
+               CAST(COUNT(*) OVER (PARTITION BY text_hash) AS BIGINT)
+                   AS cluster_size
+        FROM h
+    )
+    SELECT doc_id, survivor_id, cluster_size
+    FROM r WHERE rn > 1
+    """,
+)
+def q_llm_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster survivorship: within each content-fingerprint
+    cluster, keep the document with the most content (n_chars DESC,
+    doc_id tiebreak) and emit one row per DROPPED document with its
+    survivor — the policy-bearing step between duplicate detection and
+    the actual delete, and the audit trail a compliance review asks
+    for.
+
+    The cluster key is a bag-of-words fingerprint: sha256 over the
+    sorted md5s of the document's distinct tokens. It subsumes exact
+    duplicates (identical text ⇒ identical vocabulary) and also
+    clusters token-reordered/repeated copies — and hashing each token
+    BEFORE sorting keeps the sort over ASCII hex, immune to
+    engine-collation differences on unicode tokens (the round-3/4
+    fixture-drift class). NULL texts are excluded on both engines.
+
+    One window shuffle on the 256-bit fingerprint (uniform, unskewed);
+    the text column never shuffles — only hash, id, and length. Output
+    is proportional to the duplicate mass, not the corpus. The same
+    survivor policy applies unchanged to MinHash/CC clusters by
+    swapping the partition key for the connected-component id from
+    operators/graph.py (q_llm_dedup_clusters).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    fingerprint = F.sha2(
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.array_distinct(F.split(F.col("text"), " ")),
+                    lambda t: F.md5(t),
+                )
+            ),
+            "",
+        ),
+        256,
+    )
+    h = d.select("doc_id", "n_chars", fingerprint.alias("text_hash"))
+    w = Window.partitionBy("text_hash").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    r = h.select(
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.first_value("doc_id").over(w).cast("bigint").alias("survivor_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("text_hash"))
+        .cast("bigint")
+        .alias("cluster_size"),
+    )
+    return r.filter(F.col("rn") > 1).select(
+        "doc_id", "survivor_id", "cluster_size"
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "q_llm_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com ph 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS full_text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(full_text, '{_EMAIL_RE}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(full_text, '{_PHONE_RE}'))
+                AS BIGINT) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(
+                    full_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                    '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)
+               AS redacted_len,
+           right(regexp_replace(regexp_replace(
+                    full_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                    '{_PHONE_RE}', '<PHONE>', 'g'), 40) AS redacted_tail
+    FROM aug
+    """,
+)
+def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and mask email/phone patterns via
+    regexp_count + regexp_replace — the compliance scrub every
+    training-data pipeline runs before a corpus leaves quarantine.
+
+    The fixture's synthetic text contains no PII, so each document is
+    deterministically augmented with one email and one phone built
+    from doc_id — both engines construct the identical string, making
+    the redaction behavior (not just the no-op) oracle-checked. The
+    patterns stay in the RE2 ∩ Java-regex common subset (character
+    classes, no lookaround) so Spark and DuckDB match identically.
+
+    Scale: pure map-side regex inside WholeStageCodegen — no shuffle,
+    no Python. Pattern lists grow (SSN, IBAN, addresses) by chaining
+    regexp_replace calls or folding over a pattern array; cost stays
+    one scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ph 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("full_text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("full_text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("full_text"), F.lit(_EMAIL_RE))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count(F.col("full_text"), F.lit(_PHONE_RE))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+        F.expr("right(" + "regexp_replace(regexp_replace(full_text, "
+               f"'{_EMAIL_RE}', '<EMAIL>'), '{_PHONE_RE}', '<PHONE>')"
+               + ", 40)").alias("redacted_tail"),
+    )

@@ -373,3 +373,85 @@ class TestCodegenPurity:
     def test_flagship_whole_stage_codegen(self, spark):
         """scan→filter→project→partial-agg must fuse into WSCG subtrees."""
         assert plans.has_whole_stage_codegen(QUERIES["q_agg_flagship"](spark, SF_DIR))
+
+
+class TestRound5Plans:
+    """Plan pins for the round-5 additions (layout / stats / corpus /
+    graph): single-exchange aggregation shapes, map-only redaction,
+    broadcast iteration, and text-free shuffles."""
+
+    @pytest.mark.parametrize(
+        "name,key",
+        [
+            ("q_zorder_key", "z_key"),
+            ("q_dataset_shard", "shard"),
+            ("q_agg_linreg", "lineno"),
+        ],
+    )
+    def test_single_exchange_aggregations(self, spark, name, key):
+        """Each is one partial-aggregated groupBy: exactly one hash
+        exchange, keyed as expected, nothing Python, no global sort."""
+        plan = plan_of(spark, name)
+        hash_ex = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        assert len(hash_ex) == 1, f"{name}: expected 1 exchange: {hash_ex}"
+        assert key in hash_ex[0]
+        assert "Exchange rangepartitioning" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_pii_redact_is_map_only(self, spark):
+        """Regex scrub must be a pure scan→project pipeline: zero
+        exchanges, zero Python — one codegen stage over the scan."""
+        plan = plan_of(spark, "q_llm_pii_redact")
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_weighted_median_no_global_sort(self, spark):
+        """All shuffles key on the group (or group,value) columns; the
+        ordering runs inside window partitions — never a global
+        rangepartitioning sort."""
+        plan = plan_of(spark, "q_agg_weighted_median")
+        assert "Exchange rangepartitioning" not in plan
+        hash_ex = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        assert hash_ex
+        for e in hash_ex:
+            assert "flag" in e, e
+        assert "BatchEvalPython" not in plan
+
+    def test_survivor_text_never_shuffles(self, spark):
+        """Survivorship shuffles only (hash, id, length) — the text
+        column must be projected away before the window exchange."""
+        plan = plan_of(spark, "q_llm_dedup_survivor")
+        hash_ex = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        assert hash_ex
+        for e in hash_ex:
+            assert "text_hash" in e, e
+            # the raw text column would print as text#N — reject any
+            # occurrence that is not the text_hash alias
+            import re
+
+            assert not re.search(r"\btext#", e), e
+
+    def test_pagerank_iterates_by_broadcast(self, spark):
+        """The |types|² edge matrix must reach every iteration join as
+        a broadcast — the raw events shuffle once for the lead()
+        window and the per-iteration joins add no hash exchange over
+        the big side."""
+        plan = plan_of(spark, "q_graph_pagerank")
+        assert "BroadcastExchange" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_snapshot_diff_prunes_and_joins(self, spark):
+        """The diff reads only (key, price) from the scan and stays an
+        equi-join — never a nested-loop product."""
+        df = QUERIES["q_snapshot_diff"](spark, SF_DIR)
+        read = plans.read_schema(df)
+        assert set(read) == {"o_orderkey", "o_totalprice"}, read
+        plan = plan_of(spark, "q_snapshot_diff")
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
