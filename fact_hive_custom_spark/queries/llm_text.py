@@ -481,3 +481,148 @@ def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.alias("bpe_tokens"),
         F.round(bpe / ws, 6).alias("tokens_per_word"),
     )
+
+
+@register(
+    "q_llm_mixture_sample",
+    oracle="""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    isq AS (
+        SELECT source, CAST(floor(sqrt(n)) AS BIGINT) AS sq FROM counts
+    ),
+    quota AS (
+        SELECT source,
+               CAST((200 * sq) // (SELECT CAST(SUM(sq) AS BIGINT) FROM isq)
+                    AS BIGINT) AS q
+        FROM isq
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS pick_rank
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, r.pick_rank
+    FROM ranked r JOIN quota u ON r.source = u.source
+    WHERE r.pick_rank <= u.q
+    """,
+)
+def q_llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture sampling: draw a ~200-doc corpus
+    whose per-source quotas are proportional to sqrt(source mass) —
+    the α=0.5 sampling temperature multilingual/multi-domain training
+    uses to keep big sources from drowning small ones (cf. the
+    sampling-exponent scheme popularized by multilingual LM training),
+    downstream of q_llm_domain_mix's weight REPORT: this query
+    materializes an actual sample.
+
+    Determinism: quotas are pure integers — floor(sqrt(n)) is exact
+    (sqrt is IEEE correctly-rounded, floor kills the tail) and the
+    200·sq // Σsq split is integer division; document picks are
+    md5-ranked per source (same carve as q_llm_stratified_sample), so
+    both engines draw the identical sample.
+
+    Scale: counts is a map-combined aggregate; quotas are a broadcast
+    scalar; the rank window partitions by source. For k≪stratum at
+    100 TB, swap row_number for a per-partition top-k as documented in
+    q_llm_stratified_sample.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    isq = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("source", F.floor(F.sqrt("n")).cast("bigint").alias("sq"))
+    )
+    total = isq.agg(F.sum("sq").cast("bigint").alias("tot"))
+    quota = isq.crossJoin(F.broadcast(total)).select(
+        "source",
+        F.expr("(200 * sq) div tot").cast("bigint").alias("q"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("bigint").alias("pick_rank"),
+    )
+    return ranked.join(F.broadcast(quota), "source").filter(
+        F.col("pick_rank") <= F.col("q")
+    ).select("doc_id", "source", "pick_rank")
+
+
+_VOCAB_K = 50
+
+
+@register(
+    "q_llm_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        )
+        QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= {_VOCAB_K}
+    ),
+    marked AS (
+        SELECT t.source,
+               CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS is_oov
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(is_oov) AS BIGINT) AS n_oov,
+           CAST((CAST(SUM(is_oov) AS BIGINT) * 1000000) // COUNT(*)
+                AS BIGINT) AS oov_ppm
+    FROM marked
+    GROUP BY source
+    """,
+)
+def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage report: build the top-50 corpus vocabulary
+    (frequency, token tiebreak) and measure each source's
+    out-of-vocabulary token rate in exact ppm — the tokenizer-fit
+    check a training pipeline runs before committing to a vocab, and
+    the per-domain drilldown that flags which source will fragment
+    into subword soup.
+
+    Two passes over the token stream, both scale-safe: the vocab pass
+    is a map-combined count + TopK (never a global sort of the
+    vocabulary); the scoring pass LEFT-JOINs against the 50-row vocab
+    as a broadcast — the token stream itself never shuffles for the
+    join, only for the final per-source aggregate. Integer ppm, no
+    floats anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    marked = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "source",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("is_oov"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("is_oov").cast("bigint").alias("n_oov"),
+        F.expr("(CAST(SUM(is_oov) AS BIGINT) * 1000000) div COUNT(*)")
+        .cast("bigint")
+        .alias("oov_ppm"),
+    )

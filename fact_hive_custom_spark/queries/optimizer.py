@@ -176,3 +176,71 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+@register(
+    "q_star_join_region",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4,
+           COUNT(*) AS n_items
+    FROM region r
+    JOIN nation n    ON n.n_regionkey = r.r_regionkey
+    JOIN customer c  ON c.c_nationkey = n.n_nationkey
+    JOIN orders o    ON o.o_custkey = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+                    AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q_star_join_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table star join (TPC-H Q5 shape): local-supplier revenue by
+    nation for one region-year — the canonical snowflake probe for
+    join ordering and broadcast planning.
+
+    Physical strategy at 100 TB: region/nation are single-digit-row
+    broadcasts (hinted — their parquet stats already qualify, the hint
+    documents intent); the fact chain orders⋈lineitem shuffles on the
+    orderkey; customer and supplier ride as broadcast or shuffle
+    joins per AQE's runtime row counts. The region filter reaches the
+    region scan and, through the n_regionkey chain, prunes nation
+    BEFORE either fact table is touched — Catalyst pushes the derived
+    predicates; nothing is hand-scheduled.
+
+    Revenue is exact-integer (cents × discount-complement-percent,
+    both 2-dp by data contract) so cross-engine sums are bit-equal.
+    """
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    joined = (
+        F.broadcast(r)
+        .join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (s.s_suppkey == li.l_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(rev).cast("bigint").alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -455,3 +455,38 @@ class TestRound5Plans:
         plan = plan_of(spark, "q_snapshot_diff")
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestRound5bPlans:
+    def test_star_join_broadcasts_dims_and_pushes_dates(self, spark):
+        """Q5 shape: dims reach the fact chain as broadcasts, the
+        year predicate reaches the orders parquet reader, and nothing
+        degenerates to a nested-loop product."""
+        df = QUERIES["q_star_join_region"](spark, SF_DIR)
+        pf = plans.pushed_filters(df)
+        assert any("o_orderdate" in f for f in pf), pf
+        plan = plans.executed_plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+    def test_mixture_sample_quota_is_broadcast(self, spark):
+        """The per-source quota table must join as a broadcast; the
+        only hash exchanges key on source (window + counts)."""
+        plan = plan_of(spark, "q_llm_mixture_sample")
+        assert "BroadcastHashJoin" in plan
+        hash_ex = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        for e in hash_ex:
+            assert "source" in e, e
+        assert "BatchEvalPython" not in plan
+
+    def test_vocab_coverage_topk_and_broadcast(self, spark):
+        """Vocab selection must be TakeOrderedAndProject (top-K, never
+        a global sort) and the 50-row vocab must broadcast to the
+        token stream."""
+        plan = plan_of(spark, "q_llm_vocab_coverage")
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange rangepartitioning" not in plan
+        assert "BatchEvalPython" not in plan
