@@ -552,3 +552,46 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("e_a", "e_b") - F.greatest("s_a", "s_b")
         ).alias("sum_overlap_us"),
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT nullif(o_orderstatus, 'O') AS k, COUNT(*) AS n_a
+        FROM orders GROUP BY 1
+    ),
+    b AS (
+        SELECT nullif(o_orderstatus, 'O') AS k, COUNT(*) AS n_b
+        FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+    )
+    SELECT a.k, a.n_a, b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    pair with NULL keys instead of vanishing — the semantics MERGE and
+    dimension-key reconciliation need when 'unknown' is itself a
+    category. The 'O' status maps to NULL on both sides, so the NULL
+    row's presence in the output is the behavior under test.
+
+    Plan: eqNullSafe stays a hash-partitionable equi-join key (Spark
+    hashes nulls like any value) — no degradation to nested-loop; at
+    scale this shuffles exactly like `=`. One caveat at 100 TB: a
+    giant NULL population becomes one hot key — coalesce NULLs to
+    salted sentinels first (operators/skew.py) if 'unknown' dominates.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    a = (
+        o.groupBy(F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy(F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_a", "n_b"
+    )

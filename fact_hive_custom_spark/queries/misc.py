@@ -268,3 +268,35 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) g ON months.m = g.m
         """
     )
+
+
+@register(
+    "q_agg_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names,
+           COUNT(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): the names in
+    each region, comma-joined in a DETERMINISTIC order — the report
+    column every BI export wants. Spark's collect_list order is
+    partition-arrival nondeterministic, so the composition is
+    collect_list → array_sort → concat_ws; the explicit sort is what
+    makes the result reproducible (and oracle-checkable) on any
+    cluster.
+
+    Scale note: the aggregate state is the group's full value list —
+    fine for bounded groups (25 nations); for high-cardinality groups
+    cap with slice(array_sort(...), 1, k) so state stays bounded.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+            "names"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

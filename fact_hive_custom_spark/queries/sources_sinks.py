@@ -254,3 +254,46 @@ def _streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fact_hive_custom_spark.streaming.jobs import streaming_events
 
     return streaming_events(spark, sf_dir)
+
+
+@register(
+    "q_source_binary",
+    oracle="""
+    SELECT 'r_' || CAST(r_regionkey AS VARCHAR) || '.bin' AS fname,
+           CAST(length(r_name) AS BIGINT) AS n_bytes,
+           md5(r_name) AS md5_hex
+    FROM region
+    """,
+)
+def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion via the `binaryFile` source — the
+    entry point for media shards (images/audio/video as bytes + file
+    metadata, cf. operators/multimodal.py): one row per file with
+    path, length, and content, scanned in parallel with no decoding.
+
+    Staging writes one .bin per region row (driver-side: 5 tiny files
+    of test scaffolding — production media already sits on object
+    storage); the read back is the real production path. The oracle
+    recomputes (name, byte length, md5) from the source table, so the
+    files' round-trip integrity — not just their count — is checked.
+
+    At 100 TB: binaryFile splits by file; pair it with
+    `spark.sql.files.maxPartitionBytes` sizing and the mapInPandas
+    decode seam. Filters on path/length are pushed (PushedFilters on
+    the file index), and `content` is only materialized for rows that
+    survive them.
+    """
+    import uuid
+
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = stage_dir(f"binary_src_{uuid.uuid4().hex[:12]}")
+    os.makedirs(path, exist_ok=True)
+    for row in r.collect():  # 5 rows: staging scaffolding, not a data path
+        with open(os.path.join(path, f"r_{row['r_regionkey']}.bin"), "wb") as f:
+            f.write(row["r_name"].encode("utf-8"))
+    files = spark.read.format("binaryFile").load(path)
+    return files.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("md5_hex"),
+    )
