@@ -659,3 +659,92 @@ class TestChunkingInvariants:
             | (F.col("n_chunks") != F.floor((F.col("n_tokens") - 1) / 15) + 1)
         )
         assert bad.count() == 0, bad.limit(5).collect()
+
+
+class TestRound5Properties:
+    """Behavioral invariants of the round-5 operators, beyond oracle
+    parity: bijective Z-order locality, PageRank mass bounds, weighted
+    median against a brute-force reference, survivor policy."""
+
+    @pytest.fixture(autouse=True)
+    def _registry(self):
+        from fact_hive_custom_spark.queries import QUERIES
+        from fact_hive_custom_spark.tables import load_table
+
+        global QUERIES_R5, load_table_r5
+        QUERIES_R5 = QUERIES
+        load_table_r5 = load_table
+
+    def test_zorder_key_is_bijective_and_local(self, spark):
+        rows = QUERIES_R5["q_zorder_key"](spark, SF_DIR).collect()
+        # 4+4 bits → every (dx,dy) cell maps to exactly ONE z bucket,
+        # so each bucket's min==max in BOTH dims (perfect locality)
+        # and all 256 cells appear on a fixture with full key coverage.
+        assert len(rows) == 256
+        seen = set()
+        for r in rows:
+            assert r["min_dx"] == r["max_dx"] and r["min_dy"] == r["max_dy"], r
+            cell = (r["min_dx"], r["min_dy"])
+            assert cell not in seen, f"two z buckets map to {cell}"
+            seen.add(cell)
+
+    def test_pagerank_mass_bounds(self, spark):
+        rows = QUERIES_R5["q_graph_pagerank"](spark, SF_DIR).collect()
+        n = len(rows)
+        scale = 1_000_000
+        for r in rows:
+            # every node keeps at least the teleport mass; no node can
+            # exceed the whole graph's mass
+            assert 150_000 <= r["rank_ppm"] <= n * scale, r
+        # total mass ≤ n·SCALE (dangling/rounding only ever LEAK mass)
+        assert sum(r["rank_ppm"] for r in rows) <= n * scale
+
+    def test_weighted_median_matches_bruteforce(self, spark):
+        import collections
+
+        rows = QUERIES_R5["q_agg_weighted_median"](spark, SF_DIR).collect()
+        li = (
+            load_table_r5(spark, SF_DIR, "lineitem")
+            .selectExpr(
+                "l_returnflag AS flag",
+                "CAST(round(l_extendedprice * 100) AS BIGINT) AS px",
+                "CAST(round(l_quantity) AS BIGINT) AS q",
+            )
+            .collect()
+        )
+        acc: dict[str, collections.Counter] = {}
+        for r in li:
+            acc.setdefault(r["flag"], collections.Counter())[r["px"]] += r["q"]
+        for out in rows:
+            weights = acc[out["flag"]]
+            tot = sum(weights.values())
+            cum = 0
+            expect = None
+            for px in sorted(weights):
+                cum += weights[px]
+                if 2 * cum >= tot:
+                    expect = px
+                    break
+            assert out["wmedian_cents"] == expect, (out, expect)
+
+    def test_survivor_has_max_content(self, spark):
+        surv = QUERIES_R5["q_llm_dedup_survivor"](spark, SF_DIR)
+        docs = load_table_r5(spark, SF_DIR, "documents").select(
+            "doc_id", "n_chars"
+        )
+        joined = (
+            surv.join(
+                docs.withColumnsRenamed(
+                    {"doc_id": "s_id", "n_chars": "s_chars"}
+                ),
+                surv["survivor_id"] == F.col("s_id"),
+            )
+            .join(docs, "doc_id")
+            .collect()
+        )
+        assert joined, "fixture should contain fingerprint clusters"
+        for r in joined:
+            # survivor never has less content than the doc it replaces;
+            # equal content ⇒ survivor has the smaller id
+            assert (r["s_chars"], -r["s_id"]) >= (r["n_chars"], -r["doc_id"]), r
+            assert r["survivor_id"] != r["doc_id"]
