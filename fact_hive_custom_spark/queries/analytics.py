@@ -318,15 +318,27 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
     )
+    # Materialize the aggregated graph once and CUT the lineage:
+    # without this, every iteration re-derives edges from the RAW
+    # events (window + groupBy × 3 = three full corpus passes at
+    # 100 TB). localCheckpoint (same device as connected_components,
+    # operators/graph.py) pins the |types|² frames on executors and
+    # keeps each iteration's plan rooted at the tiny materialized
+    # RDDs — the big input is scanned exactly once.
     edges = (
         nx.filter(F.col("to_type").isNotNull())
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
     )
     outw = edges.groupBy("from_type").agg(
         F.sum("w").cast("bigint").alias("ow")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("event_type").alias("node"))
+        .distinct()
+        .localCheckpoint()
     )
-    nodes = e.select(F.col("event_type").alias("node")).distinct()
     ranks = nodes.withColumn(
         "rank_ppm", F.lit(_PR_SCALE).cast("bigint")
     )
