@@ -46,6 +46,9 @@ HEADLINE = [
     # not only in tests/test_plans.py
     "q_join_bucketed",
     "q_join_bloom",
+    # round-5: the six-table snowflake probe — join ordering +
+    # broadcast planning regressions surface in BENCH directly
+    "q_star_join_region",
 ]
 
 
