@@ -386,3 +386,49 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.col("o.pr.prio")).alias("prio"),
         (F.col("o.pr.price") > 300000).alias("is_large"),
     )
+
+
+@register(
+    "q_fn_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE CAST(round(l_extendedprice * 100) AS BIGINT)
+                     / CAST(l_linenumber - 1 AS DOUBLE) END AS safe_ratio,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS lineno_rt
+    FROM lineitem
+    WHERE l_orderkey % 500 = 0
+    """,
+)
+def q_fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface (try_divide / try_cast): division
+    by zero and impossible casts yield NULL instead of failing the
+    job — the ANSI-mode hardening a production pipeline needs so one
+    malformed row can't kill a 100 TB pass. Exercised three ways:
+    a zero denominator (every first line item), a non-numeric cast
+    (returnflag), and a numeric round-trip cast that must SUCCEED.
+
+    Float discipline: safe_ratio is a single pointwise IEEE division
+    (exact-integer operands, no accumulation), so both engines emit
+    bit-identical doubles — the summation-order hazard §7.4 warns
+    about does not apply to scalar ops.
+
+    Scale: pure map-side codegen, no shuffle; the modulo filter is
+    pushed into the scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 500 == 0
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(cents, (F.col("l_linenumber") - 1).cast("double")).alias(
+            "safe_ratio"
+        ),
+        F.try_to_number(F.col("l_returnflag"), F.lit("9")).cast("int").alias(
+            "flag_as_int"
+        ),
+        F.col("l_linenumber").cast("string").cast("int").alias("lineno_rt"),
+    )

@@ -290,3 +290,68 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 10000).cast("bigint").alias("value_e4"),
         F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("z"),
     )
+
+
+@register(
+    "q_ts_calendar_dim",
+    oracle="""
+    WITH spine AS (
+        SELECT CAST(unnest(generate_series(
+            DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY)) AS DATE) AS d
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT s.d,
+           CAST(year(s.d) AS INT) AS yr,
+           CAST(quarter(s.d) AS INT) AS qtr,
+           CAST(month(s.d) AS INT) AS mon,
+           CAST(isodow(s.d) - 1 AS INT) AS dow,
+           CAST(CASE WHEN s.d = date_trunc('month', s.d)
+                THEN 1 ELSE 0 END AS INT) AS is_month_start,
+           CAST(COALESCE(dl.n, 0) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN daily dl ON s.d = dl.d
+    """,
+)
+def q_ts_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generation + zero-filled fact coverage: a
+    generated date spine (1995–2001) with the derived attributes every
+    warehouse date dim carries (year/quarter/month, Monday-based dow,
+    month-start flag), LEFT-joined to daily order counts so days with
+    no orders appear explicitly as 0 — the denominator for
+    rate-per-day metrics.
+
+    dow is weekday() (0=Monday), matching DuckDB's isodow-1 — Spark's
+    dayofweek() is Sunday-based and silently off-by-one across
+    engines.
+
+    Scale: the spine is 2 557 generated rows — a broadcast side by
+    construction; the fact side is one map-combined date count. The
+    same spine pattern drives q_ts_gapfill's per-key buckets; this
+    query is its calendar-grain, whole-table sibling.
+    """
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(daily, "d", "left").select(
+        "d",
+        F.year("d").cast("int").alias("yr"),
+        F.quarter("d").cast("int").alias("qtr"),
+        F.month("d").cast("int").alias("mon"),
+        F.expr("weekday(d)").cast("int").alias("dow"),
+        F.when(F.dayofmonth("d") == 1, 1).otherwise(0).cast("int")
+        .alias("is_month_start"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+    )

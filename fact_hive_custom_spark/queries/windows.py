@@ -507,3 +507,50 @@ def q_win_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_matches"))
     )
+
+
+@register(
+    "q_win_distinct_count",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(count(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_distinct_types
+    FROM e
+    """,
+)
+def q_win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over a window — "how many distinct event
+    types has this user produced so far". Spark rejects
+    COUNT(DISTINCT) in window frames, so the engine composes it as
+    size(collect_set() OVER w): the set state dedups inside the frame
+    and size() reads its cardinality — same semantics, one window
+    shuffle on user_id, no self-join.
+
+    Scale: state per row is the distinct-value set, bounded by the
+    event-type vocabulary (not the frame length) — safe for
+    low-cardinality attributes; for high-cardinality ones switch to
+    the sessionized approx_count_distinct rollup (q_agg_sketch_rollup
+    pattern). Order is the unique (us, event_id) chain, so frames are
+    engine-identical.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("bigint")
+        .alias("n_distinct_types"),
+    )
