@@ -511,3 +511,42 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l1.groupBy("o_orderstatus").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_customers")
     )
+
+
+@register(
+    "q_agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+               AS n_big,
+           CAST(COUNT(*) FILTER (WHERE l_discount = 0) AS BIGINT)
+               AS n_nodisc,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    FILTER (WHERE l_quantity > 25) AS BIGINT)
+               AS big_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates (ANSI `FILTER (WHERE ...)`): several
+    differently-conditioned aggregates in ONE pass over the fact
+    table — the idiom that replaces N self-joining subqueries with one
+    partial-aggregated scan. Spark parses the same clause; each
+    filtered aggregate partial-aggregates map-side like any sum.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("COUNT(*) FILTER (WHERE l_quantity > 25)")
+        .cast("bigint")
+        .alias("n_big"),
+        F.expr("COUNT(*) FILTER (WHERE l_discount = 0)")
+        .cast("bigint")
+        .alias("n_nodisc"),
+        F.expr(
+            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "FILTER (WHERE l_quantity > 25)"
+        )
+        .cast("bigint")
+        .alias("big_cents"),
+    )

@@ -432,3 +432,58 @@ def q_fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("l_linenumber").cast("string").cast("int").alias("lineno_rt"),
     )
+
+
+@register(
+    "q_fn_url",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://corpus.example/' || lang || '/doc?id='
+                   || CAST(doc_id AS VARCHAR) || '&src=' || source AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           'corpus.example' AS host,
+           '/' || regexp_extract(url, '//[^/]+/([^?]*)', 1) AS path,
+           regexp_extract(url, 'id=([0-9]+)', 1) AS id_param,
+           regexp_extract(url, 'src=([^&]+)', 1) AS src_param
+    FROM u
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family (parse_url): host / path / named query
+    parameter extraction — crawl-pipeline plumbing (canonical-URL
+    dedup keys, per-domain quotas). URLs are built deterministically
+    from document fields so both engines dissect identical strings;
+    the Spark side uses the REAL parse_url operators (the capability
+    under test), the oracle reproduces the same fields with plain
+    regexes (DuckDB has no parse_url — the check is on values, not on
+    which builtin computed them).
+
+    Scale: map-only codegen, no shuffle — URL canonicalization rides
+    the scan like q_llm_pii_redact's regex pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://corpus.example/"),
+            F.col("lang"),
+            F.lit("/doc?id="),
+            F.col("doc_id").cast("string"),
+            F.lit("&src="),
+            F.col("source"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("id")).alias(
+            "id_param"
+        ),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("src")).alias(
+            "src_param"
+        ),
+    )

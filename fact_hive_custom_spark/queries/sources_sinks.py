@@ -297,3 +297,67 @@ def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5(F.col("content")).alias("md5_hex"),
     )
+
+
+@register(
+    "q_scan_merge_schema",
+    oracle="""
+    WITH unioned AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+               NULL AS status
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(price_cents) AS n_with_price,
+           COUNT(status) AS n_with_status,
+           CAST(SUM(COALESCE(price_cents, 0)) AS BIGINT) AS total_cents
+    FROM unioned
+    """,
+)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (`mergeSchema`): two parquet writes
+    with DIFFERENT column sets land in one dataset directory; the
+    merged scan unions the schemas and fills the absent columns with
+    NULL — how a lakehouse table absorbs a new column without
+    rewriting history. The aggregate proves both halves surfaced with
+    their own columns populated and the other's NULL.
+
+    Scale note: mergeSchema reconciles footers at planning time (cost
+    scales with file count, not rows); production tables lock the
+    merged schema in a metastore and read WITHOUT per-query merging —
+    this query is the evolution-event path, not the steady state.
+    """
+    import uuid
+
+    o = load_table(spark, sf_dir, "orders")
+    path = stage_dir(f"merge_schema_{uuid.uuid4().hex[:12]}")
+    (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", F.col("o_orderstatus").alias("status"))
+        .write.mode("append")
+        .parquet(path)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("price_cents").alias("n_with_price"),
+        F.count("status").alias("n_with_status"),
+        F.sum(F.coalesce(F.col("price_cents"), F.lit(0)))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
