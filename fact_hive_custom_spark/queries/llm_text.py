@@ -626,3 +626,70 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("oov_ppm"),
     )
+
+
+_BUCKET_LADDER = "CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 " \
+    "WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 " \
+    "ELSE 512 END"
+
+
+@register(
+    "q_llm_length_bucket",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+        SELECT CAST({_BUCKET_LADDER} AS BIGINT) AS bucket, n FROM t
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST((COUNT(*) * bucket - CAST(SUM(n) AS BIGINT)) * 1000000
+                // (COUNT(*) * bucket) AS BIGINT) AS pad_waste_ppm
+    FROM b
+    GROUP BY bucket
+    """,
+)
+def q_llm_length_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing: assign each document to the next
+    power-of-two token-length bucket (16…512) and report per-bucket
+    document count, token mass, and padding waste in exact ppm — the
+    batch-shaping analysis that decides a training run's bucket
+    boundaries (padding waste is compute burned on pad tokens).
+
+    The bucket boundary is an explicit integer CASE ladder, not
+    ceil(log2(n)) — a float log at an exact power of two is a
+    cross-engine knife edge (the q_llm_domain_mix lesson from r3);
+    the ladder is branch-predictable codegen besides.
+
+    Scale: tokenize → one map-combined groupBy on ≤6 bucket keys.
+    The same bucket expression feeds repartitionByRange for the
+    actual bucketed shard write.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    t = d.select(
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n")
+    )
+    b = t.select(F.expr(_BUCKET_LADDER).cast("bigint").alias("bucket"), "n")
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            F.expr(
+                "(n_docs * bucket - total_tokens) * 1000000"
+                " div (n_docs * bucket)"
+            )
+            .cast("bigint")
+            .alias("pad_waste_ppm"),
+        )
+    )

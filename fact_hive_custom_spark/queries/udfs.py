@@ -240,3 +240,63 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_events bigint, value_e4 bigint",
         )
     )
+
+
+@register(
+    "q_udf_sql_table",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    parts AS (
+        SELECT o_orderkey, cents,
+               unnest(generate_series(1, 4)) AS part_no
+        FROM o
+    )
+    SELECT o_orderkey,
+           CAST(part_no AS INT) AS part_no,
+           CAST(cents // 4
+                + CASE WHEN part_no = 1 THEN cents % 4 ELSE 0 END
+                AS BIGINT) AS amount_cents
+    FROM parts
+    """,
+)
+def q_udf_sql_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL table function (CREATE TEMPORARY FUNCTION … RETURNS TABLE)
+    applied via LATERAL — an installment splitter that divides each
+    order's total into 4 exact-integer parts, remainder on the first.
+    This is the declarative UDTF surface: the function body is SQL, so
+    Catalyst inlines it into the calling plan (codegen, pushdown —
+    none of the Python UDTF's serialization wall, cf. q_udtf_python).
+
+    The function is session-temporary and created idempotently; the
+    LATERAL correlation is just an explode over a 4-element sequence,
+    so the plan is one generate over the scan — no shuffle, no Python.
+    """
+    from fact_hive_custom_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION fhcs_split_payments(
+            cents BIGINT, n_parts INT)
+        RETURNS TABLE (part_no INT, amount_cents BIGINT)
+        RETURN SELECT
+            CAST(p AS INT) AS part_no,
+            CAST(cents div n_parts
+                 + CASE WHEN p = 1 THEN cents % n_parts ELSE 0 END
+                 AS BIGINT) AS amount_cents
+        FROM (SELECT explode(sequence(1, n_parts)) AS p)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, s.part_no, s.amount_cents
+        FROM (SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders WHERE o_orderkey % 100 = 0) o,
+             LATERAL fhcs_split_payments(o.cents, 4) s
+        """
+    )
