@@ -641,7 +641,9 @@ _BUCKET_LADDER = "CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 " \
         FROM documents WHERE text IS NOT NULL
     ),
     b AS (
-        SELECT CAST({_BUCKET_LADDER} AS BIGINT) AS bucket, n FROM t
+        SELECT CAST({_BUCKET_LADDER} AS BIGINT) AS bucket,
+               least(n, 512) AS n
+        FROM t
     )
     SELECT bucket,
            COUNT(*) AS n_docs,
@@ -674,7 +676,13 @@ def q_llm_length_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n")
     )
-    b = t.select(F.expr(_BUCKET_LADDER).cast("bigint").alias("bucket"), "n")
+    # tokens beyond the top bucket are modeled as truncated-to-512
+    # (the training-time behavior) so padding waste stays in [0, 1e6]
+    # even if fixture drift ships very long documents
+    b = t.select(
+        F.expr(_BUCKET_LADDER).cast("bigint").alias("bucket"),
+        F.least(F.col("n"), F.lit(512)).alias("n"),
+    )
     return (
         b.groupBy("bucket")
         .agg(
