@@ -56,6 +56,14 @@ DOC_QUERIES = [
     "q_llm_decontaminate",
     "q_llm_pack_sequences",
     "q_llm_token_count",
+    # round-5 document consumers
+    "q_llm_dedup_survivor",
+    "q_llm_pii_redact",
+    "q_llm_length_bucket",
+    "q_llm_vocab_coverage",
+    "q_llm_mixture_sample",
+    "q_dataset_shard",
+    "q_fn_url",
 ]
 
 # Queries over the embeddings table (element/label dtype sensitive).
