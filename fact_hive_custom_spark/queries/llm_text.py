@@ -701,3 +701,98 @@ def q_llm_length_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pad_waste_ppm"),
         )
     )
+
+
+@register(
+    "q_llm_winnow",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(t) - 2)) AS pos,
+               len(t) - 2 AS m
+        FROM toks WHERE len(t) >= 3
+    ),
+    hashed AS (
+        SELECT g.doc_id, g.pos, g.m,
+               md5(array_to_string(list_slice(tk.t, g.pos, g.pos + 2), ' '))
+                   AS h
+        FROM grams g JOIN toks tk ON g.doc_id = tk.doc_id
+    ),
+    winmin AS (
+        SELECT doc_id, pos, m,
+               min(h) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        FROM hashed
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT sel) AS BIGINT) AS n_selected,
+           array_to_string(list_slice(list_sort(list(DISTINCT sel)), 1, 4),
+                           ',') AS winnow_head
+    FROM winmin WHERE pos <= m - 3
+    GROUP BY doc_id
+    """,
+)
+def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional winnowing fingerprint (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03 "local algorithms for document fingerprinting"): slide a
+    w=4 window over the document's 3-gram hash sequence and select
+    each window's MINIMUM hash. Unlike the global-min-k fingerprint
+    (q_llm_fingerprint), winnowing GUARANTEES any shared substring of
+    ≥ w+k-1 tokens produces a shared selected hash — the property
+    plagiarism/near-dup pipelines rely on. Output: per-doc selected
+    count + the 4 smallest selections (serialized — the driver's hash
+    can't take list cells).
+
+    Plan: tokens bound to a column before the gram lambda (the
+    higher-order re-tokenization trap, functions/text.py), one
+    explode, one window over (doc_id, pos) — hash order is md5-string
+    lexicographic in both engines, so selections are engine-identical.
+
+    Scale: selection density is 2/(w+1) ≈ 40% of grams; the output
+    index (not the text) is what joins downstream — same shuffle
+    discipline as the MinHash path.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toked = d.select("doc_id", F.split("text", " ").alias("toks"))
+    n = F.size("toks")
+    m = (n - 2).alias("m")
+    g = (
+        toked.filter(n >= 3)
+        .select(
+            "doc_id",
+            "toks",
+            m,
+            F.explode(F.sequence(F.lit(1), n - 2)).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            "m",
+            F.md5(F.array_join(F.slice("toks", F.col("pos"), 3), " ")).alias(
+                "h"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    sel = g.select(
+        "doc_id", "pos", "m", F.min("h").over(w).alias("sel")
+    ).filter(F.col("pos") <= F.col("m") - 3)
+    return sel.groupBy("doc_id").agg(
+        F.countDistinct("sel").cast("bigint").alias("n_selected"),
+        F.concat_ws(
+            ",", F.slice(F.sort_array(F.collect_set("sel")), 1, 4)
+        ).alias("winnow_head"),
+    )

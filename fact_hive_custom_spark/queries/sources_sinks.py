@@ -361,3 +361,51 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_cents"),
     )
+
+
+@register(
+    "q_sink_compact",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               AS value_e4
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: the events table is first fragmented
+    into 64 tiny parquet files (the streaming-ingest pathology), then
+    compacted with repartition(4) into right-sized files, and the
+    aggregate runs over the COMPACTED copy — proving the rewrite is
+    content-preserving (the oracle reads the original). The test
+    suite additionally asserts the output file count.
+
+    Why it matters at 100 TB: a million 1 MB files turn scan planning
+    and footer reads into the bottleneck (NameNode/liststore pressure,
+    one task per file). Nightly compaction to ~128 MB-1 GB files —
+    exactly this repartition-write — restores scan throughput.
+    repartition (round-robin), not coalesce: coalesce(4) would chain
+    the upstream 64-way parallelism down to 4 tasks for the WRITE
+    stage itself; the shuffle decouples read and write parallelism
+    and balances output sizes.
+    """
+    import uuid
+
+    e = load_table(spark, sf_dir, "events")
+    frag = stage_dir(f"compact_frag_{uuid.uuid4().hex[:12]}")
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = stage_dir(f"compact_out_{uuid.uuid4().hex[:12]}")
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        compacted
+    )
+    c = spark.read.parquet(compacted)
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("value_e4"),
+    )

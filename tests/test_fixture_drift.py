@@ -64,6 +64,7 @@ DOC_QUERIES = [
     "q_llm_mixture_sample",
     "q_dataset_shard",
     "q_fn_url",
+    "q_llm_winnow",
 ]
 
 # Queries over the embeddings table (element/label dtype sensitive).

