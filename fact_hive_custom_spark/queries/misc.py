@@ -300,3 +300,42 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_sql_parameterized",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_totalprice < 150000.0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (spark.sql(query, args=...)): the date and
+    price thresholds bind as NAMED PARAMETERS, not string-interpolated
+    literals — the injection-safe templating surface an engine exposes
+    to applications (PARAMETER MARKERS in the parsed plan, values
+    attached after parse). Catalyst still constant-folds and pushes
+    the bound predicates into the scan exactly as with literals.
+    """
+    from fact_hive_custom_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderdate >= CAST(:cutoff AS TIMESTAMP)
+          AND o_totalprice < :max_price
+        GROUP BY o_orderstatus
+        """,
+        args={"cutoff": "1996-01-01 00:00:00", "max_price": 150000.0},
+    )

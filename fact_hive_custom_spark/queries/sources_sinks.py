@@ -409,3 +409,80 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("value_e4"),
     )
+
+
+@register(
+    "q_source_csv_malformed",
+    oracle="""
+    WITH src AS (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 7 = 3 THEN NULL ELSE n_name END
+                   AS n_name,
+               CASE WHEN n_nationkey % 7 = 3 THEN NULL
+                    ELSE n_regionkey END AS n_regionkey,
+               CASE WHEN n_nationkey % 7 = 3 THEN 1 ELSE 0 END AS bad
+        FROM nation
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(bad) AS BIGINT) AS n_malformed,
+           CAST(SUM(CASE WHEN bad = 0 THEN n_regionkey ELSE 0 END)
+                AS BIGINT) AS regionkey_sum
+    FROM src
+    """,
+)
+def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance on CSV ingest (PERMISSIVE mode +
+    columnNameOfCorruptRecord): rows whose numeric fields are garbage
+    surface as NULL columns plus a populated _corrupt_record instead
+    of failing the job — then get COUNTED, the quarantine report every
+    large ingest needs. Every nationkey ≡3 (mod 7) row is written with
+    a non-numeric regionkey ('NOT_A_NUMBER'), so both the malformed
+    count and the clean-row aggregate are deterministic.
+
+    At 100 TB: PERMISSIVE keeps one bad row from killing a pass
+    (FAILFAST is the validation-run mode); the corrupt-record column
+    routes rejects to a quarantine sink for replay after repair.
+    """
+    import uuid
+
+    n = load_table(spark, sf_dir, "nation")
+    path = stage_dir(f"csv_malformed_{uuid.uuid4().hex[:12]}")
+    os.makedirs(path, exist_ok=True)
+    rows = n.select("n_nationkey", "n_name", "n_regionkey").collect()
+    with open(os.path.join(path, "part-0.csv"), "w") as f:
+        for r in sorted(rows, key=lambda x: x["n_nationkey"]):
+            if r["n_nationkey"] % 7 == 3:
+                f.write(f"{r['n_nationkey']},{r['n_name']},NOT_A_NUMBER\n")
+            else:
+                f.write(
+                    f"{r['n_nationkey']},{r['n_name']},{r['n_regionkey']}\n"
+                )
+    schema = (
+        "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, "
+        "_corrupt_record STRING"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # corrupt-record queries must cache before filtering on the
+    # corrupt column (Spark requires referencing it from materialized
+    # rows, not a pushed-down filter)
+    df = df.cache()
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_malformed"),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull(), F.col("n_regionkey")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("regionkey_sum"),
+    )
