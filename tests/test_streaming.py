@@ -354,3 +354,61 @@ class TestCdcUpsert:
         state = cdc_latest(None, b, key=["user_id"], order_by=["us", "event_id"])
         rows = state.collect()
         assert len(rows) == 1 and rows[0].event_type == "hi"
+
+
+class TestCheckpointRestartRecovery:
+    """Exactly-once across a PROCESS-level restart: a streaming dedup
+    query is stopped cold and a brand-new query object resumes from
+    the same checkpoint — the dedup state and committed offsets must
+    survive, so a key first seen before the restart is still a
+    duplicate after it, and nothing is re-emitted."""
+
+    def test_dedup_state_survives_restart(self, spark, tmp_path):
+        import glob
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "sink")
+        os.makedirs(src)
+
+        def start_query():
+            stream = (
+                spark.readStream.schema(SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            return (
+                stream.dropDuplicates(["key"])
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        n_fed = 0
+
+        def feed(query, rows):
+            nonlocal n_fed
+            n_fed += 1
+            df = spark.createDataFrame(rows, schema=SCHEMA)
+            stage = str(tmp_path / f"stage_{n_fed}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(src, f"batch_{n_fed}.parquet"))
+            query.processAllAvailable()
+
+        q1 = start_query()
+        feed(q1, [(_t(10), "k1", 1), (_t(10, 5), "k2", 2)])
+        q1.stop()  # cold stop — no graceful drain beyond the batch
+
+        # a NEW query object on the same checkpoint: k2 must still be
+        # remembered as seen, k3 is new
+        q2 = start_query()
+        feed(q2, [(_t(11), "k2", 3), (_t(11, 5), "k3", 4)])
+        q2.stop()
+
+        out = spark.read.schema(SCHEMA).parquet(sink)
+        rows = {(r["key"], r["val"]) for r in out.collect()}
+        assert rows == {("k1", 1), ("k2", 2), ("k3", 4)}, rows
+        assert out.count() == 3  # k2 emitted exactly once, pre-restart
