@@ -15,7 +15,11 @@ from fact_hive_custom_spark.operators.dedup import jaccard_pairs, minhash_lsh_pa
 from fact_hive_custom_spark.operators.graph import connected_components
 from fact_hive_custom_spark.operators.similarity import cosine_topk
 from fact_hive_custom_spark.queries.registry import register
-from fact_hive_custom_spark.tables import load_table
+from fact_hive_custom_spark.tables import (
+    EMB_CONTRACT_SQL,
+    load_embeddings,
+    load_table,
+)
 
 
 @register(
@@ -111,12 +115,13 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COSINE_TOPK_ORACLE = """
+_COSINE_TOPK_ORACLE = f"""
+    WITH emb AS ({EMB_CONTRACT_SQL})
     SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
            ROUND(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
                                         CAST(c.embedding AS DOUBLE[])), 6) AS cosine
-    FROM embeddings p
-    JOIN embeddings c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+    FROM emb p
+    JOIN emb c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
     QUALIFY row_number() OVER (
         PARTITION BY p.vec_id
         ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
@@ -130,7 +135,7 @@ _COSINE_TOPK_ORACLE = """
 def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding similarity search: brute-force cosine top-5 for a probe
     set (vec_id < 10), probes broadcast, corpus never shuffled."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10)
     return cosine_topk(probes, emb, k=5)
 
@@ -148,17 +153,18 @@ def q_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from fact_hive_custom_spark.operators.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(probes, emb, k=5, num_pivots=16, nprobe=16)
 
 
 @register(
     "q_llm_knn_label",
-    oracle="""
+    oracle=f"""
+    WITH emb AS ({EMB_CONTRACT_SQL})
     SELECT p.vec_id AS probe_id, c.label AS predicted_label
-    FROM embeddings p
-    JOIN embeddings c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+    FROM emb p
+    JOIN emb c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
     QUALIFY row_number() OVER (
         PARTITION BY p.vec_id
         ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
@@ -169,7 +175,7 @@ def q_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor label assignment: top-1 neighbor's label per probe."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10)
     top1 = cosine_topk(probes, emb, k=1, payload=("label",))
     return top1.select("probe_id", F.col("label").alias("predicted_label"))

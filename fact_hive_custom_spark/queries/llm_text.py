@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 from fact_hive_custom_spark.operators.dedup import simhash_64
 from fact_hive_custom_spark.operators.similarity import cosine_pairs
 from fact_hive_custom_spark.queries.registry import register
-from fact_hive_custom_spark.tables import load_table
+from fact_hive_custom_spark.tables import (
+    EMB_CONTRACT_SQL,
+    load_embeddings,
+    load_table,
+)
 
 # Tiny fixed n-gram profiles for the heuristic language scorer. On a
 # real corpus these are the top character/token n-grams per language;
@@ -150,11 +154,12 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_cosine_dedup",
-    oracle="""
+    oracle=f"""
+    WITH emb AS ({EMB_CONTRACT_SQL})
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.5
     """,
@@ -170,7 +175,7 @@ def q_llm_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     here because at threshold 0.5 its per-plane collision probability is
     2/3 and recall 1.0 is unreachable (measured); the LSH path serves
     the top-k workload (signlsh_topk) where misses are by design."""
-    return cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.5)
+    return cosine_pairs(load_embeddings(spark, sf_dir), threshold=0.5)
 
 
 # Oracle recomputes the identical 60-bit portable SimHash in DuckDB:

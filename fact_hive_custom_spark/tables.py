@@ -80,3 +80,46 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     _registered[spark] = sf_dir
+
+
+# DuckDB fragment enforcing the same contract as load_embeddings():
+# substitute as a CTE via `WITH emb AS ({EMB_CONTRACT_SQL}) ... FROM emb`.
+EMB_CONTRACT_SQL = """
+    SELECT * FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND len(embedding) = (
+          SELECT len(embedding) FROM embeddings
+          WHERE embedding IS NOT NULL
+          GROUP BY 1 ORDER BY COUNT(*) DESC, 1 LIMIT 1)
+"""
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table under its DIMENSION CONTRACT: NULL vectors
+    and rows whose length differs from the corpus's modal dimension
+    are excluded. Cosine/dot kernels require equal-length operands —
+    a single zero-length or odd-dimension row (a real drift class:
+    probed 2026-08-14, an empty-list row hard-crashes both engines'
+    cosine paths) must quarantine at the scan, not abort a 100 TB
+    pass. The modal dimension is computed distributed (groupBy +
+    1-row broadcast join), never collected, and deterministically
+    (count DESC, dim ASC tiebreak) — so the filter itself is
+    engine-portable (EMB_CONTRACT_SQL is the DuckDB mirror).
+    """
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mode_dim = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(F.size("embedding").alias("dim"))
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("dim"))
+        .limit(1)
+        .select("dim")
+    )
+    return (
+        emb.filter(F.col("embedding").isNotNull())
+        .join(F.broadcast(mode_dim), F.size("embedding") == F.col("dim"))
+        .drop("dim")
+    )

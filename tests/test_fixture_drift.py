@@ -180,6 +180,32 @@ def test_float64_embeddings_parity(spark, wide_embeddings_dir, name):
     assert ok, f"{name} on float64/int64 embeddings: {detail}"
 
 
+@pytest.fixture(scope="module")
+def degenerate_embeddings_dir(tmp_path_factory):
+    """sf0.001 embeddings plus a NULL vector, an empty vector, and a
+    wrong-dimension vector — the drift class that hard-crashed every
+    cosine path (both engines) before the load_embeddings dimension
+    contract (probed + fixed 2026-08-14)."""
+    d = tmp_path_factory.mktemp("drift_emb_degen")
+    sf_dir = _clone_fixture(d)
+    t = pq.read_table(f"{_SRC}/embeddings.parquet")
+    base = t.to_pydict()
+    nid = max(base["vec_id"]) + 1
+    base["vec_id"] += [nid, nid + 1, nid + 2]
+    base["embedding"] += [None, [], [1.0, 2.0]]
+    base["label"] += [None, 0, 1]
+    pq.write_table(
+        pa.table(base, schema=t.schema), f"{sf_dir}/embeddings.parquet"
+    )
+    return sf_dir
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_degenerate_embeddings_parity(spark, degenerate_embeddings_dir, name):
+    ok, detail = compare(spark, name, degenerate_embeddings_dir)
+    assert ok, f"{name} on NULL/empty/odd-dim embeddings: {detail}"
+
+
 @pytest.mark.parametrize("name", EVT_QUERIES)
 def test_reencoded_events_parity(spark, reencoded_events_dir, name):
     ok, detail = compare(spark, name, reencoded_events_dir)
