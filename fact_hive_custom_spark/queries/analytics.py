@@ -139,7 +139,7 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_event_transitions",
     oracle="""
     WITH e AS (
-        SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events WHERE ts IS NOT NULL
     ),
     nx AS (
         SELECT event_type AS from_type,
@@ -162,8 +162,17 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials — at 100 TB the transition matrix is |types|² rows no
     matter the input size. Order is the unique (us, event_id) chain,
     so ties can't reorder across engines."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    e = (
+        load_table(spark, sf_dir, "events")
+        # NULL-ts rows are unorderable: Spark sorts nulls FIRST,
+        # DuckDB LAST - keeping them silently shifts every chain
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+        )
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     nx = e.select(
@@ -249,7 +258,7 @@ def _pagerank_oracle() -> str:
     fixpoint bit-identical across engines — no float summation order."""
     head = f"""
     WITH e AS (
-        SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events WHERE ts IS NOT NULL
     ),
     nx AS (
         SELECT event_type AS from_type,
@@ -265,7 +274,8 @@ def _pagerank_oracle() -> str:
     outw AS (
         SELECT from_type, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY 1
     ),
-    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events
+               WHERE ts IS NOT NULL),
     r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank_ppm FROM nodes)"""
     iters = []
     for k in range(1, _PR_ITER + 1):
@@ -310,8 +320,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py:connected_components does (Kiveris et al.,
     SoCC'14 lineage-capping pattern).
     """
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    e = (
+        load_table(spark, sf_dir, "events")
+        # NULL-ts rows are unorderable: Spark sorts nulls FIRST,
+        # DuckDB LAST - keeping them silently shifts every chain
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+        )
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     nx = e.select(

@@ -241,14 +241,18 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(json_extract(props, '$.k') AS INTEGER) * 2       AS k_doubled,
            'k'                                                   AS exploded_key,
            CAST(json_extract(props, '$.k') AS INTEGER)           AS exploded_val
-    FROM events
+    FROM events WHERE props IS NOT NULL
     """,
 )
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family: from_json to map, map_keys/map_values/element_at,
     map explode, str_to_map, create_map. The fixture props is exactly
     {"k": <int>} (FIXTURES.md) so the exploded map has one entry/row."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL props: Spark explode(NULL map) DROPS the row while the
+    # oracle keeps it - quarantine null payloads on both engines
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull()
+    )
     m = F.from_json(F.col("props"), "map<string,int>")
     # str_to_map round-trip: rebuild "k:<v>" then re-parse — exercises
     # str_to_map + create_map + element_at together.
@@ -273,13 +277,17 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(json_extract(props, '$.k') AS INTEGER)           AS k_int,
            to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS INTEGER))) AS rebuilt,
            json_extract_string(props, '$.k')                     AS k_tuple
-    FROM events
+    FROM events WHERE props IS NOT NULL
     """,
 )
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family: get_json_object / json_tuple / from_json(struct) /
     to_json round-trip."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL props: to_json(struct) renders {"k":null} in DuckDB vs NULL
+    # in Spark - quarantine null payloads on both engines
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull()
+    )
     parsed = F.from_json(F.col("props"), "struct<k:int>")
     return e.select(
         "event_id",

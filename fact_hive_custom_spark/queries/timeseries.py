@@ -176,6 +176,7 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
         SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
     ),
     lw AS (
         SELECT user_id, event_id, value,
@@ -206,8 +207,15 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the final 4-dp round. One window partitioning (user_id)
     = one exchange; the frame bound (not a watermark) is what caps
     state at any scale."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    e = (
+        load_table(spark, sf_dir, "events")
+        # NULL ts is unorderable, NULL value unmeasurable: quarantine
+        # both (Spark collect_list skips nulls, DuckDB list() keeps;
+        # null ordering differs FIRST/LAST across engines)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+        )
     )
     w = (
         Window.partitionBy("user_id")
@@ -236,6 +244,7 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
         SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+        WHERE ts IS NOT NULL
     ),
     w AS (
         SELECT user_id, event_id, value,
@@ -264,8 +273,13 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu/sd over the identical frame rows, and the fixture's continuous
     values keep knife-edge ties measure-zero; only the reported z is
     rounded (4 dp) for the value hash."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    e = (
+        load_table(spark, sf_dir, "events")
+        # NULL-ts rows are unorderable across engines: quarantine
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+        )
     )
     win = (
         Window.partitionBy("user_id")

@@ -367,6 +367,7 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
         SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        WHERE ts IS NOT NULL
     ),
     lagd AS (
         SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
@@ -402,8 +403,10 @@ def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id is the natural partition key and no per-user history is
     unbounded (windows are per-partition streams, never materialized
     whole)."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())  # unorderable rows quarantine
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -514,7 +517,7 @@ def q_win_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
         SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, event_id,
            CAST(count(DISTINCT event_type) OVER (
@@ -539,8 +542,15 @@ def q_win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern). Order is the unique (us, event_id) chain, so frames are
     engine-identical.
     """
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())  # unorderable rows quarantine
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
     )
     w = (
         Window.partitionBy("user_id")

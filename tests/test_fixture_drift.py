@@ -210,3 +210,58 @@ def test_degenerate_embeddings_parity(spark, degenerate_embeddings_dir, name):
 def test_reencoded_events_parity(spark, reencoded_events_dir, name):
     ok, detail = compare(spark, name, reencoded_events_dir)
     assert ok, f"{name} on compact-props/ns-ts events: {detail}"
+
+
+# Orderable-events consumers: every query whose semantics depend on the
+# (ts, event_id) chain, plus the JSON/props parsers — the NULL-events
+# probe (2026-08-14) caught 7 of these diverging (Spark sorts NULLs
+# FIRST, DuckDB LAST; Spark explode(NULL map) drops the row, DuckDB
+# keeps it; collect_list skips NULL values, DuckDB list() keeps them).
+# All now quarantine NULL ts/props/value identically on both engines.
+NULLABLE_EVT_QUERIES = [
+    "q_fn_map",
+    "q_fn_json",
+    "q_event_transitions",
+    "q_ts_resample_ohlc",
+    "q_ts_gapfill",
+    "q_ts_ewma",
+    "q_funnel_steps",
+    "q_retention_cohort",
+    "q_graph_pagerank",
+    "q_win_sessionize",
+    "q_win_distinct_count",
+    "q_win_pattern",
+    "q_ts_anomaly",
+    "q_join_interval",
+]
+
+
+@pytest.fixture(scope="module")
+def null_events_dir(tmp_path_factory):
+    """sf0.001 events plus rows with NULL value / event_type / props /
+    user_id / ts — one NULL per drift-prone column."""
+    d = tmp_path_factory.mktemp("drift_evt_null")
+    sf_dir = _clone_fixture(d)
+    t = pq.read_table(f"{_SRC}/events.parquet")
+    base = t.to_pydict()
+    nid = max(base["event_id"]) + 1
+    uid = base["user_id"][0]
+    some_ts = base["ts"][0]
+    base["event_id"] += [nid, nid + 1, nid + 2, nid + 3, nid + 4]
+    base["ts"] += [some_ts, some_ts, some_ts, some_ts, None]
+    base["user_id"] += [uid, uid, uid, None, uid]
+    base["event_type"] += ["view", None, "view", "click", "view"]
+    base["value"] += [None, 1.25, 2.5, 3.75, 5.0]
+    base["props"] += [
+        '{"k": 1}', '{"k": 2}', None, '{"k": 3}', '{"k": 4}'
+    ]
+    pq.write_table(
+        pa.table(base, schema=t.schema), f"{sf_dir}/events.parquet"
+    )
+    return sf_dir
+
+
+@pytest.mark.parametrize("name", NULLABLE_EVT_QUERIES)
+def test_null_events_parity(spark, null_events_dir, name):
+    ok, detail = compare(spark, name, null_events_dir)
+    assert ok, f"{name} on NULL-laden events: {detail}"
