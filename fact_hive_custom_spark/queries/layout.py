@@ -48,7 +48,7 @@ from fact_hive_custom_spark.tables import load_table
     FROM old_snap o FULL OUTER JOIN new_snap n
         ON o.o_orderkey = n.o_orderkey
     WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
-       OR o.price_cents <> n.price_cents
+       OR o.price_cents IS DISTINCT FROM n.price_cents
     """,
 )
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,9 +69,17 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    # explicit presence markers: a NULL price must not masquerade as a
+    # missing ROW (a NULL-totalprice drift row taught us the
+    # difference), and prices compare null-safely — NULL==NULL is
+    # "unchanged", NULL vs value is "changed"
     old_snap = (
         o.filter(F.col("o_orderkey") % 97 != 0)
-        .select("o_orderkey", cents.alias("price_cents"))
+        .select(
+            "o_orderkey",
+            cents.alias("price_cents"),
+            F.lit(1).alias("in_old"),
+        )
     )
     new_snap = (
         o.filter(F.col("o_orderkey") % 89 != 0)
@@ -81,6 +89,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cents
                 + F.when(F.col("o_orderkey") % 7 == 0, F.lit(500)).otherwise(0)
             ).alias("price_cents"),
+            F.lit(1).alias("in_new"),
         )
     )
     joined = old_snap.alias("o").join(
@@ -88,19 +97,24 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old_pc = F.col("o.price_cents")
     new_pc = F.col("n.price_cents")
+    in_old = F.col("o.in_old")
+    in_new = F.col("n.in_new")
     return (
         joined.select(
             "o_orderkey",
-            F.when(old_pc.isNull(), "added")
-            .when(new_pc.isNull(), "removed")
+            F.when(in_old.isNull(), "added")
+            .when(in_new.isNull(), "removed")
             .otherwise("changed")
             .alias("change"),
             old_pc.alias("old_price_cents"),
             new_pc.alias("new_price_cents"),
+            in_old,
+            in_new,
         )
         .filter(
-            old_pc.isNull() | new_pc.isNull() | (old_pc != new_pc)
+            in_old.isNull() | in_new.isNull() | ~old_pc.eqNullSafe(new_pc)
         )
+        .drop("in_old", "in_new")
     )
 
 

@@ -265,3 +265,49 @@ def null_events_dir(tmp_path_factory):
 def test_null_events_parity(spark, null_events_dir, name):
     ok, detail = compare(spark, name, null_events_dir)
     assert ok, f"{name} on NULL-laden events: {detail}"
+
+
+# Orders consumers probed against NULL-laden orders rows (2026-08-14):
+# q_snapshot_diff was the one divergence (price-NULL mistaken for a
+# missing row) - now classified via explicit presence markers with
+# null-safe price comparison; the rest were already NULL-robust.
+NULLABLE_ORD_QUERIES = [
+    "q_join_asof",
+    "q_join_asof_fwd",
+    "q_join_asof_nearest",
+    "q_topk_group",
+    "q_snapshot_diff",
+    "q_zorder_key",
+    "q_merge_upsert",
+    "q_sql_parameterized",
+    "q_ts_calendar_dim",
+    "q_star_join_region",
+    "q_join_null_safe",
+]
+
+
+@pytest.fixture(scope="module")
+def null_orders_dir(tmp_path_factory):
+    """sf0.001 orders plus rows with NULL custkey / status / totalprice
+    / orderdate / priority."""
+    d = tmp_path_factory.mktemp("drift_ord_null")
+    sf_dir = _clone_fixture(d)
+    t = pq.read_table(f"{_SRC}/orders.parquet")
+    base = t.to_pydict()
+    nk = max(base["o_orderkey"]) + 1
+    base["o_orderkey"] += [nk, nk + 1]
+    base["o_custkey"] += [base["o_custkey"][0], None]
+    base["o_orderstatus"] += [None, "O"]
+    base["o_totalprice"] += [None, 123.45]
+    base["o_orderdate"] += [base["o_orderdate"][0], None]
+    base["o_orderpriority"] += ["1-URGENT", None]
+    pq.write_table(
+        pa.table(base, schema=t.schema), f"{sf_dir}/orders.parquet"
+    )
+    return sf_dir
+
+
+@pytest.mark.parametrize("name", NULLABLE_ORD_QUERIES)
+def test_null_orders_parity(spark, null_orders_dir, name):
+    ok, detail = compare(spark, name, null_orders_dir)
+    assert ok, f"{name} on NULL-laden orders: {detail}"
