@@ -447,8 +447,9 @@ def q_fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
         SELECT doc_id,
-               'https://corpus.example/' || lang || '/doc?id='
-                   || CAST(doc_id AS VARCHAR) || '&src=' || source AS url
+               'https://corpus.example/' || COALESCE(lang, 'und')
+                   || '/doc?id=' || CAST(doc_id AS VARCHAR)
+                   || '&src=' || COALESCE(source, 'unknown') AS url
         FROM documents
     )
     SELECT doc_id,
@@ -475,13 +476,17 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     u = d.select(
         "doc_id",
+        # COALESCE defaults: a NULL metadata field must not null out the
+        # whole URL (concat is NULL-propagating in both engines, but the
+        # oracle's literal host column is not) - and 'und'/'unknown'
+        # segments are what a real canonicalizer emits anyway
         F.concat(
             F.lit("https://corpus.example/"),
-            F.col("lang"),
+            F.coalesce(F.col("lang"), F.lit("und")),
             F.lit("/doc?id="),
             F.col("doc_id").cast("string"),
             F.lit("&src="),
-            F.col("source"),
+            F.coalesce(F.col("source"), F.lit("unknown")),
         ).alias("url"),
     )
     return u.select(

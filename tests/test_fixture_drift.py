@@ -361,3 +361,45 @@ def null_lineitem_dir(tmp_path_factory):
 def test_null_lineitem_parity(spark, null_lineitem_dir, name):
     ok, detail = compare(spark, name, null_lineitem_dir)
     assert ok, f"{name} on NULL-laden lineitem: {detail}"
+
+
+# Document-METADATA nulls (lang/source/n_chars) - distinct from the
+# degenerate-TEXT class above. q_fn_url was the one divergence
+# (NULL-propagating concat vs the oracle's literal host column);
+# fixed with COALESCE defaults in the URL builder on both sides.
+NULL_DOCMETA_QUERIES = [
+    "q_llm_lang_filter",
+    "q_llm_domain_mix",
+    "q_llm_stratified_sample",
+    "q_llm_mixture_sample",
+    "q_dataset_shard",
+    "q_llm_dedup_survivor",
+    "q_llm_vocab_coverage",
+    "q_fn_url",
+]
+
+
+@pytest.fixture(scope="module")
+def null_docmeta_dir(tmp_path_factory):
+    """sf0.001 documents plus rows with NULL lang / source / n_chars."""
+    d = tmp_path_factory.mktemp("drift_docmeta_null")
+    sf_dir = _clone_fixture(d)
+    t = pq.read_table(f"{_SRC}/documents.parquet")
+    base = t.to_pydict()
+    nid = max(base["doc_id"]) + 1
+    txt = base["text"][0]
+    base["doc_id"] += [nid, nid + 1, nid + 2]
+    base["text"] += [txt, txt + " unique tail", "short doc here"]
+    base["lang"] += [None, "en", None]
+    base["source"] += ["srcX", None, None]
+    base["n_chars"] += [len(txt), None, 14]
+    pq.write_table(
+        pa.table(base, schema=t.schema), f"{sf_dir}/documents.parquet"
+    )
+    return sf_dir
+
+
+@pytest.mark.parametrize("name", NULL_DOCMETA_QUERIES)
+def test_null_docmeta_parity(spark, null_docmeta_dir, name):
+    ok, detail = compare(spark, name, null_docmeta_dir)
+    assert ok, f"{name} on NULL doc metadata: {detail}"
