@@ -232,6 +232,17 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Payload contract for the JSON/map/variant family: exactly the
+# fixture shape {"k": <int>} (space optional - the compact-props
+# drift variant). Anything else - malformed JSON, empty string,
+# wrong value type - QUARANTINES on both engines: DuckDB
+# json_extract hard-errors on malformed input and CAST('"x"'
+# AS INTEGER) on wrong types, while Spark nulls them (from_json
+# PERMISSIVE) or FAILFASTs (parse_json), so no NULL-propagating
+# middle ground exists; a regex shape gate is portable and exact.
+_PROPS_SHAPE = '^\\{"k": ?-?[0-9]+\\}$'
+
+
 @register(
     "q_fn_map",
     oracle="""
@@ -242,16 +253,16 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
            'k'                                                   AS exploded_key,
            CAST(json_extract(props, '$.k') AS INTEGER)           AS exploded_val
     FROM events WHERE props IS NOT NULL
+      AND regexp_matches(props, '^\{"k": ?-?[0-9]+\}$')
     """,
 )
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family: from_json to map, map_keys/map_values/element_at,
     map explode, str_to_map, create_map. The fixture props is exactly
     {"k": <int>} (FIXTURES.md) so the exploded map has one entry/row."""
-    # NULL props: Spark explode(NULL map) DROPS the row while the
-    # oracle keeps it - quarantine null payloads on both engines
+    # see _PROPS_SHAPE: malformed/NULL/mistyped payloads quarantine
     e = load_table(spark, sf_dir, "events").filter(
-        F.col("props").isNotNull()
+        F.col("props").rlike(_PROPS_SHAPE)
     )
     m = F.from_json(F.col("props"), "map<string,int>")
     # str_to_map round-trip: rebuild "k:<v>" then re-parse — exercises
@@ -278,15 +289,15 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
            to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS INTEGER))) AS rebuilt,
            json_extract_string(props, '$.k')                     AS k_tuple
     FROM events WHERE props IS NOT NULL
+      AND regexp_matches(props, '^\{"k": ?-?[0-9]+\}$')
     """,
 )
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family: get_json_object / json_tuple / from_json(struct) /
     to_json round-trip."""
-    # NULL props: to_json(struct) renders {"k":null} in DuckDB vs NULL
-    # in Spark - quarantine null payloads on both engines
+    # see _PROPS_SHAPE: malformed/NULL/mistyped payloads quarantine
     e = load_table(spark, sf_dir, "events").filter(
-        F.col("props").isNotNull()
+        F.col("props").rlike(_PROPS_SHAPE)
     )
     parsed = F.from_json(F.col("props"), "struct<k:int>")
     return e.select(
@@ -329,6 +340,8 @@ def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS VARCHAR) AS k_str,
            to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS INTEGER))) AS rebuilt
     FROM events
+    WHERE props IS NOT NULL
+      AND regexp_matches(props, '^\{"k": ?-?[0-9]+\}$')
     """,
 )
 def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,7 +351,10 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     not declared up front — the 100 TB ingestion pattern for evolving
     event payloads; parquet stores VARIANT as a binary-encoded column
     supporting shredded pushdown."""
-    e = load_table(spark, sf_dir, "events")
+    # see _PROPS_SHAPE: parse_json FAILFASTs on malformed input
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("props").rlike(_PROPS_SHAPE)
+    )
     v = F.parse_json(F.col("props"))
     return e.select(
         "event_id",

@@ -403,3 +403,39 @@ def null_docmeta_dir(tmp_path_factory):
 def test_null_docmeta_parity(spark, null_docmeta_dir, name):
     ok, detail = compare(spark, name, null_docmeta_dir)
     assert ok, f"{name} on NULL doc metadata: {detail}"
+
+
+# Malformed props payloads (2026-08-14 probe): DuckDB json_extract
+# hard-errors on invalid JSON and CAST('"x"' AS INTEGER) on wrong
+# types; Spark nulls (from_json) or FAILFASTs (parse_json). All three
+# JSON-family queries now gate on the _PROPS_SHAPE regex contract.
+MALFORMED_PROPS_QUERIES = ["q_fn_map", "q_fn_json", "q_fn_variant"]
+
+
+@pytest.fixture(scope="module")
+def malformed_props_dir(tmp_path_factory):
+    """sf0.001 events plus malformed / empty / wrong-typed / compact
+    props payloads."""
+    d = tmp_path_factory.mktemp("drift_props_bad")
+    sf_dir = _clone_fixture(d)
+    t = pq.read_table(f"{_SRC}/events.parquet")
+    base = t.to_pydict()
+    nid = max(base["event_id"]) + 1
+    uid = base["user_id"][0]
+    some_ts = base["ts"][0]
+    base["event_id"] += [nid, nid + 1, nid + 2, nid + 3]
+    base["ts"] += [some_ts] * 4
+    base["user_id"] += [uid] * 4
+    base["event_type"] += ["view"] * 4
+    base["value"] += [1.0, 2.0, 3.0, 4.0]
+    base["props"] += ['{not json', '', '{"k": "str_not_int"}', '{"k":42}']
+    pq.write_table(
+        pa.table(base, schema=t.schema), f"{sf_dir}/events.parquet"
+    )
+    return sf_dir
+
+
+@pytest.mark.parametrize("name", MALFORMED_PROPS_QUERIES)
+def test_malformed_props_parity(spark, malformed_props_dir, name):
+    ok, detail = compare(spark, name, malformed_props_dir)
+    assert ok, f"{name} on malformed props: {detail}"
