@@ -439,3 +439,52 @@ def malformed_props_dir(tmp_path_factory):
 def test_malformed_props_parity(spark, malformed_props_dir, name):
     ok, detail = compare(spark, name, malformed_props_dir)
     assert ok, f"{name} on malformed props: {detail}"
+
+
+# Dimension tables (customer/supplier/part) probed with NULL-laden
+# rows (2026-08-14): all 12 consumers already robust; locked here.
+NULL_DIM_QUERIES = [
+    "q_win_ntile",
+    "q_cbo_join_reorder",
+    "q_join_broadcast",
+    "q_join_theta",
+    "q_star_join_region",
+    "q_subquery_in",
+    "q_join_lateral",
+]
+
+
+@pytest.fixture(scope="module")
+def null_dims_dir(tmp_path_factory):
+    """sf0.001 with one NULL-laden row in each of customer, supplier,
+    and part."""
+    d = tmp_path_factory.mktemp("drift_dims_null")
+    sf_dir = _clone_fixture(d)
+    for tbl, mods in [
+        ("customer", {"c_name": None, "c_nationkey": None,
+                      "c_acctbal": None, "c_mktsegment": None}),
+        ("supplier", {"s_name": None, "s_nationkey": None,
+                      "s_acctbal": None}),
+        ("part", {"p_name": None}),
+    ]:
+        t = pq.read_table(f"{_SRC}/{tbl}.parquet")
+        base = t.to_pydict()
+        keycol = [c for c in t.column_names if c.endswith("key")][0]
+        nk = max(base[keycol]) + 1
+        for c in t.column_names:
+            if c == keycol:
+                base[c].append(nk)
+            elif c in mods:
+                base[c].append(mods[c])
+            else:
+                base[c].append(base[c][0])
+        pq.write_table(
+            pa.table(base, schema=t.schema), f"{sf_dir}/{tbl}.parquet"
+        )
+    return sf_dir
+
+
+@pytest.mark.parametrize("name", NULL_DIM_QUERIES)
+def test_null_dims_parity(spark, null_dims_dir, name):
+    ok, detail = compare(spark, name, null_dims_dir)
+    assert ok, f"{name} on NULL-laden dimension rows: {detail}"
