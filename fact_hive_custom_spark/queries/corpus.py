@@ -571,3 +571,102 @@ def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                f"'{_EMAIL_RE}', '<EMAIL>'), '{_PHONE_RE}', '<PHONE>')"
                + ", 40)").alias("redacted_tail"),
     )
+
+
+_EDIT_PREFIX = 80  # chars of each doc compared; bounds the O(n²) DP
+
+
+@register(
+    "q_llm_edit_distance",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               left(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'),
+                    {_EDIT_PREFIX}) AS head
+        FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    p AS (
+        SELECT doc_id, source, head,
+               lead(doc_id) OVER w AS next_id,
+               lead(head)   OVER w AS next_head
+        FROM d
+        WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+    ),
+    m AS (
+        SELECT doc_id, next_id, source,
+               CAST(levenshtein(head, next_head) AS BIGINT) AS edit_dist,
+               CAST(greatest(length(head), length(next_head)) AS BIGINT)
+                   AS max_len
+        FROM p WHERE next_id IS NOT NULL
+    )
+    SELECT doc_id, next_id, source, edit_dist,
+           CASE WHEN max_len = 0 THEN 1000000
+                ELSE ((max_len - edit_dist) * 1000000) // max_len
+           END AS sim_ppm
+    FROM m
+    """,
+)
+def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity between neighboring documents of the
+    same source — the character-level near-dup verifier that catches
+    template/boilerplate families token-level Jaccard misses (one-char
+    diffs in every token still score ~1.0 here). Pairing is
+    lead-by-doc_id within source: the bounded O(n) candidate chain a
+    crawler's natural ingest order gives, standing in for dedup's LSH
+    candidates (operators/dedup.py emits exactly such pairs at scale).
+
+    Cross-engine determinism: DuckDB's levenshtein counts BYTES while
+    Spark's counts CHARACTERS, so both engines first strip the text to
+    printable ASCII (identical regex, 'g' flag on the DuckDB side
+    because its regexp_replace is first-match by default) where the two
+    units coincide; the DP is bounded to the first {_EDIT_PREFIX} chars
+    per doc. Similarity is ppm integer division (truncating on both
+    engines); NULL text/source rows are quarantined.
+
+    Scale: one window shuffle on source, then a map-only levenshtein
+    pass over consecutive pairs — O(n·{_EDIT_PREFIX}²) total, never a
+    cross-product. At 100 TB the same shape runs over LSH candidate
+    pairs instead of neighbors: a join-then-map with identical cost
+    character."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                "left(regexp_replace(text, '[^\\\\x20-\\\\x7e]', ''),"
+                f" {_EDIT_PREFIX})"
+            ).alias("head"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    p = d.select(
+        "doc_id",
+        "source",
+        "head",
+        F.lead("doc_id").over(w).alias("next_id"),
+        F.lead("head").over(w).alias("next_head"),
+    ).filter(F.col("next_id").isNotNull())
+    m = p.select(
+        "doc_id",
+        "next_id",
+        "source",
+        F.levenshtein("head", "next_head").cast("bigint").alias("edit_dist"),
+        F.greatest(F.length("head"), F.length("next_head"))
+        .cast("bigint")
+        .alias("max_len"),
+    )
+    return m.select(
+        "doc_id",
+        "next_id",
+        "source",
+        "edit_dist",
+        F.when(F.col("max_len") == 0, F.lit(1000000).cast("bigint"))
+        .otherwise(
+            F.expr("((max_len - edit_dist) * 1000000) DIV max_len")
+        )
+        .cast("bigint")
+        .alias("sim_ppm"),
+    )

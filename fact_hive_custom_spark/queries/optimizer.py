@@ -244,3 +244,69 @@ def q_star_join_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rev).cast("bigint").alias("revenue_e4"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "q_tpch_q3",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_e4 DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-10 (TPC-H Q3 shape): the highest-revenue
+    orders placed before a cutoff date whose items are still unshipped
+    after it, for one market segment — the classic dim-filter →
+    fact-chain → top-k probe.
+
+    Physical strategy at 100 TB: the segment filter reduces customer
+    ~5× before it broadcasts (hinted — post-filter size is exactly the
+    estimate Catalyst's stats can miss); orders⋈lineitem is the one
+    real shuffle, on the orderkey both facts already share, with both
+    date predicates pushed into their scans (PushedFilters — at scale,
+    parquet row-group skipping on the date columns). The final top-10
+    is TakeOrderedAndProject over the grouped rows — a per-partition
+    heap merge, never a global sort. Revenue is exact-integer (cents ×
+    discount-complement-percent), and the ORDER BY carries the
+    orderkey tiebreak so LIMIT is deterministic on both engines.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    joined = (
+        F.broadcast(c)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        joined.groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("o_orderkey"))
+        .limit(10)
+    )

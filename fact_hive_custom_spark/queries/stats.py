@@ -163,3 +163,155 @@ def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("icept_num"),
     )
+
+
+@register(
+    "q_stat_chisq",
+    oracle="""
+    WITH e AS (
+        SELECT user_id % 2 AS variant, event_type AS outcome
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    obs AS (
+        SELECT variant, outcome, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM e GROUP BY variant, outcome
+    ),
+    tot AS (
+        SELECT variant, outcome, obs,
+               CAST(SUM(obs) OVER (PARTITION BY variant) AS BIGINT) AS r,
+               CAST(SUM(obs) OVER (PARTITION BY outcome) AS BIGINT) AS c,
+               CAST(SUM(obs) OVER () AS BIGINT) AS n
+        FROM obs
+    ),
+    cells AS (
+        SELECT variant, outcome, obs,
+               CAST(floor(
+                   (obs - CAST(r AS DOUBLE) * c / n)
+                   * (obs - CAST(r AS DOUBLE) * c / n)
+                   / (CAST(r AS DOUBLE) * c / n)
+                   * 1000000 + 0.5) AS BIGINT) AS term_ppm
+        FROM tot
+    )
+    SELECT variant, outcome, obs, term_ppm,
+           CAST(SUM(term_ppm) OVER () AS BIGINT) AS chisq_ppm
+    FROM cells
+    """,
+)
+def q_stat_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the (user_id-parity variant ×
+    event_type) contingency table — the A/B-test significance primitive
+    an experimentation platform runs over its event log. Emits every
+    cell with its observed count and per-cell chi-square contribution,
+    plus the table-wide statistic, all in parts-per-million bigints.
+
+    Cross-engine determinism: counts and marginals are exact bigints;
+    each cell's (obs−exp)²/exp is evaluated in DOUBLE with the SAME
+    expression shape on both engines (exp = CAST(r AS DOUBLE)·c/n, the
+    square as an explicit self-product, never pow()), so every IEEE
+    intermediate is bit-identical; floor(x·1e6 + 0.5) then lands each
+    term in an exact bigint BEFORE any cross-row summation, making the
+    chi-square total an integer sum immune to addition order. NULL
+    user/type rows (the round-3+ fixture-drift class) are quarantined
+    identically on both engines.
+
+    Scale: one map-side-combined groupBy over the event log shrinks
+    100 TB to |variants|×|outcomes| rows; the three marginal windows
+    then run over that tiny cell table (cells, not events), so cost is
+    the count shuffle and nothing else."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    obs = (
+        ev.select(
+            (F.col("user_id") % 2).alias("variant"),
+            F.col("event_type").alias("outcome"),
+        )
+        .groupBy("variant", "outcome")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    )
+    tot = obs.select(
+        "variant",
+        "outcome",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("variant")).cast("bigint").alias("r"),
+        F.sum("obs").over(Window.partitionBy("outcome")).cast("bigint").alias("c"),
+        F.sum("obs").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    term = F.expr(
+        "cast(floor("
+        " (obs - cast(r as double) * c / n)"
+        " * (obs - cast(r as double) * c / n)"
+        " / (cast(r as double) * c / n)"
+        " * 1000000 + 0.5) as bigint)"
+    )
+    cells = tot.select("variant", "outcome", "obs", term.alias("term_ppm"))
+    return cells.select(
+        "variant",
+        "outcome",
+        "obs",
+        "term_ppm",
+        F.sum("term_ppm").over(Window.partitionBy()).cast("bigint").alias("chisq_ppm"),
+    )
+
+
+@register(
+    "q_llm_diversity",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    c AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST((COUNT(*) * 1000000) // SUM(cnt) AS BIGINT) AS ttr_ppm,
+           CAST(1000000 - (SUM(cnt * cnt) * 1000000)
+                // (SUM(cnt) * SUM(cnt)) AS BIGINT) AS simpson_ppm
+    FROM c GROUP BY source
+    """,
+)
+def q_llm_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per corpus source: token count, type
+    count, type-token ratio, and Gini–Simpson diversity (1 − Σp²) —
+    the corpus-health metrics that flag boilerplate-heavy or
+    template-generated sources before they skew a training mix.
+
+    Gini–Simpson instead of Shannon entropy BY DESIGN: 1 − Σ(cnt/tot)²
+    is a pure rational in the integer counts, so ppm-scaled integer
+    division (both engines truncate non-negative DIV identically)
+    reaches bit-identical answers with no transcendental (ln) whose
+    last-ulp behavior is libm-dependent. Overflow budget: Σcnt²·1e6
+    needs cnt ≤ ~3e6 per (source, token) for int64 — ~100× headroom at
+    sf1.0 (≤2.5e5 tokens/source); beyond that, cast the Σcnt² moment
+    to DECIMAL(38,0).
+
+    Scale: explode → one (source, token) groupBy with map-side partial
+    counts, then a per-source re-aggregation over distinct types only.
+    Skew lever is hot sources, the same axis q_llm_heavy_hitters
+    measures; NULL text/source rows are quarantined on both engines."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    c = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return c.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.expr("(count(1) * 1000000) DIV sum(cnt)")
+        .cast("bigint")
+        .alias("ttr_ppm"),
+        F.expr(
+            "1000000 - (sum(cnt * cnt) * 1000000) DIV (sum(cnt) * sum(cnt))"
+        )
+        .cast("bigint")
+        .alias("simpson_ppm"),
+    )

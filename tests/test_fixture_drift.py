@@ -65,6 +65,9 @@ DOC_QUERIES = [
     "q_dataset_shard",
     "q_fn_url",
     "q_llm_winnow",
+    # round-5b document consumers
+    "q_llm_diversity",
+    "q_llm_edit_distance",
 ]
 
 # Queries over the embeddings table (element/label dtype sensitive).
@@ -233,6 +236,7 @@ NULLABLE_EVT_QUERIES = [
     "q_win_pattern",
     "q_ts_anomaly",
     "q_join_interval",
+    "q_stat_chisq",
 ]
 
 
@@ -283,6 +287,7 @@ NULLABLE_ORD_QUERIES = [
     "q_ts_calendar_dim",
     "q_star_join_region",
     "q_join_null_safe",
+    "q_tpch_q3",
 ]
 
 
@@ -328,6 +333,7 @@ NULLABLE_LI_QUERIES = [
     "q_fn_try_arith",
     "q_agg_listagg",
     "q_agg_mode",
+    "q_tpch_q3",
 ]
 
 
@@ -376,6 +382,8 @@ NULL_DOCMETA_QUERIES = [
     "q_llm_dedup_survivor",
     "q_llm_vocab_coverage",
     "q_fn_url",
+    "q_llm_diversity",
+    "q_llm_edit_distance",
 ]
 
 
@@ -451,6 +459,7 @@ NULL_DIM_QUERIES = [
     "q_star_join_region",
     "q_subquery_in",
     "q_join_lateral",
+    "q_tpch_q3",
 ]
 
 
