@@ -550,3 +550,50 @@ def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("big_cents"),
     )
+
+
+@register(
+    "q_agg_decimal128",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         AS DECIMAL(38,0))) AS VARCHAR) AS total_cents,
+           CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         AS DECIMAL(38,0))
+                    * CAST(round(l_quantity) AS BIGINT))
+                AS VARCHAR) AS qty_weighted_cents,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_decimal128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overflow-free money aggregation in DECIMAL(38,0) — the 128-bit
+    accumulator SCALING.md prescribes once int64 cent-sums leave their
+    headroom (~9.2e18: a 100 TB fact table of 1e12 rows × 1e5-cent
+    prices needs ~1e17 per sum — fine — but any product-weighted
+    moment, like the qty-weighted sum here, multiplies straight
+    through that budget).
+
+    Both engines accumulate in exact 128-bit decimal (Spark's Decimal
+    on the JVM, DuckDB's HUGEINT-backed DECIMAL) and the result is
+    emitted as a STRING: decimal-typed columns would hash differently
+    (precision/scale metadata differs across engines), while the
+    digit string is the portable exact value.
+
+    Scale: partial (map-side) decimal sums merge associatively exactly
+    like longs — same one-shuffle plan as q_agg_flagship, ~2× ALU cost
+    per row, zero overflow risk at any scale factor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents_dec = F.expr(
+        "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.sum(cents_dec).cast("string").alias("total_cents"),
+        F.sum(
+            cents_dec * F.expr("CAST(round(l_quantity) AS BIGINT)")
+        )
+        .cast("string")
+        .alias("qty_weighted_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )

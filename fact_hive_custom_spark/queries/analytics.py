@@ -382,3 +382,152 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank_ppm"),
         )
     return ranks
+
+
+@register(
+    "q_event_attribution",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    m AS (
+        SELECT event_id, user_id, event_type, us,
+               max(CASE WHEN event_type = 'click' THEN us END) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_click_us
+        FROM e
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN last_click_us IS NOT NULL
+                 AND us - last_click_us <= {3_600_000_000}
+                THEN (us - last_click_us) // 1000000 END AS latency_s,
+           CASE WHEN last_click_us IS NULL THEN 'organic'
+                WHEN us - last_click_us <= {3_600_000_000} THEN 'click'
+                ELSE 'expired' END AS attribution
+    FROM m WHERE event_type = 'purchase'
+    """,
+)
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent STRICTLY-preceding click if it happened within a 1-hour
+    window, else marked expired/organic — the marketing-analytics
+    primitive behind every conversion report.
+
+    The composition is a running conditional max (max over CASE WHEN
+    click) with a ROWS ... 1 PRECEDING frame — one window shuffle on
+    user_id, no self-join: the naive formulation (purchases ⋈ clicks
+    on user + time-range) is a per-user cross product, while this scans
+    the event stream once whatever the click:purchase ratio. Frame
+    order is (us, event_id) so simultaneous events resolve identically
+    on both engines; all arithmetic is integer epoch-micros. NULL
+    user/ts/type rows (fixture-drift class) are quarantined on both
+    sides.
+
+    At 100 TB: identical shape — the window partitions by user
+    (bounded per-user history), and only (id, user, type, us) enter
+    the exchange, never props/payloads."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = e.withColumn(
+        "last_click_us",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("us"))
+        ).over(w),
+    )
+    hour_us = 3_600_000_000
+    return m.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(
+            F.col("last_click_us").isNotNull()
+            & (F.col("us") - F.col("last_click_us") <= hour_us),
+            F.expr("(us - last_click_us) DIV 1000000"),
+        ).alias("latency_s"),
+        F.when(F.col("last_click_us").isNull(), F.lit("organic"))
+        .when(
+            F.col("us") - F.col("last_click_us") <= hour_us, F.lit("click")
+        )
+        .otherwise(F.lit("expired"))
+        .alias("attribution"),
+    )
+
+
+@register(
+    "q_win_islands",
+    oracle=f"""
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // {_US_PER_DAY} AS day
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    r AS (
+        SELECT user_id, day,
+               day - row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS anchor
+        FROM d
+    )
+    SELECT user_id,
+           CAST(MIN(day) AS BIGINT) AS start_day,
+           CAST(MAX(day) AS BIGINT) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM r GROUP BY user_id, anchor
+    """,
+)
+def q_win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user — the streak/engagement primitive (login streaks, SLA uptime
+    runs) that q_win_sessionize's time-gap sessions don't express
+    (islands are calendar-aligned, sessions are gap-threshold-aligned).
+
+    The classic row_number trick: day − row_number(day) is constant
+    exactly within a consecutive run, so one window plus one groupBy on
+    that anchor materializes every island without self-joins or
+    iteration. Day numbers are integer epoch-days, and the DISTINCT
+    collapses each user-day before the window, so the window input is
+    |user×active-day|, not |events|. NULL user/ts rows are quarantined
+    identically on both engines.
+
+    At 100 TB: the dedup groupBy and the window shuffle share the
+    user_id key (one exchange reused), per-user partitions are bounded
+    by the calendar, and only (user, day) longs ever move."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}").alias("day"),
+        )
+        .distinct()
+    )
+    r = d.select(
+        "user_id",
+        "day",
+        (
+            F.col("day")
+            - F.row_number().over(
+                Window.partitionBy("user_id").orderBy("day")
+            )
+        ).alias("anchor"),
+    )
+    return r.groupBy("user_id", "anchor").agg(
+        F.min("day").cast("bigint").alias("start_day"),
+        F.max("day").cast("bigint").alias("end_day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    ).drop("anchor")

@@ -237,6 +237,8 @@ NULLABLE_EVT_QUERIES = [
     "q_ts_anomaly",
     "q_join_interval",
     "q_stat_chisq",
+    "q_event_attribution",
+    "q_win_islands",
 ]
 
 
@@ -334,6 +336,7 @@ NULLABLE_LI_QUERIES = [
     "q_agg_listagg",
     "q_agg_mode",
     "q_tpch_q3",
+    "q_agg_decimal128",
 ]
 
 
