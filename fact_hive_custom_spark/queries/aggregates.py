@@ -597,3 +597,65 @@ def q_agg_decimal128(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qty_weighted_cents"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_agg_moments",
+    oracle="""
+    WITH p AS (
+        SELECT l_returnflag AS flag,
+               CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    AS DECIMAL(38,0)) AS x
+        FROM lineitem
+    )
+    SELECT flag,
+           COUNT(*) AS n,
+           CAST(SUM(x) AS VARCHAR) AS s1,
+           CAST(SUM(x * x) AS VARCHAR) AS s2,
+           CAST(SUM(x * x * x) AS VARCHAR) AS s3,
+           CAST(SUM(x * x * x * x) AS VARCHAR) AS s4
+    FROM p GROUP BY flag
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact raw power sums Σx..Σx⁴ per group in DECIMAL(38,0) — the
+    mergeable sufficient statistics from which mean, variance,
+    skewness, and kurtosis all derive EXACTLY, sidestepping the trap
+    that the built-in `skewness`/`kurtosis` use different bias
+    corrections across engines (Spark: population m₃/m₂^1.5; DuckDB:
+    sample-adjusted) and float accumulation order besides.
+
+    The 4th power forces 128-bit: cents ≤ 1e7 ⇒ x⁴ ≤ 1e28, × 6e6 rows
+    at sf1.0 ≈ 1e35 — inside DECIMAL(38) with 3 decades to spare, far
+    outside int64. Digit-string output keeps the hash portable
+    (decimal precision metadata differs across engines). Note the
+    Spark-side casts re-assert DECIMAL(38,0) after each multiply:
+    Spark narrows intermediate decimal products to the operand
+    precision budget, and an unchecked chain would overflow to NULL
+    at p=38 — the oracle's HUGEINT path has no such narrowing.
+
+    Scale: one partial-aggregated groupBy — identical shape to
+    q_agg_flagship; moments merge associatively, so map-side combine
+    does most of the work and the shuffle carries 4 decimals per
+    group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr(
+            "CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " AS DECIMAL(38,0))"
+        ).alias("x"),
+    )
+    x2 = F.expr("CAST(x * x AS DECIMAL(38,0))")
+    x3 = F.expr("CAST(CAST(x * x AS DECIMAL(38,0)) * x AS DECIMAL(38,0))")
+    x4 = F.expr(
+        "CAST(CAST(CAST(x * x AS DECIMAL(38,0)) * x AS DECIMAL(38,0))"
+        " * x AS DECIMAL(38,0))"
+    )
+    return p.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("string").alias("s1"),
+        F.sum(x2).cast("string").alias("s2"),
+        F.sum(x3).cast("string").alias("s3"),
+        F.sum(x4).cast("string").alias("s4"),
+    )

@@ -531,3 +531,123 @@ def q_win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").cast("bigint").alias("end_day"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
     ).drop("anchor")
+
+
+_TRI_CAP = 50  # max users per co-occurrence bucket (hot-bucket guard)
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, epoch_us(ts) // {_US_PER_HOUR} AS bucket,
+               user_id
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    ok AS (
+        SELECT event_type, bucket FROM b
+        GROUP BY 1, 2 HAVING COUNT(*) <= {_TRI_CAP}
+    ),
+    e AS (
+        SELECT DISTINCT a.user_id AS u, c.user_id AS v
+        FROM b a
+        JOIN ok USING (event_type, bucket)
+        JOIN b c ON c.event_type = a.event_type
+               AND c.bucket = a.bucket AND a.user_id < c.user_id
+    ),
+    deg AS (
+        SELECT u AS node, COUNT(*) AS d FROM (
+            SELECT u FROM e UNION ALL SELECT v FROM e
+        ) t(u) GROUP BY 1
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT MAX(d) FROM deg) AS BIGINT) AS max_degree
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the user co-occurrence graph (edges join
+    users active in the same event_type × hour bucket) — the clustering
+    primitive behind community/cohesion metrics, plus the graph's size
+    profile in one row.
+
+    Construction is capped-bucket like dedup's hot-shingle guard: a
+    bucket with more than {_TRI_CAP} users is dropped ON BOTH ENGINES
+    before pair expansion, so edge generation is O(buckets × cap²) — a
+    boilerplate-hour can't go quadratic. Edges are canonical (u < v)
+    and distinct, and the triangle join is the two-hop path-close
+    pattern (e1.v=e2.u, then close with e3) over that deduped edge
+    set; every count is an exact bigint.
+
+    At 100 TB the published refinement is degree-orientation (point
+    each edge low→high degree before the join — Suri & Vassilvitskii
+    WWW'11 makes the join input per-node O(sqrt(m))); here the cap
+    already bounds the hot side, and the plan is three shuffles on
+    edge endpoints with AQE free to pick broadcast when the edge set
+    collapses."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}").alias("bucket"),
+            "user_id",
+        )
+        .distinct()
+    )
+    ok = (
+        ev.groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") <= _TRI_CAP)
+        .drop("n_users")
+    )
+    bb = ev.join(ok, ["event_type", "bucket"])
+    e = (
+        bb.alias("a")
+        .join(
+            ev.alias("c"),
+            (F.col("c.event_type") == F.col("a.event_type"))
+            & (F.col("c.bucket") == F.col("a.bucket"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_nodes = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.max("d").cast("bigint").alias("max_degree"),
+    )
+    return n_tri.crossJoin(n_edges).crossJoin(n_nodes)

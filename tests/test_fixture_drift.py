@@ -239,6 +239,7 @@ NULLABLE_EVT_QUERIES = [
     "q_stat_chisq",
     "q_event_attribution",
     "q_win_islands",
+    "q_graph_triangles",
 ]
 
 
@@ -337,6 +338,7 @@ NULLABLE_LI_QUERIES = [
     "q_agg_mode",
     "q_tpch_q3",
     "q_agg_decimal128",
+    "q_agg_moments",
 ]
 
 
