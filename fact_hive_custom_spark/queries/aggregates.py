@@ -659,3 +659,54 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x3).cast("string").alias("s3"),
         F.sum(x4).cast("string").alias("s4"),
     )
+
+
+@register(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS flag,
+           COALESCE(l_linestatus, '<all>') AS status,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with explicit GROUPING markers: the gid column tells a
+    consumer which aggregation level each row belongs to — essential
+    once super-aggregate rows and genuine NULL group keys coexist
+    (COALESCE alone cannot distinguish them; grouping() can).
+
+    The marker is composed as grouping(a)·2 + grouping(b) IDENTICALLY
+    on both engines rather than via grouping_id()/multi-arg GROUPING,
+    whose bit conventions are the engine-specific part. Scale: same
+    expand+partial-aggregate plan as q_agg_rollup — the markers are
+    free metadata on rows the rollup already produces."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("SUM(CAST(round(l_quantity) AS BIGINT))")
+            .cast("bigint")
+            .alias("sum_qty"),
+            (
+                F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+            )
+            .cast("bigint")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("flag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias(
+                "status"
+            ),
+            "gid",
+            "n",
+            "sum_qty",
+        )
+    )

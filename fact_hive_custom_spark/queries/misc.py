@@ -339,3 +339,90 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"cutoff": "1996-01-01 00:00:00", "max_price": 150000.0},
     )
+
+
+@register(
+    "q_quality_fk_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+               AS n_null_key,
+           CAST(COUNT(*) FILTER (
+               WHERE l_orderkey IS NOT NULL AND o_orderkey IS NULL)
+               AS BIGINT) AS n_orphan
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+           CAST(COUNT(*) FILTER (
+               WHERE o_custkey IS NOT NULL AND c_custkey IS NULL)
+               AS BIGINT)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE c_nationkey IS NULL) AS BIGINT),
+           CAST(COUNT(*) FILTER (
+               WHERE c_nationkey IS NOT NULL AND n_nationkey IS NULL)
+               AS BIGINT)
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    UNION ALL
+    SELECT 'events->customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT),
+           CAST(COUNT(*) FILTER (
+               WHERE user_id IS NOT NULL AND c_custkey IS NULL)
+               AS BIGINT)
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    """,
+)
+def q_quality_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the snowflake: for each FK
+    edge, total rows, NULL keys, and orphans (non-NULL key with no
+    parent) — the data-quality contract check a pipeline runs before
+    trusting a new fixture drop, and exactly the probe that would have
+    caught the round-3 fixture drift at ingest instead of at the gate.
+
+    Each edge is one LEFT join + conditional counts in a single
+    aggregation pass (no per-check subquery rescans); NULL keys are
+    counted separately from orphans because a NULL FK never joins on
+    either engine and conflating the two hides which contract broke.
+
+    Scale: dimension parents (customer, nation) broadcast; the
+    lineitem->orders edge is the one real shuffle, on the same
+    orderkey the warehouse already buckets by (q_join_bucketed makes
+    it exchange-free). Audit output is 4 rows regardless of input
+    size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ev = load_table(spark, sf_dir, "events")
+
+    def audit(name, child, ckey, parent, pkey):
+        j = child.join(parent, F.col(ckey) == F.col(pkey), "left")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count(F.when(F.col(ckey).isNull(), 1))
+            .cast("bigint")
+            .alias("n_null_key"),
+            F.count(
+                F.when(
+                    F.col(ckey).isNotNull() & F.col(pkey).isNull(), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_orphan"),
+        ).select("fk", "n_rows", "n_null_key", "n_orphan")
+
+    return (
+        audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(audit("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionAll(
+            audit("customer->nation", c, "c_nationkey", n, "n_nationkey")
+        )
+        .unionAll(audit("events->customer", ev, "user_id", c, "c_custkey"))
+    )

@@ -516,3 +516,44 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_param"
         ),
     )
+
+
+@register(
+    "q_fn_timezone",
+    oracle="""
+    WITH loc AS (
+        SELECT timezone('America/New_York', timezone('UTC', ts)) AS lt
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT strftime(lt, '%Y-%m-%d') AS ny_date,
+           CAST(hour(lt) AS BIGINT) AS ny_hour,
+           COUNT(*) AS n
+    FROM loc GROUP BY 1, 2
+    """,
+)
+def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-aware bucketing: event counts by America/New_York local
+    date and hour — the reporting-calendar conversion every
+    multi-region deployment needs, including both 2024 DST transitions
+    (Mar 10 has no 02:xx local bucket, Nov 3 doubles 01:xx).
+
+    Cross-engine wall-clock contract: Spark's session is pinned UTC
+    (tables.py), so `from_utc_timestamp(ts, tz)` + `date_format`
+    renders the tz wall time; DuckDB reaches the identical wall time
+    with the session-INDEPENDENT double conversion
+    `timezone(tz, timezone('UTC', ts))` — a bare TIMESTAMPTZ cast
+    would silently re-interpret in whatever session zone the driver
+    runs. Both engines resolve the zone through IANA tzdata (2024
+    rules are identical across shipped versions).
+
+    Scale: map-side zone shift fused into the scan, then one
+    partial-aggregated groupBy on (date, hour) — cardinality is the
+    calendar, not the data."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    loc = ev.select(
+        F.from_utc_timestamp(F.col("ts"), "America/New_York").alias("lt")
+    )
+    return loc.groupBy(
+        F.date_format("lt", "yyyy-MM-dd").alias("ny_date"),
+        F.hour("lt").cast("bigint").alias("ny_hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -240,6 +240,8 @@ NULLABLE_EVT_QUERIES = [
     "q_event_attribution",
     "q_win_islands",
     "q_graph_triangles",
+    "q_fn_timezone",
+    "q_quality_fk_audit",
 ]
 
 
@@ -291,6 +293,7 @@ NULLABLE_ORD_QUERIES = [
     "q_star_join_region",
     "q_join_null_safe",
     "q_tpch_q3",
+    "q_quality_fk_audit",
 ]
 
 
@@ -339,6 +342,8 @@ NULLABLE_LI_QUERIES = [
     "q_tpch_q3",
     "q_agg_decimal128",
     "q_agg_moments",
+    "q_agg_grouping_id",
+    "q_quality_fk_audit",
 ]
 
 
@@ -465,6 +470,7 @@ NULL_DIM_QUERIES = [
     "q_subquery_in",
     "q_join_lateral",
     "q_tpch_q3",
+    "q_quality_fk_audit",
 ]
 
 
