@@ -595,3 +595,124 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(
         a["k"].alias("k"), "n_a", "n_b"
     )
+
+
+_SP_DOMAIN = 1_048_576  # 2^20 coordinate domain
+_SP_R = 4_096           # radius = grid cell size
+
+
+@register(
+    "q_join_spatial_grid",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS k,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'x'),
+                                    1, 8)) AS BIGINT) % {_SP_DOMAIN} AS x,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'),
+                                    1, 8)) AS BIGINT) % {_SP_DOMAIN} AS y
+        FROM customer WHERE c_custkey IS NOT NULL
+    ),
+    a AS (
+        SELECT k, x, y,
+               x // {_SP_R} + dx AS cx, y // {_SP_R} + dy AS cy
+        FROM pts,
+             unnest(generate_series(-1, 1)) t1(dx),
+             unnest(generate_series(-1, 1)) t2(dy)
+    ),
+    b AS (
+        SELECT k, x, y, x // {_SP_R} AS cx, y // {_SP_R} AS cy FROM pts
+    )
+    SELECT a.k AS a_key, b.k AS b_key,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+    FROM a JOIN b ON a.cx = b.cx AND a.cy = b.cy AND a.k < b.k
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {_SP_R} * {_SP_R}
+    """,
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial self-join: all point pairs within radius
+    R, via the cell-partition pattern that makes radius joins scale —
+    each point lands in one R-sized cell, ONE side replicates into its
+    3×3 neighborhood, the join is a plain equi-join on the cell id,
+    and the exact distance check runs only on cell-local candidates.
+    Cost is O(n·density), never the O(n²) cross-product a naive
+    distance join plans.
+
+    Coordinates are deterministic md5-derived integers in a 2^20
+    domain (same digits on both engines via hex-prefix casting:
+    Spark's conv(hex,16,10), DuckDB's '0x'-cast), and the predicate
+    compares integer squared distance to R² — no sqrt, no float,
+    bit-identical everywhere. The canonical k< k dedup keeps each
+    pair once.
+
+    At 100 TB: the cell id is the shuffle key (uniform by
+    construction here; geo data needs the same salting as any skewed
+    key — cities are hot cells), the 9× replication is map-side, and
+    AQE handles the residual cell-size variance. The same shape
+    serves embedding LSH buckets (operators/similarity.py) and
+    time-window candidate joins."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull()
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("k"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit("x"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _SP_DOMAIN
+        ).alias("x"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit("y"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _SP_DOMAIN
+        ).alias("y"),
+    )
+    a = pts.select(
+        "k",
+        "x",
+        "y",
+        F.explode(F.expr("sequence(-1, 1)")).alias("dx"),
+    ).select(
+        "k",
+        "x",
+        "y",
+        (F.expr(f"x DIV {_SP_R}") + F.col("dx")).alias("cx"),
+        F.explode(F.expr("sequence(-1, 1)")).alias("dy"),
+    ).select(
+        "k", "x", "y", "cx",
+        (F.expr(f"y DIV {_SP_R}") + F.col("dy")).alias("cy"),
+    )
+    b = pts.select(
+        F.col("k").alias("bk"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.expr(f"x DIV {_SP_R}").alias("cx"),
+        F.expr(f"y DIV {_SP_R}").alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("k") < F.col("bk")) & (d2 <= _SP_R * _SP_R))
+        .select(
+            F.col("k").alias("a_key"),
+            F.col("bk").alias("b_key"),
+            d2.cast("bigint").alias("dist2"),
+        )
+    )

@@ -462,6 +462,7 @@ def test_malformed_props_parity(spark, malformed_props_dir, name):
 # Dimension tables (customer/supplier/part) probed with NULL-laden
 # rows (2026-08-14): all 12 consumers already robust; locked here.
 NULL_DIM_QUERIES = [
+    "q_join_spatial_grid",
     "q_win_ntile",
     "q_cbo_join_reorder",
     "q_join_broadcast",
