@@ -49,6 +49,10 @@ HEADLINE = [
     # round-5: the six-table snowflake probe — join ordering +
     # broadcast planning regressions surface in BENCH directly
     "q_star_join_region",
+    # round-5b: the two heaviest new plan shapes — the three-way
+    # triangle self-join and the cell-replicated spatial join
+    "q_graph_triangles",
+    "q_join_spatial_grid",
 ]
 
 

@@ -490,3 +490,62 @@ class TestRound5bPlans:
         assert "BroadcastHashJoin" in plan
         assert "Exchange rangepartitioning" not in plan
         assert "BatchEvalPython" not in plan
+
+    def test_tpch_q3_broadcast_and_pushdown(self, spark):
+        """Q3 shape: the segment-filtered customer broadcasts, both
+        date predicates reach their parquet readers, and the top-10 is
+        TakeOrderedAndProject — never a global sort."""
+        df = QUERIES["q_tpch_q3"](spark, SF_DIR)
+        pf = plans.pushed_filters(df)
+        assert any("o_orderdate" in f for f in pf), pf
+        assert any("l_shipdate" in f for f in pf), pf
+        plan = plans.executed_plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+    def test_spatial_grid_is_equi_join(self, spark):
+        """The radius join must plan as an equi-join on the cell id
+        (hash or broadcast), NEVER a nested-loop/cartesian distance
+        join, and stay fully JVM-side."""
+        plan = plan_of(spark, "q_join_spatial_grid")
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+        assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) \
+            or ("ShuffledHashJoin" in plan), plan
+        assert "BatchEvalPython" not in plan
+
+    def test_triangles_no_cartesian(self, spark):
+        """All three triangle-closing joins are equi-joins on edge
+        endpoints — the only permitted products are the TWO
+        BroadcastNestedLoopJoins that staple the three single-row
+        summary aggregates together (1×1 by construction)."""
+        plan = plan_of(spark, "q_graph_triangles")
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+        # the data-bearing joins (bucket-cap, pair-gen, path-close)
+        # must all be equi-joins
+        assert (
+            plan.count("SortMergeJoin")
+            + plan.count("ShuffledHashJoin")
+            + plan.count("BroadcastHashJoin")
+            >= 4
+        ), plan
+        assert "BatchEvalPython" not in plan
+
+    def test_chisq_single_event_shuffle(self, spark):
+        """The contingency count is ONE map-side-combined groupBy over
+        events; the marginal windows run over the tiny cell table, so
+        no exchange may key on anything wider."""
+        plan = plan_of(spark, "q_stat_chisq")
+        assert "partial_count" in plan or "HashAggregate" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_attribution_one_window_no_self_join(self, spark):
+        """Last-touch attribution must be the single-pass window form:
+        exactly one hashpartitioning exchange (user_id), zero joins."""
+        plan = plan_of(spark, "q_event_attribution")
+        assert "Join" not in plan, plan
+        hash_ex = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        assert len(hash_ex) == 1 and "user_id" in hash_ex[0], hash_ex
