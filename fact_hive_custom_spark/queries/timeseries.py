@@ -369,3 +369,108 @@ def q_ts_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_month_start"),
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
     )
+
+
+@register(
+    "q_ts_cusum",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               epoch_us(ts) AS us, event_id
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL
+    ),
+    s AS (
+        SELECT user_id, v, us, event_id,
+               CAST(row_number() OVER w AS BIGINT) AS i,
+               CAST(SUM(v) OVER w AS BIGINT) AS run,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+               CAST(SUM(v) OVER (PARTITION BY user_id) AS BIGINT) AS tot
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    c AS (
+        SELECT user_id, i, n,
+               abs(n * run - i * tot) AS dev
+        FROM s
+    ),
+    r AS (
+        SELECT user_id, i, n, dev,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY dev DESC, i) AS rn
+        FROM c
+    )
+    SELECT user_id, n AS n_events,
+           CAST(i AS BIGINT) AS cp_index,
+           CAST(dev AS BIGINT) AS max_dev_scaled
+    FROM r WHERE rn = 1 AND n >= 10
+    """,
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per user: the index where the
+    cumulative deviation from the series mean peaks — the classic
+    level-shift locator (Page 1954) behind drift alarms on metric
+    streams.
+
+    The statistic is kept EXACTLY integer by scaling out the mean:
+    |Σ_{j≤i} v_j − i·mean| is multiplied through by n to
+    |n·run_i − i·total|, so no division ever happens and both engines
+    agree bit-for-bit, ties broken to the earliest index. Overflow
+    budget: per-user n·run needs n·Σ|v| < 9.2e18 — at 1e4-cent values
+    that allows ~1e7 events per user per series, far past any
+    per-user history; shard longer series by epoch window first.
+
+    One window shuffle on user_id computes the running sum, count,
+    total, and the argmax rank in the same partition pass; users with
+    <10 events are suppressed (a changepoint over 3 points is noise).
+    At 100 TB: identical plan — per-user partitions bounded, only
+    (user, v, us, id) longs in the exchange."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wu = Window.partitionBy("user_id")
+    s = e.select(
+        "user_id",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("us", "event_id"))
+        .cast("bigint")
+        .alias("i"),
+        F.sum("v").over(w).cast("bigint").alias("run"),
+        F.count(F.lit(1)).over(wu).cast("bigint").alias("n"),
+        F.sum("v").over(wu).cast("bigint").alias("tot"),
+    )
+    c = s.select(
+        "user_id",
+        "i",
+        "n",
+        F.abs(F.col("n") * F.col("run") - F.col("i") * F.col("tot")).alias(
+            "dev"
+        ),
+    )
+    r = c.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("dev"), F.asc("i"))
+        ),
+    )
+    return r.filter((F.col("rn") == 1) & (F.col("n") >= 10)).select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("i").cast("bigint").alias("cp_index"),
+        F.col("dev").cast("bigint").alias("max_dev_scaled"),
+    )

@@ -242,6 +242,7 @@ NULLABLE_EVT_QUERIES = [
     "q_graph_triangles",
     "q_fn_timezone",
     "q_quality_fk_audit",
+    "q_ts_cusum",
 ]
 
 
