@@ -564,3 +564,65 @@ def q_win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_distinct_types"),
     )
+
+
+@register(
+    "q_union_by_name",
+    oracle="""
+    WITH u AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL BY NAME
+        SELECT o_orderstatus, o_orderkey, o_orderpriority AS priority
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(COUNT(*) FILTER (WHERE price_cents IS NULL) AS BIGINT)
+               AS n_missing_price,
+           CAST(COUNT(*) FILTER (WHERE priority IS NULL) AS BIGINT)
+               AS n_missing_priority,
+           CAST(SUM(COALESCE(price_cents, 0)) AS BIGINT) AS sum_cents
+    FROM u GROUP BY o_orderstatus
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-tolerant union: two extracts with DIFFERENT column sets
+    and orders combine by NAME with NULL fill for absent columns —
+    the append that survives schema evolution, where positional UNION
+    would silently pair mismatched columns or fail. (Spark:
+    `unionByName(allowMissingColumns=True)`; oracle: DuckDB's
+    `UNION ALL BY NAME`.) The missing-column NULL counts are part of
+    the output so the fill behavior itself is oracle-checked, not
+    just the surviving values.
+
+    Scale: union is a zero-shuffle plan concatenation — partitions of
+    both inputs stream independently into the map-side-combined
+    groupBy; cost is the one count shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("price_cents").isNull(), 1))
+        .cast("bigint")
+        .alias("n_missing_price"),
+        F.count(F.when(F.col("priority").isNull(), 1))
+        .cast("bigint")
+        .alias("n_missing_priority"),
+        F.sum(F.coalesce(F.col("price_cents"), F.lit(0)))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )

@@ -295,6 +295,7 @@ NULLABLE_ORD_QUERIES = [
     "q_join_null_safe",
     "q_tpch_q3",
     "q_quality_fk_audit",
+    "q_union_by_name",
 ]
 
 
