@@ -18,6 +18,7 @@ from fact_hive_custom_spark.queries import (  # noqa: F401
     stats,
     streaming_queries,
     timeseries,
+    tpch_more,
     udfs,
     windows,
 )

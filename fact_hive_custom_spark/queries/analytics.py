@@ -651,3 +651,60 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").cast("bigint").alias("max_degree"),
     )
     return n_tri.crossJoin(n_edges).crossJoin(n_nodes)
+
+
+@register(
+    "q_event_path_topk",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id,
+               list(event_type ORDER BY epoch_us(ts), event_id) AS evs
+        FROM events GROUP BY user_id
+    ),
+    paths AS (
+        SELECT array_to_string(evs[1:5], '>') AS entry_path FROM ordered
+    )
+    SELECT entry_path, COUNT(*) AS n_users
+    FROM paths
+    GROUP BY entry_path
+    ORDER BY n_users DESC, entry_path
+    LIMIT 10
+    """,
+)
+def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top entry paths: each user's first five events as an ordered
+    journey string, counted across users — the onboarding-flow /
+    drop-off analysis behind every product-analytics "paths" view.
+
+    Plan: ONE aggregation per user collects (ts, event_id, type)
+    structs; `array_sort` orders them inside the executor (struct
+    comparison is field-lexicographic, and (us, event_id) is a unique
+    prefix, so the sort — and therefore the path string — is
+    deterministic on both engines despite collect_list's arbitrary
+    arrival order). slice(·,1,5) caps state per user at five events
+    BEFORE the second, tiny aggregation over distinct path strings;
+    the final top-10 is TakeOrderedAndProject. At 100 TB: per-user
+    state is bounded, both shuffles carry map-combined partials, and
+    no per-user history ever concatenates unbounded."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(slice(array_sort(collect_list("
+                "struct(us, event_id, event_type))), 1, 5),"
+                " x -> x.event_type)"
+            ),
+            ">",
+        ).alias("entry_path")
+    )
+    return (
+        per_user.groupBy("entry_path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "entry_path")
+        .limit(10)
+    )

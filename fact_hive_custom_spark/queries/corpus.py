@@ -670,3 +670,72 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sim_ppm"),
     )
+
+
+@register(
+    "q_llm_bigram_lm",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+        FROM toks
+    ),
+    bg AS (
+        SELECT p.w1 AS w1, p.w2 AS w2 FROM pairs
+    ),
+    counted AS (
+        SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY w1, w2
+    )
+    SELECT w1, w2, cnt,
+           CAST(1000000 * cnt // SUM(cnt) OVER (PARTITION BY w1) AS BIGINT)
+               AS cond_ppm
+    FROM counted
+    ORDER BY cnt DESC, w1, w2
+    LIMIT 100
+    """,
+)
+def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics: P(w2|w1) as integer parts-per-
+    million over the corpus — the conditional-probability table behind
+    n-gram LM scoring, next-token surprisal filters, and boilerplate
+    detection (a near-1.0 conditional is a frozen phrase).
+
+    Plan: bigrams explode map-side, ONE partial+final count keyed on
+    (w1, w2), then a single window partitioned by w1 computes the
+    denominator — the window key is a prefix of the aggregation key,
+    so AQE coalesces onto the exchange the groupBy already produced
+    (no second wide shuffle). The probability is exact-integer
+    (1e6·cnt DIV total): Spark `DIV` and DuckDB `//` both truncate,
+    so no float crosses an engine boundary. Final top-100 is
+    TakeOrderedAndProject with the (cnt, w1, w2) unique tiebreak.
+    At 100 TB the shuffle carries map-combined (bigram, count) pairs
+    only — never document text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.col("text"), " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                "             element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    counted = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counted.withColumn("tot", F.sum("cnt").over(Window.partitionBy("w1")))
+        .withColumn(
+            "cond_ppm",
+            F.expr("CAST(1000000 * cnt AS BIGINT) DIV tot").cast("bigint"),
+        )
+        .drop("tot")
+        .orderBy(F.desc("cnt"), "w1", "w2")
+        .limit(100)
+    )

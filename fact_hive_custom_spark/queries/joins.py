@@ -716,3 +716,42 @@ def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             d2.cast("bigint").alias("dist2"),
         )
     )
+
+
+@register(
+    "q_join_sort_merge",
+    oracle="""
+    SELECT o.o_orderstatus,
+           l.l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q_join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-merge join, explicitly hinted: the fact-to-fact strategy
+    when BOTH sides are too large to build a hash table from.
+
+    Physical strategy at 100 TB: orders and lineitem both shuffle once
+    on orderkey, sort within partitions, and stream-merge — memory per
+    task is O(sort buffer), never O(build side), which is why SMJ is
+    Spark's default for large⋈large and survives sizes where a
+    shuffled-hash build OOMs. The `merge` hint pins the strategy so
+    the plan is the demonstrable artifact (tests/test_plans.py asserts
+    SortMergeJoin); the groupBy keys are a superset of nothing shared
+    with the join key, so AQE handles the second exchange. Money in
+    exact cents (shared rule with queries/tpch_more.py)."""
+    o = load_table(spark, sf_dir, "orders").hint("merge")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+    )

@@ -486,3 +486,41 @@ def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("regionkey_sum"),
     )
+
+
+@register(
+    "q_source_text",
+    oracle="""
+    SELECT doc_id, text FROM documents ORDER BY doc_id
+    """,
+)
+def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited text source: stage the corpus as raw
+    `<doc_id>\\t<text>` lines, re-read with `spark.read.text`, and
+    recover the typed columns — the ingestion shape for the crawl /
+    log-dump files an LLM-data pipeline starts from, where no schema
+    exists until the parse step imposes one.
+
+    The fixture's documents contain no tabs or newlines (asserted by
+    the drift suite's fixture probes); a production corpus would
+    escape or length-prefix instead. Plan: the write is one shuffle-
+    free map pass; the read is a whole-file-splittable line scan
+    whose parse (split on the first tab) stays in codegen. Round-trip
+    equality against the source table is the oracle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = stage_dir("documents_text")
+    d.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return (
+        lines.select(
+            F.split_part(F.col("value"), F.lit("\t"), F.lit(1))
+            .cast("bigint")
+            .alias("doc_id"),
+            F.substring_index(F.col("value"), "\t", -1).alias("text"),
+        )
+        .orderBy("doc_id")
+    )

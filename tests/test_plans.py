@@ -549,3 +549,44 @@ class TestRound5bPlans:
             l for l in plan.splitlines() if "Exchange hashpartitioning" in l
         ]
         assert len(hash_ex) == 1 and "user_id" in hash_ex[0], hash_ex
+
+
+class TestRound5cPlans:
+    def test_sort_merge_hint_respected(self, spark):
+        """The merge hint must pin SMJ (the large⋈large strategy whose
+        memory is O(sort buffer), not O(build side))."""
+        plan = plan_of(spark, "q_join_sort_merge")
+        assert "SortMergeJoin" in plan
+        assert "BroadcastHashJoin" not in plan, plan
+
+    def test_tpch_q10_broadcasts_dims_and_heap_topk(self, spark):
+        plan = plan_of(spark, "q_tpch_q10")
+        # customer and nation ride broadcasts; the only wide shuffle
+        # is the fact chain + final agg
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "TakeOrderedAndProject" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_tpch_q18_semi_filters_before_wide_join(self, spark):
+        plan = plan_of(spark, "q_tpch_q18")
+        assert "LeftSemi" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_event_path_two_aggs_no_window(self, spark):
+        """Path building is agg-side array_sort — no per-user window
+        (which would re-sort the whole events history) and no joins."""
+        plan = plan_of(spark, "q_event_path_topk")
+        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "BatchEvalPython" not in plan
+
+    def test_bigram_lm_window_reuses_group_exchange(self, spark):
+        """The P(w2|w1) denominator window partitions on a prefix of
+        the (w1, w2) grouping key: Spark may need one re-partition on
+        w1, but text must never appear in an exchange and no python."""
+        plan = plan_of(spark, "q_llm_bigram_lm")
+        assert "BatchEvalPython" not in plan
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "text" not in line, line
