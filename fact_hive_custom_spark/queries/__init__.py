@@ -10,6 +10,7 @@ from fact_hive_custom_spark.queries import (  # noqa: F401
     llm_text,
     misc,
     optimizer,
+    profiling,
     relational,
     reshape,
     scalar_functions,

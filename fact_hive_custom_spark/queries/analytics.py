@@ -724,3 +724,65 @@ def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "entry_path")
         .limit(10)
     )
+
+
+@register(
+    "q_event_overlap_matrix",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT COUNT(DISTINCT user_id) AS n_total FROM events)
+    SELECT a.event_type AS type_a,
+           b.event_type AS type_b,
+           COUNT(*) AS n_both,
+           CAST(1000000 * COUNT(*) // (SELECT n_total FROM tot) AS BIGINT)
+               AS overlap_ppm
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    ORDER BY type_a, type_b
+    """,
+)
+def q_event_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how many
+    users did both — the segment-intersection report behind audience
+    sizing and feature-adoption dashboards.
+
+    Plan: ONE aggregation collects each user's distinct-type set
+    (sort_array makes pair order deterministic), pairs expand MAP-SIDE
+    from that tiny per-user array (≤ K types ⇒ ≤ K²/2 pairs per user —
+    never a users⋈users join), and a second map-combined count
+    aggregation lands the K²/2-row matrix. The denominator is a
+    broadcast one-row crossJoin. At 100 TB this is two narrow shuffles
+    keyed on user_id / (type, type) — the self-join formulation the
+    oracle uses would shuffle the distinct (user, type) table twice
+    and explode skew on hot users; the set-expansion form is bounded
+    by K² regardless of user count."""
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    sets = ut.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, (x, i) ->"
+                " transform(slice(types, i + 2, size(types)),"
+                " y -> struct(x AS type_a, y AS type_b))))"
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    tot = ut.agg(F.countDistinct("user_id").alias("n_total"))
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "overlap_ppm",
+            F.expr("CAST(1000000 * n_both AS BIGINT) DIV n_total").cast("bigint"),
+        )
+        .drop("n_total")
+        .orderBy("type_a", "type_b")
+    )

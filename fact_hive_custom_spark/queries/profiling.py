@@ -1,0 +1,165 @@
+"""Data-profiling and content-policy queries: the ingest-time audit
+surface (SURVEY.md §2.2 quality group, alongside q_quality_fk_audit).
+
+The reference (`/root/reference/fact-hive`, 142 lines of process
+orchestration — SURVEY.md §0) has no query surface; these are the
+charter-derived probes a warehouse/LLM-corpus team runs on every new
+drop BEFORE queries trust it: a per-column statistical profile and a
+rule-attributed content filter.
+
+Determinism: numeric min/max are emitted as exact integer cents /
+plain bigints rendered to strings through one shared CAST rule;
+distinct and null counts are exact. No float crosses an engine
+boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fact_hive_custom_spark.queries.registry import register
+from fact_hive_custom_spark.tables import load_table
+
+# (profile column, value expression rendered to string) — one shared
+# spec string per engine keeps the rendering rule identical.
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS STRING)"),
+    ("o_custkey", "CAST(o_custkey AS STRING)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("totalprice_cents", "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"),
+    ("order_date", "CAST(CAST(o_orderdate AS DATE) AS STRING)"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, expr in _PROFILE_COLS:
+        sql_expr = expr.replace("AS STRING", "AS VARCHAR")
+        parts.append(
+            f"""
+    SELECT '{name}' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({sql_expr}) AS n_nulls,
+           COUNT(DISTINCT {sql_expr}) AS n_distinct,
+           MIN({sql_expr}) AS min_value,
+           MAX({sql_expr}) AS max_value
+    FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
+
+
+@register("q_profile_table", oracle=_profile_oracle())
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile over `orders`: row count, NULL count,
+    exact distinct count, and lexicographic min/max of the rendered
+    value — the new-drop audit that catches schema drift, key
+    collapse, and truncated loads before any downstream query does.
+
+    Plan: ONE pass over the table computes every column's statistics
+    as a single wide aggregate row (count/count-distinct per column,
+    min/max over the rendered strings); the per-column layout is then
+    an unpivot (`stack`) of that one row — at 100 TB this is a single
+    scan + one multi-distinct aggregation, not |columns| passes. The
+    rendering rule is shared with the oracle: money as exact integer
+    cents, dates as ISO strings, ids as digit strings — so min/max
+    compare lexicographically the same way on both engines (digit
+    strings of like magnitude; the profile is about drift detection,
+    not numeric ordering)."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for name, expr in _PROFILE_COLS:
+        c = F.expr(expr)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{name}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{name}__nulls"),
+            F.countDistinct(c).alias(f"{name}__distinct"),
+            F.min(c).alias(f"{name}__min"),
+            F.max(c).alias(f"{name}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__rows, {name}__nulls, {name}__distinct,"
+        f" {name}__min, {name}__max"
+        for name, _ in _PROFILE_COLS
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+                "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+            )
+        )
+        .orderBy("column_name")
+    )
+
+
+# Ordered blocklist: first matching rule wins (priority = list order).
+# Terms are chosen from the synthetic corpus vocabulary so the filter
+# exercises real matches; a production list would load from config.
+_SAFETY_RULES = [
+    ("r1_error_content", "error"),
+    ("r2_slow_content", "slow"),
+    ("r3_drop_content", "drop"),
+]
+
+
+def _safety_case_sql() -> str:
+    whens = "\n".join(
+        f"        WHEN text LIKE '%{term}%' THEN '{rule}'"
+        for rule, term in _SAFETY_RULES
+    )
+    return f"CASE\n{whens}\n        ELSE 'pass' END"
+
+
+@register(
+    "q_llm_safety_filter",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT lang,
+               {_safety_case_sql()} AS verdict,
+               n_chars
+        FROM documents
+    )
+    SELECT verdict, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM flagged
+    GROUP BY verdict, lang
+    ORDER BY verdict, lang
+    """,
+)
+def q_llm_safety_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-attributed content filter: every document gets the FIRST
+    matching blocklist rule (priority-ordered) or 'pass', reported as
+    per-(rule, lang) document and character counts — the quarantine
+    accounting step of a corpus-cleaning pipeline, where "what did we
+    drop and why" must be auditable.
+
+    Plan: the rule cascade is one CASE expression evaluated in
+    whole-stage codegen during the scan (substring LIKE — no regex
+    backtracking, no Python), followed by one map-side-combined
+    aggregation to |rules|×|langs| rows. At 100 TB: a single narrow
+    shuffle of partials; rule priority is total and explicit, so the
+    verdict is deterministic however the data is partitioned. The
+    production variant swaps the literal list for a broadcast config
+    table feeding the same cascade."""
+    d = load_table(spark, sf_dir, "documents")
+    expr = None
+    for rule, term in _SAFETY_RULES:
+        cond = F.col("text").contains(term)
+        expr = (
+            F.when(cond, F.lit(rule))
+            if expr is None
+            else expr.when(cond, F.lit(rule))
+        )
+    verdict = expr.otherwise(F.lit("pass"))
+    return (
+        d.select("lang", verdict.alias("verdict"), "n_chars")
+        .groupBy("verdict", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("verdict", "lang")
+    )

@@ -474,3 +474,73 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").cast("bigint").alias("cp_index"),
         F.col("dev").cast("bigint").alias("max_dev_scaled"),
     )
+
+
+@register(
+    "q_ts_seasonality",
+    oracle=f"""
+    WITH e AS (
+        SELECT (epoch_us(ts) // {_US_PER_HOUR}) % 24 AS hour_of_day,
+               CAST(round(value * 10000) AS BIGINT) AS v_e4
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    hod AS (
+        SELECT hour_of_day, COUNT(*) AS n_events,
+               SUM(v_e4) AS sum_e4
+        FROM e GROUP BY hour_of_day
+    ),
+    tot AS (SELECT SUM(n_events) AS n_total FROM hod)
+    SELECT hour_of_day,
+           n_events,
+           CAST((2 * sum_e4 + n_events) // (2 * n_events) AS BIGINT)
+               AS avg_e4,
+           CAST(1000000 * n_events // (SELECT n_total FROM tot) AS BIGINT)
+               AS share_ppm
+    FROM hod
+    ORDER BY hour_of_day
+    """,
+)
+def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile: event volume share and mean value
+    per UTC hour-of-day — the diurnal baseline behind load forecasting
+    and "is this hour anomalous" checks (subtract the profile, then
+    alert on residual).
+
+    Plan: ONE map-side-combined aggregation collapses any input to 24
+    rows; the volume denominator is a broadcast one-row crossJoin over
+    those 24 rows. Hour-of-day is pure integer arithmetic on epoch
+    micros ((us DIV hour) % 24 — UTC, no calendar/timezone API), the
+    mean is the shared (2s+n) DIV 2n half-up rational (non-negative
+    values, same rule as q_ts_gapfill), and the share is exact integer
+    ppm. At 100 TB this is the cheapest shape a query can have: one
+    narrow shuffle of 24-key partials."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.expr(f"(unix_micros(ts) DIV {_US_PER_HOUR}) % 24").alias(
+                "hour_of_day"
+            ),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+        )
+    )
+    hod = e.groupBy("hour_of_day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v_e4").alias("sum_e4"),
+    )
+    tot = hod.agg(F.sum("n_events").alias("n_total"))
+    return (
+        hod.crossJoin(F.broadcast(tot))
+        .select(
+            "hour_of_day",
+            "n_events",
+            F.expr("CAST((2 * sum_e4 + n_events) DIV (2 * n_events) AS BIGINT)").alias(
+                "avg_e4"
+            ),
+            F.expr("CAST(1000000 * n_events DIV n_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("hour_of_day")
+    )

@@ -590,3 +590,30 @@ class TestRound5cPlans:
         for line in plan.splitlines():
             if "Exchange" in line:
                 assert "text" not in line, line
+
+
+class TestRound5dPlans:
+    def test_overlap_matrix_no_self_join(self, spark):
+        """Pair expansion must be map-side from per-user sets — the
+        users⋈users self-join form skews on hot users at scale. The
+        only joins allowed are the broadcast denominator crossJoin."""
+        plan = plan_of(spark, "q_event_overlap_matrix")
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+        assert "BatchEvalPython" not in plan
+
+    def test_seasonality_single_narrow_shuffle(self, spark):
+        plan = plan_of(spark, "q_ts_seasonality")
+        assert "Join" not in plan.replace("BroadcastNestedLoopJoin", "")  # only the broadcast total
+        assert "BatchEvalPython" not in plan
+
+    def test_profile_single_scan(self, spark):
+        """The profile must be ONE pass: a single wide aggregate +
+        unpivot, never |columns| scans of orders."""
+        plan = plan_of(spark, "q_profile_table")
+        assert plan.count("orders.parquet") <= 2, plan  # expand-distinct may re-list once
+        assert "BatchEvalPython" not in plan
+
+    def test_safety_filter_codegen_cascade(self, spark):
+        plan = plan_of(spark, "q_llm_safety_filter")
+        assert "BatchEvalPython" not in plan
+        assert "Join" not in plan, plan
