@@ -538,6 +538,45 @@ def q_win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_CAP = 50  # max users per co-occurrence bucket (hot-bucket guard)
 
 
+def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) distinct edge list of the minute-bucket user
+    co-occurrence graph with the _TRI_CAP hot-bucket guard — shared by
+    q_graph_triangles and q_graph_degree_dist so both analyze the SAME
+    graph (one source of truth for its semantics)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) DIV {_US_PER_MIN}").alias("bucket"),
+            "user_id",
+        )
+        .distinct()
+    )
+    ok = (
+        ev.groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") <= _TRI_CAP)
+        .drop("n_users")
+    )
+    return (
+        ev.join(ok, ["event_type", "bucket"])
+        .alias("a")
+        .join(
+            ev.alias("c"),
+            (F.col("c.event_type") == F.col("a.event_type"))
+            & (F.col("c.bucket") == F.col("a.bucket"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v"))
+        .distinct()
+    )
+
+
 @register(
     "q_graph_triangles",
     oracle=f"""
@@ -606,45 +645,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     already bounds the hot side, and the plan is three shuffles on
     edge endpoints with AQE free to pick broadcast when the edge set
     collapses."""
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(
-            F.col("user_id").isNotNull()
-            & F.col("ts").isNotNull()
-            & F.col("event_type").isNotNull()
-        )
-        .select(
-            "event_type",
-            F.expr(f"unix_micros(ts) DIV {_US_PER_MIN}").alias("bucket"),
-            "user_id",
-        )
-        .distinct()
-    )
-    ok = (
-        ev.groupBy("event_type", "bucket")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-        .filter(F.col("n_users") <= _TRI_CAP)
-        .drop("n_users")
-    )
-    bb = ev.join(ok, ["event_type", "bucket"])
-    e = (
-        bb.alias("a")
-        .join(
-            ev.alias("c"),
-            (F.col("c.event_type") == F.col("a.event_type"))
-            & (F.col("c.bucket") == F.col("a.bucket"))
-            & (F.col("a.user_id") < F.col("c.user_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v")
-        )
-        .distinct()
-        # five consumers (e1/e2/e3, degree, edge count): persist the
-        # deduped (u, v) longs once instead of re-running the bucket
-        # self-join per consumer — the same rule as dedup's shingle
-        # persist (operators/dedup.py)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # five consumers (e1/e2/e3, degree, edge count): persist the
+    # deduped (u, v) longs once instead of re-running the bucket
+    # self-join per consumer — the same rule as dedup's shingle
+    # persist (operators/dedup.py)
+    e = _cooccurrence_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -785,4 +790,137 @@ def q_event_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("n_total")
         .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "q_event_dau_wau",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // {_US_PER_DAY} AS day
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    dau AS (
+        SELECT day, day // 7 AS week, COUNT(*) AS dau FROM e GROUP BY 1, 2
+    ),
+    wau AS (
+        SELECT day // 7 AS week, COUNT(DISTINCT user_id) AS wau
+        FROM e GROUP BY 1
+    )
+    SELECT d.day, d.dau, w.wau,
+           CAST(1000000 * d.dau // w.wau AS BIGINT) AS stickiness_ppm
+    FROM dau d JOIN wau w USING (week)
+    ORDER BY d.day
+    """,
+)
+def q_event_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness: daily active users over weekly active users
+    per day, in exact integer ppm — the engagement ratio product teams
+    watch (a falling ratio means the same weekly crowd shows up on
+    fewer days).
+
+    Plan: one distinct over (user, day) — the partial-agg dedup form —
+    feeds BOTH aggregates; DAU groups by (day, week), WAU re-groups
+    the same frame by week, and the week-keyed join broadcasts the
+    tiny WAU side. Day and week are integer epoch arithmetic (day DIV
+    7 — no ISO-week calendar edge). At 100 TB: the (user, day) dedup
+    is the only wide shuffle; everything after operates on
+    |days| / |weeks| rows."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}").alias("day"),
+        )
+        .distinct()
+    )
+    dau = e.groupBy("day", F.expr("day DIV 7").alias("week")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    wau = e.groupBy(F.expr("day DIV 7").alias("week")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(F.broadcast(wau), "week")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("CAST(1000000 * dau AS BIGINT) DIV wau").cast("bigint").alias(
+                "stickiness_ppm"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q_graph_degree_dist",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, epoch_us(ts) // {_US_PER_MIN} AS bucket,
+               user_id
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    ok AS (
+        SELECT event_type, bucket FROM b
+        GROUP BY 1, 2 HAVING COUNT(*) <= {_TRI_CAP}
+    ),
+    e AS (
+        SELECT DISTINCT a.user_id AS u, c.user_id AS v
+        FROM b a
+        JOIN ok USING (event_type, bucket)
+        JOIN b c ON c.event_type = a.event_type
+               AND c.bucket = a.bucket AND a.user_id < c.user_id
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+        ) GROUP BY 1
+    )
+    SELECT CAST(length(format('{{:b}}', d)) - 1 AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree
+    FROM deg
+    GROUP BY 1
+    ORDER BY log2_bucket
+    """,
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution histogram of the minute-bucket user
+    co-occurrence graph, in power-of-two buckets — the shape check
+    (roughly power-law? one super-hub?) that decides whether the
+    triangle/PageRank passes need skew handling before they run.
+
+    Plan: same capped edge construction as q_graph_triangles (shared
+    semantics, one source of truth for the graph), then a degree count
+    and a 2^k histogram. The log2 bucket is INTEGER (bit-length − 1 via
+    bin()/format-binary) — floor(log2(x)) in floats straddles exact
+    powers of two differently per engine (Math.log ratio vs libm log2),
+    so no float log is evaluated anywhere. At 100 TB the histogram is
+    ≤ 64 rows whatever the graph; the edge list is the only real
+    shuffle."""
+    e = _cooccurrence_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.groupBy(
+            (F.length(F.bin(F.col("d"))) - 1).cast("bigint").alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").cast("bigint").alias("min_degree"),
+            F.max("d").cast("bigint").alias("max_degree"),
+        )
+        .orderBy("log2_bucket")
     )
