@@ -680,7 +680,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
         SELECT user_id,
                list(event_type ORDER BY epoch_us(ts), event_id) AS evs
-        FROM events GROUP BY user_id
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL
+        GROUP BY user_id
     ),
     paths AS (
         SELECT array_to_string(evs[1:5], '>') AS entry_path FROM ordered
@@ -706,12 +709,26 @@ def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the second, tiny aggregation over distinct path strings;
     the final top-10 is TakeOrderedAndProject. At 100 TB: per-user
     state is bounded, both shuffles carry map-combined partials, and
-    no per-user history ever concatenates unbounded."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_micros("ts").alias("us"),
-        "event_id",
-        "event_type",
+    no per-user history ever concatenates unbounded.
+
+    NULL quarantine (fixture-drift rule, SURVEY.md §7.4): NULL ts is
+    unorderable (Spark sorts NULLs first, DuckDB last) and NULL
+    event_type is dropped by Spark's array_join but not by every
+    engine's string_agg — rows missing any of the three are excluded
+    identically on both engines."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            "event_type",
+        )
     )
     per_user = e.groupBy("user_id").agg(
         F.array_join(
@@ -734,8 +751,11 @@ def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_event_overlap_matrix",
     oracle="""
-    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
-    tot AS (SELECT COUNT(DISTINCT user_id) AS n_total FROM events)
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    tot AS (SELECT COUNT(DISTINCT user_id) AS n_total FROM ut)
     SELECT a.event_type AS type_a,
            b.event_type AS type_b,
            COUNT(*) AS n_both,
@@ -761,9 +781,16 @@ def q_event_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on user_id / (type, type) — the self-join formulation the
     oracle uses would shuffle the distinct (user, type) table twice
     and explode skew on hot users; the set-expansion form is bounded
-    by K² regardless of user count."""
+    by K² regardless of user count.
+
+    NULL quarantine (fixture-drift rule, SURVEY.md §7.4): a NULL
+    user_id would form a phantom "user" in the set-expansion form but
+    never match the oracle's equi-join; NULL event_type survives
+    DISTINCT but not `<` comparison. Both are excluded identically on
+    both engines."""
     ut = (
         load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
         .select("user_id", "event_type")
         .distinct()
     )

@@ -491,7 +491,9 @@ def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_source_text",
     oracle="""
-    SELECT doc_id, text FROM documents ORDER BY doc_id
+    SELECT doc_id, text FROM documents
+    WHERE text IS NOT NULL
+    ORDER BY doc_id
     """,
 )
 def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,8 +508,16 @@ def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     escape or length-prefix instead. Plan: the write is one shuffle-
     free map pass; the read is a whole-file-splittable line scan
     whose parse (split on the first tab) stays in codegen. Round-trip
-    equality against the source table is the oracle."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    equality against the source table is the oracle.
+
+    NULL text is quarantined on both engines (SURVEY.md §7.4): a line
+    dump has no NULL representation — concat_ws would silently render
+    it as the empty string, which is a DIFFERENT value."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
     path = stage_dir("documents_text")
     d.select(
         F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(

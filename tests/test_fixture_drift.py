@@ -68,6 +68,10 @@ DOC_QUERIES = [
     # round-5b document consumers
     "q_llm_diversity",
     "q_llm_edit_distance",
+    # round-5c/d document consumers
+    "q_llm_bigram_lm",
+    "q_llm_safety_filter",
+    "q_source_text",
 ]
 
 # Queries over the embeddings table (element/label dtype sensitive).
@@ -243,6 +247,12 @@ NULLABLE_EVT_QUERIES = [
     "q_fn_timezone",
     "q_quality_fk_audit",
     "q_ts_cusum",
+    # round-5c/d event consumers
+    "q_event_path_topk",
+    "q_event_overlap_matrix",
+    "q_event_dau_wau",
+    "q_ts_seasonality",
+    "q_graph_degree_dist",
 ]
 
 
@@ -296,6 +306,11 @@ NULLABLE_ORD_QUERIES = [
     "q_tpch_q3",
     "q_quality_fk_audit",
     "q_union_by_name",
+    # round-5c/d orders consumers
+    "q_tpch_q10",
+    "q_tpch_q18",
+    "q_join_sort_merge",
+    "q_profile_table",
 ]
 
 
@@ -346,6 +361,10 @@ NULLABLE_LI_QUERIES = [
     "q_agg_moments",
     "q_agg_grouping_id",
     "q_quality_fk_audit",
+    # round-5c lineitem consumers
+    "q_tpch_q10",
+    "q_tpch_q18",
+    "q_join_sort_merge",
 ]
 
 
