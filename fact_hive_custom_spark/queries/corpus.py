@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fact_hive_custom_spark.queries.registry import register
-from fact_hive_custom_spark.tables import load_table
+from fact_hive_custom_spark.tables import EMB_CONTRACT_SQL, load_table
 
 _CHUNK = 20  # tokens per chunk
 _STRIDE = 15  # tokens between chunk starts (overlap = _CHUNK - _STRIDE)
@@ -738,4 +738,125 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("tot")
         .orderBy(F.desc("cnt"), "w1", "w2")
         .limit(100)
+    )
+
+
+_RRF_K = 60  # reciprocal-rank-fusion constant (Cormack et al. SIGIR'09)
+_RRF_DEPTH = 50  # per-list candidate depth
+_RRF_TERM = "join"  # in-corpus lexical query term
+_RRF_PROBE = 0  # probe vector id (doc_id-aligned)
+
+
+@register(
+    "q_llm_hybrid_rrf",
+    oracle=f"""
+    WITH emb AS ({EMB_CONTRACT_SQL}),
+    probe AS (SELECT embedding FROM emb WHERE vec_id = {_RRF_PROBE}),
+    vecrank AS (
+        SELECT c.vec_id AS doc_id,
+               row_number() OVER (
+                   ORDER BY ROUND(list_cosine_similarity(
+                       CAST(c.embedding AS DOUBLE[]),
+                       CAST((SELECT embedding FROM probe) AS DOUBLE[])), 6)
+                       DESC, c.vec_id) AS rv
+        FROM emb c WHERE c.vec_id <> {_RRF_PROBE}
+        QUALIFY rv <= {_RRF_DEPTH}
+    ),
+    lexrank AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY tf DESC, doc_id) AS rl
+        FROM (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> t = '{_RRF_TERM}')) AS tf
+            FROM documents WHERE text IS NOT NULL
+        ) WHERE tf >= 1
+        QUALIFY rl <= {_RRF_DEPTH}
+    )
+    SELECT COALESCE(v.doc_id, l.doc_id) AS doc_id,
+           CAST(COALESCE(1000000 // ({_RRF_K} + l.rl), 0)
+                + COALESCE(1000000 // ({_RRF_K} + v.rv), 0) AS BIGINT)
+               AS rrf_e6
+    FROM vecrank v FULL JOIN lexrank l ON v.doc_id = l.doc_id
+    ORDER BY rrf_e6 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: a lexical
+    term-frequency ranking and a dense cosine ranking, fused as
+    Σ 1/(60 + rank) over the two top-50 lists (Cormack et al.,
+    SIGIR'09) — the standard RAG retrieval stack (BM25-side +
+    ANN-side) reduced to its rank-fusion core.
+
+    Determinism/scale: the lexical tf is computed MAP-SIDE with a
+    higher-order filter over the token array (no explode, no shuffle
+    of tokens); the dense side broadcasts the single probe vector and
+    scores in codegen (functions/vectors.py fold), ranking by ROUND 6dp
+    with the vec_id tiebreak on BOTH engines. Fusion itself is exact
+    integer (1e6 DIV (k + rank)), so no float leaves the ranking
+    stage. Each ranking is a top-{_RRF_DEPTH} TakeOrdered heap, the
+    fusion join touches ≤ 2·{_RRF_DEPTH} rows, and at 100 TB the two
+    source rankings are the ONLY corpus passes — the fuse is free."""
+    from fact_hive_custom_spark.functions.vectors import cosine
+    from fact_hive_custom_spark.tables import load_embeddings
+
+    emb = load_embeddings(spark, sf_dir)
+    probe = emb.filter(F.col("vec_id") == _RRF_PROBE).select(
+        F.col("embedding").alias("probe_vec")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != _RRF_PROBE)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("probe_vec")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    # limit FIRST (TakeOrderedAndProject: per-partition heap + O(k)
+    # driver merge), THEN rank — a row_number over a global window
+    # would funnel the whole corpus into one partition to select 50
+    vec_top = scored.orderBy(F.desc("cos"), F.asc("doc_id")).limit(_RRF_DEPTH)
+    vecrank = vec_top.withColumn(
+        "rv", F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("doc_id")))
+    ).select("doc_id", "rv")
+    lex = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), " "),
+                    lambda t: t == F.lit(_RRF_TERM),
+                )
+            ).alias("tf"),
+        )
+        .filter(F.col("tf") >= 1)
+    )
+    lex_top = lex.orderBy(F.desc("tf"), F.asc("doc_id")).limit(_RRF_DEPTH)
+    lexrank = lex_top.withColumn(
+        "rl", F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("doc_id")))
+    ).select("doc_id", "rl")
+    return (
+        vecrank.join(lexrank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"CAST(1000000 AS BIGINT) DIV ({_RRF_K} + rl)"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.expr(f"CAST(1000000 AS BIGINT) DIV ({_RRF_K} + rv)"),
+                    F.lit(0),
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_e6"),
+        )
+        .orderBy(F.desc("rrf_e6"), F.asc("doc_id"))
+        .limit(10)
     )

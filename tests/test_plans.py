@@ -617,3 +617,10 @@ class TestRound5dPlans:
         plan = plan_of(spark, "q_llm_safety_filter")
         assert "BatchEvalPython" not in plan
         assert "Join" not in plan, plan
+
+    def test_hybrid_rrf_takeordered_candidates(self, spark):
+        """Both candidate lists must come from TakeOrderedAndProject
+        heaps; the only sort a window sees is over the ≤50 survivors."""
+        plan = plan_of(spark, "q_llm_hybrid_rrf")
+        assert "TakeOrderedAndProject" in plan
+        assert "BatchEvalPython" not in plan
