@@ -53,6 +53,11 @@ HEADLINE = [
     # triangle self-join and the cell-replicated spatial join
     "q_graph_triangles",
     "q_join_spatial_grid",
+    # round-5c/d: the classic decision-support chain (Q10) and the
+    # two-pass hybrid retrieval fuse — dim-broadcast planning and the
+    # TakeOrdered candidate heaps regress visibly here
+    "q_tpch_q10",
+    "q_llm_hybrid_rrf",
 ]
 
 
