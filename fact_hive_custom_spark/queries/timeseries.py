@@ -544,3 +544,79 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day")
     )
+
+
+@register(
+    "q_ts_mad_outliers",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(round(value * 10000) AS BIGINT) AS v
+        FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    med AS (
+        SELECT user_id, CAST(2 * median(v) AS BIGINT) AS m2,
+               COUNT(*) AS n
+        FROM e GROUP BY user_id
+    ),
+    dev AS (
+        SELECT e.user_id, m2, n, abs(2 * v - m2) AS dev2
+        FROM e JOIN med USING (user_id)
+    ),
+    mad AS (
+        SELECT user_id, m2, n,
+               CAST(2 * median(dev2) AS BIGINT) AS mad4
+        FROM dev GROUP BY user_id, m2, n
+    )
+    SELECT d.user_id, mad.n, mad.m2, mad.mad4,
+           COUNT(*) FILTER (WHERE 2 * dev2 > 3 * mad4) AS n_outliers
+    FROM dev d JOIN mad USING (user_id)
+    GROUP BY d.user_id, mad.n, mad.m2, mad.mad4
+    ORDER BY d.user_id
+    """,
+)
+def q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per user: median absolute deviation
+    (MAD), the estimator that survives the outliers it hunts — a
+    z-score's mean/stddev are dragged by the very spikes being
+    flagged (q_ts_anomaly is the parametric sibling).
+
+    Exactness: medians of an even count average the two middle values,
+    a .5-exact rational — so the median is carried ×2 (m2) and the MAD
+    ×4 (mad4 = 2·median of the integer deviations |2v − m2|), keeping
+    every statistic an exact BIGINT on both engines; the 3-MAD flag
+    compares 2·dev2 > 3·mad4 in pure integers. Plan: two
+    user_id-keyed aggregations (exact percentile is a sort-based
+    aggregate within each user's rows) and one join back — all three
+    exchanges share the user_id key, so AQE coalesces them onto one
+    partitioning. At 100 TB per-user state is the value multiset; for
+    heavy hitters the production dial swaps exact median for
+    approx_percentile with the same downstream algebra."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+        )
+    )
+    med = e.groupBy("user_id").agg(
+        (2 * F.expr("percentile(v, 0.5)")).cast("bigint").alias("m2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = e.join(med, "user_id").select(
+        "user_id", "m2", "n", F.abs(2 * F.col("v") - F.col("m2")).alias("dev2")
+    )
+    mad = dev.groupBy("user_id", "m2", "n").agg(
+        (2 * F.expr("percentile(dev2, 0.5)")).cast("bigint").alias("mad4")
+    )
+    return (
+        dev.join(mad.select("user_id", "mad4"), "user_id")
+        .groupBy("user_id", "n", "m2", "mad4")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .orderBy("user_id")
+    )

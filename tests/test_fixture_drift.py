@@ -253,6 +253,7 @@ NULLABLE_EVT_QUERIES = [
     "q_event_dau_wau",
     "q_ts_seasonality",
     "q_graph_degree_dist",
+    "q_ts_mad_outliers",
 ]
 
 
