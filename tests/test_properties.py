@@ -196,3 +196,108 @@ class TestOperatorInvariants:
         for r in got:
             assert 0.0 < r.jaccard <= 1.0
             assert r.doc_a < r.doc_b
+
+
+class TestRound5Invariants:
+    """Oracle-independent brute-force checks for the round-5c/d
+    operators: Python recomputes the statistic from the raw parquet
+    and the distributed result must agree exactly."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_mad_outliers_match_bruteforce(self, spark):
+        import pyarrow.parquet as pq
+
+        from fact_hive_custom_spark.queries import QUERIES
+
+        t = pq.read_table(f"{self.SF}/events.parquet").to_pydict()
+        per_user: dict[int, list[int]] = {}
+        for uid, v in zip(t["user_id"], t["value"]):
+            if uid is None or v is None:
+                continue
+            per_user.setdefault(uid, []).append(round(v * 10000))
+
+        def med2(xs: list[int]) -> int:  # 2x-scaled exact median
+            xs = sorted(xs)
+            n = len(xs)
+            mid = xs[n // 2] * 2 if n % 2 else xs[n // 2 - 1] + xs[n // 2]
+            return mid
+
+        want = {}
+        for uid, vs in per_user.items():
+            m2 = med2(vs)
+            dev2 = [abs(2 * v - m2) for v in vs]
+            mad4 = med2(dev2)
+            want[uid] = (
+                len(vs), m2, mad4,
+                sum(1 for d in dev2 if 2 * d > 3 * mad4),
+            )
+
+        got = {
+            r.user_id: (r.n, r.m2, r.mad4, r.n_outliers)
+            for r in QUERIES["q_ts_mad_outliers"](spark, self.SF).collect()
+        }
+        assert got == want
+
+    def test_overlap_matrix_matches_bruteforce(self, spark):
+        import pyarrow.parquet as pq
+
+        from fact_hive_custom_spark.queries import QUERIES
+
+        t = pq.read_table(f"{self.SF}/events.parquet").to_pydict()
+        users_by_type: dict[str, set[int]] = {}
+        for uid, et in zip(t["user_id"], t["event_type"]):
+            if uid is None or et is None:
+                continue
+            users_by_type.setdefault(et, set()).add(uid)
+        all_users = set().union(*users_by_type.values())
+        types = sorted(users_by_type)
+        want = {}
+        for i, a in enumerate(types):
+            for b in types[i + 1:]:
+                both = len(users_by_type[a] & users_by_type[b])
+                if both:
+                    want[(a, b)] = (
+                        both, 1_000_000 * both // len(all_users)
+                    )
+        got = {
+            (r.type_a, r.type_b): (r.n_both, r.overlap_ppm)
+            for r in QUERIES["q_event_overlap_matrix"](spark, self.SF).collect()
+        }
+        assert got == want
+
+    def test_hybrid_rrf_bounds(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_llm_hybrid_rrf"](spark, self.SF).collect()
+        assert 0 < len(rows) <= 10
+        ids = [r.doc_id for r in rows]
+        assert len(set(ids)) == len(ids)
+        cap = 2 * (1_000_000 // 61)  # rank 1 in both lists
+        for r in rows:
+            assert 0 < r.rrf_e6 <= cap
+        # sorted by fused score then id
+        assert rows == sorted(
+            rows, key=lambda r: (-r.rrf_e6, r.doc_id)
+        )
+
+    def test_profile_matches_bruteforce(self, spark):
+        import pyarrow.parquet as pq
+
+        from fact_hive_custom_spark.queries import QUERIES
+
+        t = pq.read_table(f"{self.SF}/orders.parquet").to_pydict()
+        n = len(t["o_orderkey"])
+        ok = {r.column_name: r for r in
+              QUERIES["q_profile_table"](spark, self.SF).collect()}
+        assert set(ok) == {
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "totalprice_cents", "order_date",
+        }
+        key_vals = [str(v) for v in t["o_orderkey"] if v is not None]
+        row = ok["o_orderkey"]
+        assert row.n_rows == n
+        assert row.n_nulls == n - len(key_vals)
+        assert row.n_distinct == len(set(key_vals))
+        assert row.min_value == min(key_vals)
+        assert row.max_value == max(key_vals)
