@@ -932,11 +932,12 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     powers of two differently per engine (Math.log ratio vs libm log2),
     so no float log is evaluated anywhere. At 100 TB the histogram is
     ≤ 64 rows whatever the graph; the edge list is the only real
-    shuffle."""
+    shuffle. Endpoints explode from array(u, v) in the same stage —
+    a unionAll(e, e) here would re-run the whole edge construction
+    twice (measured: 12 exchanges pre-fix vs 6)."""
     e = _cooccurrence_edges(spark, sf_dir)
     deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
+        e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
