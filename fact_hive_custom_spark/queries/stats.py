@@ -315,3 +315,183 @@ def q_llm_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("simpson_ppm"),
     )
+
+
+@register(
+    "q_agg_corr_exact",
+    oracle="""
+    WITH p AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    m AS (
+        SELECT flag, COUNT(*) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(y * y) AS HUGEINT) AS syy
+        FROM p GROUP BY flag
+    ),
+    r AS (
+        SELECT flag, n,
+               abs(n * sxy - sx * sy) // 1000000 AS red,
+               (n * sxx - sx * sx) // 1000 AS vxr,
+               (n * syy - sy * sy) // 1000000 AS vyr,
+               CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END AS sgn
+        FROM m
+    )
+    SELECT flag, n,
+           CAST(CASE WHEN vxr > 0 AND vyr > 0
+                THEN (red * red * 1000000000) // (vxr * vyr)
+                ELSE NULL END AS BIGINT) AS r2_ppm,
+           CAST(sgn AS BIGINT) AS r_sign
+    FROM r
+    ORDER BY flag
+    """,
+)
+def q_agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation strength per return flag as integer ppm of
+    r² plus the sign of r — quantity-vs-price association without
+    evaluating a square root or trusting float accumulation order
+    (`corr()` builtins disagree across engines in the last ulps;
+    r² = cov²/(var_x·var_y) is a ratio of integer moments).
+
+    Overflow discipline: the five sufficient statistics accumulate in
+    DECIMAL(38,0) (HUGEINT on the oracle), then covariance and
+    variances are scaled down by FIXED integer divisors (1e6/1e3/1e6)
+    before squaring, so the worst term stays ~1e35 < 38 digits at
+    sf1.0 — both engines evaluate the identical integer expression,
+    so parity is exact even though the last ~1e-6 of relative
+    precision is deliberately shaved. Degenerate (zero-variance)
+    groups emit NULL rather than dividing by zero — the fixture-drift
+    posture. Plan: ONE map-side-combined aggregation per group (the
+    q_agg_linreg/q_agg_moments shape); at 100 TB one narrow shuffle
+    of five integers per group."""
+    p = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.round("l_quantity").cast("bigint").alias("x"),
+            F.round("l_extendedprice").cast("bigint").alias("y"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    m = p.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+    )
+    r = m.select(
+        "flag",
+        "n",
+        F.expr(
+            f"abs(CAST(n AS {d38}) * sxy - sx * sy) DIV 1000000"
+        ).alias("red"),
+        F.expr(f"(CAST(n AS {d38}) * sxx - sx * sx) DIV 1000").alias("vxr"),
+        F.expr(f"(CAST(n AS {d38}) * syy - sy * sy) DIV 1000000").alias("vyr"),
+        F.expr(
+            f"CASE WHEN CAST(n AS {d38}) * sxy - sx * sy >= 0"
+            " THEN 1 ELSE -1 END"
+        ).alias("sgn"),
+    )
+    return r.select(
+        "flag",
+        "n",
+        F.expr(
+            f"CASE WHEN vxr > 0 AND vyr > 0 THEN "
+            f"(CAST(red AS {d38}) * CAST(red AS {d38}) * 1000000000)"
+            f" DIV (CAST(vxr AS {d38}) * CAST(vyr AS {d38}))"
+            " ELSE NULL END"
+        )
+        .cast("bigint")
+        .alias("r2_ppm"),
+        F.col("sgn").cast("bigint").alias("r_sign"),
+    ).orderBy("flag")
+
+
+@register(
+    "q_pareto_deciles",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY o_custkey
+    ),
+    rk AS (
+        SELECT rev_cents,
+               ntile(10) OVER (ORDER BY rev_cents DESC, o_custkey)
+                   AS decile
+        FROM rev
+    )
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           CAST(SUM(rev_cents) AS BIGINT) AS decile_cents,
+           CAST(1000000 * SUM(rev_cents)
+                // (SELECT SUM(rev_cents) FROM rev) AS BIGINT)
+               AS share_ppm
+    FROM rk
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def q_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) report: customers bucketed into
+    spend deciles, each decile's share of total revenue in exact ppm —
+    the 80/20 curve behind account-tiering and whale-risk review.
+
+    Plan: the per-customer rollup is the wide shuffle (facts →
+    |customers| rows, map-side combined); the ntile() then runs over
+    CUSTOMER AGGREGATES, not fact rows — its single-partition window
+    is the documented cost, bounded by |customers| and explicitly NOT
+    the fact table (at 100 TB with billions of customers the swap-in
+    is range-partitioned rank via approx quantile cut points, same
+    downstream algebra). ntile's floor-division distribution is
+    identical on both engines given the total (rev DESC, custkey)
+    tiebreak; money stays exact cents, shares exact ppm."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    rk = rev.select(
+        "rev_cents",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("rev_cents"), F.asc("o_custkey")))
+        .alias("decile"),
+    )
+    tot = rev.agg(F.sum("rev_cents").alias("tot_cents"))
+    return (
+        rk.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev_cents").cast("bigint").alias("decile_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share_ppm",
+            F.expr("CAST(1000000 * decile_cents AS BIGINT) DIV tot_cents").cast(
+                "bigint"
+            ),
+        )
+        .drop("tot_cents")
+        .orderBy("decile")
+    )

@@ -312,6 +312,7 @@ NULLABLE_ORD_QUERIES = [
     "q_tpch_q18",
     "q_join_sort_merge",
     "q_profile_table",
+    "q_pareto_deciles",
 ]
 
 
@@ -366,6 +367,7 @@ NULLABLE_LI_QUERIES = [
     "q_tpch_q10",
     "q_tpch_q18",
     "q_join_sort_merge",
+    "q_agg_corr_exact",
 ]
 
 
