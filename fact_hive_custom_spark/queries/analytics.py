@@ -961,3 +961,92 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+@register(
+    "q_funnel_windowed",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    u1 AS (
+        SELECT user_id, MIN(us) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    u2 AS (
+        SELECT e.user_id, MIN(us) AS t2
+        FROM e JOIN u1 USING (user_id)
+        WHERE event_type = 'click'
+          AND us > t1 AND us - t1 <= {24 * _US_PER_HOUR}
+        GROUP BY e.user_id
+    ),
+    u3 AS (
+        SELECT e.user_id, MIN(us) AS t3
+        FROM e JOIN u2 USING (user_id)
+        WHERE event_type = 'purchase'
+          AND us > t2 AND us - t2 <= {24 * _US_PER_HOUR}
+        GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, 1 AS step_ord,
+           (SELECT COUNT(*) FROM u1) AS n_users
+    UNION ALL
+    SELECT 'click_24h', 2, (SELECT COUNT(*) FROM u2)
+    UNION ALL
+    SELECT 'purchase_24h', 3, (SELECT COUNT(*) FROM u3)
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: view → click within 24 h → purchase
+    within 24 h of that click — the attribution-honest funnel (an
+    unbounded funnel counts a purchase months later as 'converted';
+    every real funnel product asks 'within N hours/days').
+
+    Same chained min-aggregation plan as q_funnel_steps (all stages
+    key on user_id, one effective partitioning), with the window
+    predicate as pure integer micros arithmetic pushed into each
+    stage's filter. At 100 TB the window ALSO bounds state recovery:
+    a backfill only needs 24 h of lookback per stage, not full
+    history — the property that makes this the streaming-translatable
+    variant."""
+    win = 24 * _US_PER_HOUR
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    )
+    u1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    u2 = (
+        e.join(u1, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("us") > F.col("t1"))
+            & (F.col("us") - F.col("t1") <= win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    u3 = (
+        e.join(u2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("us") > F.col("t2"))
+            & (F.col("us") - F.col("t2") <= win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    row = lambda df, name, ord_: df.agg(  # noqa: E731
+        F.lit(name).alias("step"),
+        F.lit(ord_).cast("int").alias("step_ord"),
+        F.count(F.lit(1)).alias("n_users"),
+    ).select("step", "step_ord", "n_users")
+    return (
+        row(u1, "view", 1)
+        .unionAll(row(u2, "click_24h", 2))
+        .unionAll(row(u3, "purchase_24h", 3))
+    )

@@ -495,3 +495,78 @@ def q_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("tot_cents")
         .orderBy("decile")
     )
+
+
+@register(
+    "q_agg_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY o_custkey
+    ),
+    rk AS (
+        SELECT x,
+               row_number() OVER (ORDER BY x, o_custkey) AS i
+        FROM rev
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS HUGEINT) AS s,
+               CAST(SUM(i * x) AS HUGEINT) AS s1
+        FROM rk
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(s AS BIGINT) AS total_cents,
+           CAST((1000000 * (2 * s1 - (n + 1) * s)) // (n * s) AS BIGINT)
+               AS gini_ppm
+    FROM agg
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend in exact integer ppm — the
+    inequality summary behind q_pareto_deciles' decile curve
+    (G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted spend).
+
+    The rank is the only ordered step; like q_pareto_deciles it runs
+    over CUSTOMER AGGREGATES (the wide fact shuffle happens first,
+    map-side combined), with the same documented range-partitioned
+    swap-in past broadcastable customer counts. The ×1e6 numerator
+    sits in HUGEINT/DECIMAL(38) so a trillion-cent corpus cannot
+    overflow, and both engines evaluate the identical integer
+    expression — G arrives exact, no float division anywhere."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    rk = rev.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.asc("x"), F.asc("o_custkey")))
+        .alias("i"),
+    )
+    d38 = "decimal(38,0)"
+    agg = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("s"),
+        F.sum((F.col("i") * F.col("x")).cast(d38)).alias("s1"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("s").cast("bigint").alias("total_cents"),
+        F.expr(
+            f"(CAST(1000000 AS {d38}) * (2 * s1 - (CAST(n AS {d38}) + 1) * s))"
+            f" DIV (CAST(n AS {d38}) * s)"
+        )
+        .cast("bigint")
+        .alias("gini_ppm"),
+    )

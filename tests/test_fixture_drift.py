@@ -254,6 +254,7 @@ NULLABLE_EVT_QUERIES = [
     "q_ts_seasonality",
     "q_graph_degree_dist",
     "q_ts_mad_outliers",
+    "q_funnel_windowed",
 ]
 
 
@@ -313,6 +314,7 @@ NULLABLE_ORD_QUERIES = [
     "q_join_sort_merge",
     "q_profile_table",
     "q_pareto_deciles",
+    "q_agg_gini",
 ]
 
 
