@@ -596,3 +596,143 @@ def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((total_tokens * 1000000) DIV (n_sources * n_tokens) AS BIGINT)"
         ).alias("resample_weight_ppm"),
     )
+
+
+@register(
+    "q_llm_hard_negatives",
+    oracle=f"""
+    WITH emb AS ({EMB_CONTRACT_SQL})
+    SELECT p.vec_id AS probe_id, c.vec_id AS negative_id, c.label AS neg_label,
+           ROUND(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+    FROM emb p
+    JOIN emb c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+              AND c.label IS DISTINCT FROM p.label
+    QUALIFY row_number() OVER (
+        PARTITION BY p.vec_id
+        ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) DESC,
+                 c.vec_id
+    ) <= 5
+    """,
+)
+def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe,
+    the top-5 most-similar vectors with a DIFFERENT label — the
+    nearest wrong answers that make the strongest training negatives
+    (random negatives are trivially separable; hard ones carry the
+    gradient).
+
+    Plan: identical machinery to q_llm_cosine_topk (broadcast probes,
+    corpus never shuffles, two-phase deterministic top-k) with the
+    label-mismatch predicate applied BEFORE ranking — at 100 TB the
+    label filter rides the same scan, so mining negatives costs
+    exactly one corpus pass per probe batch, same as plain retrieval.
+    NULL labels count as mismatching every label (IS DISTINCT FROM /
+    eqNullSafe negation on both engines) so unlabeled corpus rows
+    stay eligible as negatives."""
+    from fact_hive_custom_spark.operators.similarity import (
+        _dot,
+        _norm,
+        _topk_per_probe,
+    )
+
+    emb = load_embeddings(spark, sf_dir)
+    p = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        _norm(F.col("embedding")).alias("probe_norm"),
+        F.col("label").alias("probe_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("corpus_vec"),
+        _norm(F.col("embedding")).alias("corpus_norm"),
+        "label",
+    )
+    scored = c.join(
+        F.broadcast(p),
+        (F.col("probe_id") != F.col("neighbor_id"))
+        & ~F.col("label").eqNullSafe(F.col("probe_label")),
+    ).withColumn(
+        "cosine",
+        _dot(F.col("probe_vec"), F.col("corpus_vec"))
+        / (F.col("probe_norm") * F.col("corpus_norm")),
+    )
+    return _topk_per_probe(
+        scored,
+        5,
+        [
+            "probe_id",
+            F.col("neighbor_id").alias("negative_id"),
+            F.col("label").alias("neg_label"),
+            F.round("cosine", 6).alias("cosine"),
+        ],
+    )
+
+
+@register(
+    "q_llm_cross_source_leakage",
+    oracle="""
+    WITH h AS (
+        SELECT sha256(text) AS text_hash, source, doc_id
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+        SELECT text_hash,
+               COUNT(*) AS n_copies,
+               COUNT(DISTINCT source) AS n_sources
+        FROM h GROUP BY text_hash
+    )
+    SELECT h.source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT h.text_hash) AS n_distinct_texts,
+           COUNT(*) FILTER (WHERE g.n_copies > 1) AS n_dup_docs,
+           COUNT(*) FILTER (WHERE g.n_sources > 1) AS n_leaked_docs
+    FROM h JOIN g USING (text_hash)
+    GROUP BY h.source
+    ORDER BY h.source
+    """,
+)
+def q_llm_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination profile: document count, distinct
+    texts, in-corpus duplicate membership, and cross-source leakage
+    (same text appearing under another source) — the audit run before
+    attributing provenance or weighting a source mixture (a doc
+    counted in two sources inflates both and poisons
+    held-out-by-source evals).
+
+    Plan: one shuffle on the 256-bit content hash builds the dup-group
+    profile (map-side combined; text never enters an exchange — only
+    its hash), then the join back to per-doc rows reuses the SAME hash
+    key before the tiny per-source rollup. At 100 TB this is one
+    dedup-shaped pass plus a co-partitioned join; the source column
+    rides along, it never becomes a key until |sources| rows remain."""
+    h = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.sha2(F.col("text"), 256).alias("text_hash"),
+            "source",
+            "doc_id",
+        )
+    )
+    g = h.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        h.join(g, "text_hash")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text_hash").alias("n_distinct_texts"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaked_docs"),
+        )
+        .orderBy("source")
+    )

@@ -72,10 +72,12 @@ DOC_QUERIES = [
     "q_llm_bigram_lm",
     "q_llm_safety_filter",
     "q_source_text",
+    "q_llm_cross_source_leakage",
 ]
 
 # Queries over the embeddings table (element/label dtype sensitive).
 EMB_QUERIES = [
+    "q_llm_hard_negatives",
     "q_llm_embed_quantize",
     "q_llm_cosine_topk",
     "q_llm_ivf_topk",
