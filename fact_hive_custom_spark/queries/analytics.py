@@ -1050,3 +1050,72 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row(u2, "click_24h", 2))
         .unionAll(row(u3, "purchase_24h", 3))
     )
+
+
+@register(
+    "q_ship_delay_hist",
+    oracle=f"""
+    WITH d AS (
+        SELECT (epoch_us(l.l_shipdate) // {_US_PER_DAY})
+               - (epoch_us(o.o_orderdate) // {_US_PER_DAY}) AS delay_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+    )
+    SELECT CASE WHEN delay_days < 0 THEN -1
+                ELSE delay_days // 7 END AS week_bucket,
+           COUNT(*) AS n_lines,
+           CAST(MIN(delay_days) AS BIGINT) AS min_days,
+           CAST(MAX(delay_days) AS BIGINT) AS max_days
+    FROM d
+    GROUP BY 1
+    ORDER BY week_bucket
+    """,
+)
+def q_ship_delay_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay histogram in week buckets (negative delays
+    — ship before order — quarantined into a -1 bucket as data-quality
+    signal): the fulfillment-latency distribution behind SLA and
+    logistics review.
+
+    Plan: one orderkey-keyed fact⋈fact join (the facts already share
+    the key — same exchange shape as q_join_sort_merge), day
+    arithmetic in integer epoch-micros, then a map-side-combined
+    histogram to a handful of week buckets. At 100 TB the only wide
+    cost is the fact join; the histogram shuffle carries bucket
+    partials. Negative-delay bucketing rule is applied identically on
+    both engines BEFORE integer division, since DIV/​// truncate
+    toward different directions on negative operands (Spark trunc,
+    DuckDB floor) — routing them to the sentinel bucket sidesteps the
+    divergence entirely."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    # parquet dates decode TIMESTAMP_NTZ here; the session is
+    # UTC-pinned, so the cast to TIMESTAMP is an identity re-tag
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (
+            F.expr(
+                f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV {_US_PER_DAY}"
+            )
+            - F.expr(
+                f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV {_US_PER_DAY}"
+            )
+        ).alias("delay_days")
+    )
+    return (
+        d.groupBy(
+            F.when(F.col("delay_days") < 0, F.lit(-1))
+            .otherwise(F.expr("delay_days DIV 7"))
+            .cast("bigint")
+            .alias("week_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("delay_days").cast("bigint").alias("min_days"),
+            F.max("delay_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("week_bucket")
+    )

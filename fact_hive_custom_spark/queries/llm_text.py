@@ -801,3 +801,99 @@ def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.slice(F.sort_array(F.collect_set("sel")), 1, 4)
         ).alias("winnow_head"),
     )
+
+
+@register(
+    "q_llm_lang_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains({list(_EN_MARKERS)}, t))) AS en_hits,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains({list(_DE_MARKERS)}, t))) AS de_hits
+        FROM documents
+        WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    pred AS (
+        SELECT lang AS label,
+               CASE WHEN en_hits > de_hits THEN 'en'
+                    WHEN de_hits > en_hits THEN 'de'
+                    ELSE 'und' END AS predicted
+        FROM scored
+    ),
+    cells AS (
+        SELECT label, predicted, COUNT(*) AS n_docs FROM pred
+        GROUP BY label, predicted
+    )
+    SELECT label, predicted, n_docs,
+           CAST(1000000 * n_docs
+                // SUM(n_docs) OVER (PARTITION BY label) AS BIGINT)
+               AS row_ppm
+    FROM cells
+    ORDER BY label, predicted
+    """,
+)
+def q_llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix: the q_llm_lang_id
+    heuristic's predictions against the labeled lang column, with
+    exact-ppm per-label (recall-row) shares — the eval step that turns
+    any classifier query into a measured one (same shape serves a
+    quality-score threshold or a safety filter audited against
+    labels).
+
+    Plan: the marker scoring is ONE codegen map pass (higher-order
+    filter over the token array — no explode); the matrix aggregation
+    is map-side combined to |labels|×|predictions| rows, and the
+    row-normalizing window runs over that tiny cell table partitioned
+    by label. At 100 TB: one narrow shuffle of cell partials, nothing
+    else. The shared marker literals (_EN_MARKERS/_DE_MARKERS) keep
+    this and q_llm_lang_id scoring the SAME heuristic — one source of
+    truth, so the confusion matrix really audits that query's
+    predictor."""
+    scored = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            F.col("lang").alias("label"),
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.array_contains(
+                        F.array(*[F.lit(m) for m in _EN_MARKERS]), t
+                    ),
+                )
+            ).alias("en_hits"),
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.array_contains(
+                        F.array(*[F.lit(m) for m in _DE_MARKERS]), t
+                    ),
+                )
+            ).alias("de_hits"),
+        )
+    )
+    pred = scored.select(
+        "label",
+        F.when(F.col("en_hits") > F.col("de_hits"), "en")
+        .when(F.col("de_hits") > F.col("en_hits"), "de")
+        .otherwise("und")
+        .alias("predicted"),
+    )
+    cells = pred.groupBy("label", "predicted").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    return (
+        cells.withColumn(
+            "tot", F.sum("n_docs").over(Window.partitionBy("label"))
+        )
+        .withColumn(
+            "row_ppm",
+            F.expr("CAST(1000000 * n_docs AS BIGINT) DIV tot").cast("bigint"),
+        )
+        .drop("tot")
+        .orderBy("label", "predicted")
+    )

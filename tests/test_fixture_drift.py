@@ -73,6 +73,7 @@ DOC_QUERIES = [
     "q_llm_safety_filter",
     "q_source_text",
     "q_llm_cross_source_leakage",
+    "q_llm_lang_confusion",
 ]
 
 # Queries over the embeddings table (element/label dtype sensitive).
@@ -372,6 +373,7 @@ NULLABLE_LI_QUERIES = [
     "q_tpch_q18",
     "q_join_sort_merge",
     "q_agg_corr_exact",
+    "q_ship_delay_hist",
 ]
 
 
