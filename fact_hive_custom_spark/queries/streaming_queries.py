@@ -448,3 +448,57 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         spark, deduped, "q_stream_dedup_wm", output_mode="append"
     )
+
+
+@register(
+    "q_stream_topk_windowed",
+    oracle="""
+    WITH counts AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n
+    FROM counts
+    QUALIFY row_number() OVER (
+        PARTITION BY window_start ORDER BY n DESC, event_type) <= 3
+    """,
+)
+def q_stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour, streaming: the windowed
+    counts run as a GENUINE stream (complete mode, AvailableNow —
+    ranking is not stream-expressible because a window function over
+    an updating aggregate has no incremental form), then the rank runs
+    as a batch pass over the settled memory-sink state — exactly how
+    a live "trending now" dashboard ranks its materialized view on
+    every refresh.
+
+    At 100 TB-rate streams the stateful half is the windowed count
+    (state = |windows|×|types| rows, watermark-evictable); the rank
+    half touches only that state, never the firehose. The (n DESC,
+    event_type) tiebreak makes top-3 deterministic on both engines."""
+    ev = streaming_events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+    )
+    settled = run_stream_to_memory(
+        spark, agg, "q_stream_topk_windowed", output_mode="complete"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        settled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
