@@ -426,3 +426,39 @@ def q_quality_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(audit("events->customer", ev, "user_id", c, "c_custkey"))
     )
+
+
+@register(
+    "q_sql_pipe",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM lineitem
+    WHERE l_quantity > 10
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 `|>` operators): the same
+    filter→aggregate→order chain a warehouse user writes top-to-bottom
+    instead of inside-out — each `|>` stage lowers to the identical
+    logical plan as the classic form (the oracle IS that classic
+    form), so Catalyst optimizes both the same way; this is a parser
+    surface, not a new executor. Exact-cents money, deterministic
+    ORDER BY."""
+    view = f"li_pipe_{abs(hash(sf_dir)) % 10**8}"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        FROM {view}
+        |> WHERE l_quantity > 10
+        |> AGGREGATE COUNT(*) AS n_lines,
+                     CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                          AS BIGINT) AS price_cents
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    )

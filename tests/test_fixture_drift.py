@@ -374,6 +374,7 @@ NULLABLE_LI_QUERIES = [
     "q_join_sort_merge",
     "q_agg_corr_exact",
     "q_ship_delay_hist",
+    "q_sql_pipe",
 ]
 
 
