@@ -755,3 +755,64 @@ def q_join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_cents"),
         )
     )
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle="""
+    WITH m AS (
+        SELECT e.event_id, e.event_type,
+               epoch_us(e.ts) AS us,
+               LAST_VALUE(CASE WHEN e.event_type = 'click'
+                               THEN e.event_id END IGNORE NULLS)
+                 OVER w AS click_id,
+               LAST_VALUE(CASE WHEN e.event_type = 'click'
+                               THEN epoch_us(e.ts) END IGNORE NULLS)
+                 OVER w AS click_us
+        FROM events e
+        WHERE e.ts IS NOT NULL
+        WINDOW w AS (PARTITION BY e.user_id
+                     ORDER BY e.ts, (e.event_type = 'click') ASC, e.event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id,
+           CASE WHEN us - click_us <= 3600000000
+                THEN click_id END AS asof_click_id
+    FROM m WHERE event_type = 'error'
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join: the latest strictly-preceding
+    click per error, but only if it happened within the last hour —
+    the financial-tick semantics (`merge_asof(tolerance=...)`) where a
+    stale quote is WORSE than no quote.
+
+    Same union-window plan as q_join_asof (one shuffle + sort, no row
+    explosion) with the right-side timestamp carried alongside the
+    payload; the staleness gate is a pure integer-micros post-filter,
+    so the tolerance dial costs nothing at any scale. NULL-ts rows
+    are unorderable and quarantined on both engines (SURVEY §7.4)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_us"),
+    )
+    joined = asof_join_backward(
+        errors,
+        clicks,
+        by=["user_id"],
+        ts="ts",
+        tiebreak="event_id",
+        carry=["click_id", "click_us"],
+        strict=True,
+    )
+    return joined.select(
+        "event_id",
+        F.when(
+            F.unix_micros("ts") - F.col("asof_click_us") <= 3_600_000_000,
+            F.col("asof_click_id"),
+        ).alias("asof_click_id"),
+    )

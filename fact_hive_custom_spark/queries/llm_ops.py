@@ -736,3 +736,77 @@ def q_llm_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_llm_span_dedup",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    blocks AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(toks, s + 1, s + 20), ' ')) AS block_hash
+        FROM t, unnest(generate_series(0, len(toks) - 20, 20)) AS g(s)
+    ),
+    g AS (
+        SELECT block_hash,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occurrences
+        FROM blocks GROUP BY block_hash
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT block_hash, n_docs, n_occurrences
+    FROM g
+    ORDER BY n_docs DESC, block_hash
+    LIMIT 50
+    """,
+)
+def q_llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (paragraph) duplication: 20-token aligned blocks
+    hashed and counted across documents — the boilerplate detector
+    that doc-level dedup misses entirely (headers, licenses, navboxes
+    repeat inside otherwise-unique documents; span dedup is how
+    pretraining corpora remove them without dropping the documents).
+
+    Plan: block construction is a map-side slice+hash (aligned
+    non-overlapping windows, ragged tails excluded so only full
+    blocks compare); ONE aggregation on the 128-bit block hash
+    carries (hash, doc) pairs that partial-agg dedup map-side, and
+    the report is a TakeOrdered top-50. Text blocks never enter an
+    exchange — only their hashes. At 100 TB this is the same
+    shuffle-on-uniform-hash shape as exact dedup, with row count
+    multiplied by blocks-per-doc (bounded by corpus token count /
+    20)."""
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        # <20-token docs yield no full block. DuckDB's
+        # generate_series(0, -k, 20) is empty, but Spark's
+        # sequence() REJECTS a negative span with positive step
+        # (SURVEY §7.4 / the q_llm_ngram_counts hazard) — filter
+        # them out before the generator on the Spark side.
+        .filter(F.size("toks") >= 20)
+    )
+    blocks = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 20, 20),"
+                " s -> md5(array_join(slice(toks, s + 1, 20), ' ')))"
+            )
+        ).alias("block_hash"),
+    )
+    return (
+        blocks.groupBy("block_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "block_hash")
+        .limit(50)
+    )

@@ -74,6 +74,7 @@ DOC_QUERIES = [
     "q_source_text",
     "q_llm_cross_source_leakage",
     "q_llm_lang_confusion",
+    "q_llm_span_dedup",
 ]
 
 # Queries over the embeddings table (element/label dtype sensitive).
@@ -258,6 +259,7 @@ NULLABLE_EVT_QUERIES = [
     "q_graph_degree_dist",
     "q_ts_mad_outliers",
     "q_funnel_windowed",
+    "q_join_asof_tolerance",
 ]
 
 
