@@ -570,3 +570,80 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gini_ppm"),
     )
+
+
+@register(
+    "q_orders_rfm",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey,
+               MAX(epoch_us(o_orderdate)) // 86400000000 AS last_day,
+               COUNT(*) AS freq,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+          AND o_totalprice IS NOT NULL
+        GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT ntile(5) OVER (ORDER BY last_day DESC, o_custkey) AS r,
+               ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+               ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m
+        FROM base
+    )
+    SELECT r, f, m, COUNT(*) AS n_customers
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers scored 1–5 on Recency (days since
+    last order), Frequency (order count), and Monetary (lifetime
+    cents), reported as segment-cell sizes — the marketing-analytics
+    workhorse for churn/campaign targeting.
+
+    Plan: ONE per-customer rollup off the fact table (the only wide
+    shuffle), then three ntile() windows over the customer aggregates
+    — quintile assignment is floor-division identical on both engines
+    given the total (metric, custkey) tiebreaks, and recency scores
+    straight off the integer epoch-day, so no reference "today" is
+    needed. Same |customers|-bounded single-partition caveat and
+    approx-quantile swap-in as q_pareto_deciles (documented there);
+    the final cell count is ≤125 rows."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_custkey").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "MAX(unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
+                " DIV 86400000000"
+            ).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+    )
+    scored = base.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("last_day"), F.asc("o_custkey")))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("freq"), F.asc("o_custkey")))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )

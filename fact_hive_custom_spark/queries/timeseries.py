@@ -26,6 +26,7 @@ from fact_hive_custom_spark.queries.registry import register
 from fact_hive_custom_spark.tables import load_table
 
 _US_PER_HOUR = 3_600_000_000
+_US_PER_DAY = 86_400_000_000
 
 
 @register(
@@ -619,4 +620,56 @@ def q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers")
         )
         .orderBy("user_id")
+    )
+
+
+@register(
+    "q_ts_heatmap_dow_hod",
+    oracle=f"""
+    WITH e AS (
+        SELECT epoch_us(ts) // {_US_PER_DAY} AS day,
+               (epoch_us(ts) // {_US_PER_HOUR}) % 24 AS hod,
+               CAST(round(value * 10000) AS BIGINT) AS v_e4
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+    )
+    SELECT (day + 4) % 7 AS dow,
+           hod AS hour_of_day,
+           COUNT(*) AS n_events,
+           CAST(SUM(v_e4) AS BIGINT) AS sum_e4
+    FROM e
+    GROUP BY 1, 2
+    ORDER BY dow, hour_of_day
+    """,
+)
+def q_ts_heatmap_dow_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (UTC) — the weekly
+    rhythm grid behind staffing and anomaly baselines, refining
+    q_ts_seasonality's 24-row profile to a 168-cell week.
+
+    Day-of-week is pure integer arithmetic: epoch day 0 (1970-01-01)
+    was a Thursday, so (day + 4) % 7 maps Monday→0 … Sunday→6 with
+    no calendar API, no locale first-day-of-week trap (Spark dayofweek
+    is Sunday=1, DuckDB's is locale-stable but differently numbered —
+    neither is used). One map-side-combined aggregation to ≤168 rows;
+    at 100 TB the cheapest shape there is."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}").alias("day"),
+            F.expr(f"(unix_micros(ts) DIV {_US_PER_HOUR}) % 24").alias("hod"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+        )
+    )
+    return (
+        e.groupBy(
+            F.expr("(day + 4) % 7").alias("dow"),
+            F.col("hod").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_e4").cast("bigint").alias("sum_e4"),
+        )
+        .orderBy("dow", "hour_of_day")
     )

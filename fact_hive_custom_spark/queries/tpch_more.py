@@ -153,3 +153,56 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "q_tpch_q14",
+    oracle="""
+    WITH j AS (
+        SELECT p.p_type,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    )
+    SELECT CAST(1000000 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN rev ELSE 0 END)
+                // SUM(rev) AS BIGINT) AS promo_ppm,
+           CAST(SUM(rev) AS BIGINT) AS total_rev_e4,
+           COUNT(*) AS n_lines
+    FROM j
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-effect report (TPC-H Q14 shape): the month's revenue
+    share earned by promotional parts, in exact integer ppm.
+
+    Physical strategy at 100 TB: the one-month shipdate range is
+    pushed into the lineitem scan (parquet row-group skipping makes
+    this the classic partition-pruning win); `part` broadcasts as the
+    dim side; the conditional aggregation is one map-side-combined
+    pass producing a single row — no second shuffle, no join
+    reordering risk. Revenue in exact 1e-4 integer units, the share
+    an exact-integer ppm ratio."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_type"), rev.alias("rev")
+    )
+    return j.agg(
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN p_type LIKE 'PROMO%'"
+            " THEN rev ELSE 0 END) AS BIGINT) DIV SUM(rev)"
+        )
+        .cast("bigint")
+        .alias("promo_ppm"),
+        F.sum("rev").cast("bigint").alias("total_rev_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

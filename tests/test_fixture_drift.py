@@ -260,6 +260,7 @@ NULLABLE_EVT_QUERIES = [
     "q_ts_mad_outliers",
     "q_funnel_windowed",
     "q_join_asof_tolerance",
+    "q_ts_heatmap_dow_hod",
 ]
 
 
@@ -320,6 +321,7 @@ NULLABLE_ORD_QUERIES = [
     "q_profile_table",
     "q_pareto_deciles",
     "q_agg_gini",
+    "q_orders_rfm",
 ]
 
 
@@ -377,6 +379,7 @@ NULLABLE_LI_QUERIES = [
     "q_agg_corr_exact",
     "q_ship_delay_hist",
     "q_sql_pipe",
+    "q_tpch_q14",
 ]
 
 
