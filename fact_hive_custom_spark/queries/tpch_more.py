@@ -206,3 +206,96 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").cast("bigint").alias("total_rev_e4"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT))
+                AS BIGINT) AS revenue_e4,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND round(l_discount * 100) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change (TPC-H Q6 shape): the discount revenue
+    at stake in one shipping year for mid-discount small-quantity
+    lines — the canonical SCAN query: zero joins, one aggregate, and
+    everything rides on predicate pushdown.
+
+    Physical strategy at 100 TB: all three predicates reach the
+    parquet reader (the date range prunes row groups via min/max
+    stats; quantity and discount filter vectorized batches), and the
+    single-row aggregate is map-side combined — the whole query is
+    one scan-shaped stage with no exchange of anything but 1-row
+    partials. The discount band compares on exact integer percent
+    (round ×100) so the boundary is knife-edge-free on both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.round(F.col("l_discount") * 100).cast("bigint").between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        F.col("l_discount") * 100
+    ).cast("bigint")
+    return li.agg(
+        F.sum(rev).cast("bigint").alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q_subquery_not_in",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_nationkey IS NOT NULL
+      AND c_nationkey NOT IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_regionkey = 0 AND n_nationkey IS NOT NULL
+    )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery — the three-valued-logic trap done safely:
+    customers outside one region's nations, counted per segment.
+
+    NOT IN is NOT an anti-join when the subquery can yield NULL: one
+    NULL makes `x NOT IN (...)` UNKNOWN for every row and the whole
+    result empty — the classic production incident. The subquery
+    therefore filters NULL keys EXPLICITLY (both engines), after
+    which Spark plans the clean null-aware anti join
+    (LeftAnti). At 100 TB the subquery side is a broadcast: nations
+    (any dimension key-list) ship to every executor and the fact side
+    never moves. SURVEY §7.4 NULL-drift rule applied to join keys."""
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .filter((F.col("n_regionkey") == 0) & F.col("n_nationkey").isNotNull())
+        .select("n_nationkey")
+    )
+    # a NULL probe key is UNKNOWN under NOT IN (row dropped) but
+    # unmatched under LEFT ANTI (row kept) — quarantine NULL keys on
+    # BOTH engines so the two formulations stay equivalent under
+    # fixture drift (SURVEY §7.4)
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isNotNull()
+    )
+    return (
+        c.join(
+            F.broadcast(n),
+            c.c_nationkey == n.n_nationkey,
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )

@@ -380,6 +380,7 @@ NULLABLE_LI_QUERIES = [
     "q_ship_delay_hist",
     "q_sql_pipe",
     "q_tpch_q14",
+    "q_tpch_q6",
 ]
 
 
