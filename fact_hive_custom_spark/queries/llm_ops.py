@@ -810,3 +810,82 @@ def q_llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "block_hash")
         .limit(50)
     )
+
+
+@register(
+    "q_llm_dataset_card",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               sha256(text) AS h
+        FROM documents WHERE text IS NOT NULL
+    ),
+    dup AS (
+        SELECT h, COUNT(*) AS c FROM d GROUP BY h
+    )
+    SELECT (SELECT COUNT(*) FROM d) AS n_docs,
+           (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM d) AS total_tokens,
+           (SELECT CAST(SUM(n_chars) AS BIGINT) FROM d) AS total_chars,
+           (SELECT COUNT(DISTINCT lang) FROM d) AS n_langs,
+           (SELECT COUNT(DISTINCT source) FROM d) AS n_sources,
+           (SELECT COUNT(*) FROM dup) AS n_distinct_texts,
+           (SELECT CAST(1000000 * SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+                        // SUM(c) AS BIGINT) FROM dup) AS dup_doc_ppm,
+           (SELECT CAST(MIN(n_tokens) AS BIGINT) FROM d) AS min_tokens,
+           (SELECT CAST(MAX(n_tokens) AS BIGINT) FROM d) AS max_tokens
+    """,
+)
+def q_llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the one-row corpus summary (volume, vocabulary of
+    sources/langs, exact-ppm duplicate share, token-length range)
+    published alongside every released training set — the numbers a
+    consumer checks before mixing the corpus in.
+
+    Plan: ONE pass computes the per-doc frame (tokens, chars, hash in
+    the same projection); the doc-level scalars aggregate from it
+    map-side, and the duplicate share reuses the exact-dedup hash
+    aggregation. Everything lands as exact integers in a single row —
+    at 100 TB this is two map-combined aggregations (doc-level and
+    hash-level) and a broadcast-sized join of their 1-row results."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "lang",
+            "source",
+            "n_chars",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+            F.sha2(F.col("text"), 256).alias("h"),
+        )
+    )
+    doc_stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
+    dup = d.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup_stats = dup.agg(
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)"
+            " DIV SUM(c)"
+        )
+        .cast("bigint")
+        .alias("dup_doc_ppm"),
+    )
+    return doc_stats.crossJoin(F.broadcast(dup_stats)).select(
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "n_langs",
+        "n_sources",
+        "n_distinct_texts",
+        "dup_doc_ppm",
+        "min_tokens",
+        "max_tokens",
+    )

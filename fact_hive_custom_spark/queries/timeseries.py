@@ -673,3 +673,121 @@ def q_ts_heatmap_dow_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour_of_day")
     )
+
+
+@register(
+    "q_ts_autocorr",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 10000) AS BIGINT) AS v
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND user_id IS NOT NULL
+    ),
+    pairs AS (
+        SELECT user_id, v AS x,
+               lead(v) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id) AS y
+        FROM e
+    ),
+    m AS (
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(y * y) AS HUGEINT) AS syy
+        FROM pairs WHERE y IS NOT NULL
+        GROUP BY user_id HAVING COUNT(*) >= 3
+    ),
+    r AS (
+        SELECT user_id, n,
+               abs(n * sxy - sx * sy) // 10000 AS red,
+               (n * sxx - sx * sx) // 1000 AS vxr,
+               (n * syy - sy * sy) // 1000 AS vyr,
+               CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END AS sgn
+        FROM m
+    )
+    SELECT user_id, n,
+           CAST(CASE WHEN vxr > 0 AND vyr > 0
+                THEN (red * red * 100000000) // (vxr * vyr)
+                ELSE NULL END AS BIGINT) AS r2_ppm,
+           CAST(sgn AS BIGINT) AS r_sign
+    FROM r
+    ORDER BY user_id
+    """,
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation strength per user's value series — r² in
+    exact integer ppm plus the sign of r. Near-zero means the metric
+    is noise; strongly positive means momentum/trend (EWMA smoothing
+    will help); strongly negative means oscillation — the diagnostic
+    run before choosing q_ts_ewma's alpha or trusting q_ts_anomaly's
+    independence assumption.
+
+    Plan: ONE user-keyed window builds the (x_t, x_{t+1}) pairs, then
+    the same exact-moment machinery as q_agg_corr_exact (five
+    DECIMAL(38)/HUGEINT sufficient statistics, fixed-divisor scaling
+    before squaring so the 1e32-scale numerator never overflows 38
+    digits, identical integer expression on both engines). The window
+    and the aggregation share the user_id partitioning — one exchange
+    end to end. NULL ts/value/user rows are unorderable or
+    unusable and quarantined on both engines (SURVEY §7.4)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = e.select(
+        "user_id",
+        F.col("v").alias("x"),
+        F.lead("v").over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    d38 = "decimal(38,0)"
+    m = (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast(d38)).alias("sx"),
+            F.sum(F.col("y").cast(d38)).alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    r = m.select(
+        "user_id",
+        "n",
+        F.expr(f"abs(CAST(n AS {d38}) * sxy - sx * sy) DIV 10000").alias("red"),
+        F.expr(f"(CAST(n AS {d38}) * sxx - sx * sx) DIV 1000").alias("vxr"),
+        F.expr(f"(CAST(n AS {d38}) * syy - sy * sy) DIV 1000").alias("vyr"),
+        F.expr(
+            f"CASE WHEN CAST(n AS {d38}) * sxy - sx * sy >= 0"
+            " THEN 1 ELSE -1 END"
+        ).alias("sgn"),
+    )
+    return r.select(
+        "user_id",
+        "n",
+        F.expr(
+            f"CASE WHEN vxr > 0 AND vyr > 0 THEN "
+            f"(CAST(red AS {d38}) * CAST(red AS {d38}) * 100000000)"
+            f" DIV (CAST(vxr AS {d38}) * CAST(vyr AS {d38}))"
+            " ELSE NULL END"
+        )
+        .cast("bigint")
+        .alias("r2_ppm"),
+        F.col("sgn").cast("bigint").alias("r_sign"),
+    ).orderBy("user_id")

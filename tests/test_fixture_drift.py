@@ -75,6 +75,7 @@ DOC_QUERIES = [
     "q_llm_cross_source_leakage",
     "q_llm_lang_confusion",
     "q_llm_span_dedup",
+    "q_llm_dataset_card",
 ]
 
 # Queries over the embeddings table (element/label dtype sensitive).
@@ -261,6 +262,7 @@ NULLABLE_EVT_QUERIES = [
     "q_funnel_windowed",
     "q_join_asof_tolerance",
     "q_ts_heatmap_dow_hod",
+    "q_ts_autocorr",
 ]
 
 
