@@ -1119,3 +1119,98 @@ def q_ship_delay_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_bucket")
     )
+
+
+@register(
+    "q_basket_lift",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM ob),
+    brand_n AS (SELECT p_brand, COUNT(*) AS nb FROM ob GROUP BY p_brand),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               COUNT(*) AS n_both
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 10
+    )
+    SELECT brand_a, brand_b, n_both,
+           CAST(1000000 * n_both * (SELECT n FROM n_orders)
+                // (na.nb * nb.nb) AS BIGINT) AS lift_ppm
+    FROM pairs
+    JOIN brand_n na ON brand_a = na.p_brand
+    JOIN brand_n nb ON brand_b = nb.p_brand
+    ORDER BY lift_ppm DESC, brand_a, brand_b
+    LIMIT 50
+    """,
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: brand pairs co-purchased in the same
+    order, scored by lift (P(a,b)/(P(a)·P(b)) as exact integer ppm —
+    lift > 1e6 means the pair attracts) with a minimum-support floor —
+    the association-rule mining core behind recommendations and
+    assortment planning.
+
+    Plan: the (order, brand) incidence deduplicates ONCE (broadcast
+    part dim onto lineitem, distinct = map-combined); pairs expand
+    from per-order brand sets bounded by basket width K (≤ K²/2 per
+    order, same set-expansion rule as q_event_overlap_matrix — never
+    an unbounded incidence⋈incidence shuffle); marginals broadcast
+    back onto the ≤|brands|² pair table. The lift ratio is pure
+    integer (1e6·n_both·N DIV (n_a·n_b)); the support floor keeps
+    noise pairs out and the output deterministic under the
+    (lift, a, b) total order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    sets = ob.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("brands")
+    )
+    pairs = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, (x, i) ->"
+                    " transform(slice(brands, i + 2, size(brands)),"
+                    " y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.brand_a", "pr.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 10)
+    )
+    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("nb"))
+    n_orders = ob.agg(F.countDistinct("l_orderkey").alias("n"))
+    return (
+        pairs.join(
+            F.broadcast(brand_n.select(F.col("p_brand").alias("brand_a"),
+                                       F.col("nb").alias("na_nb"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(brand_n.select(F.col("p_brand").alias("brand_b"),
+                                       F.col("nb").alias("nb_nb"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.expr("CAST(1000000 * n_both * n AS BIGINT) DIV (na_nb * nb_nb)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "brand_a", "brand_b")
+        .limit(50)
+    )

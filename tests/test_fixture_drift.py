@@ -383,6 +383,7 @@ NULLABLE_LI_QUERIES = [
     "q_sql_pipe",
     "q_tpch_q14",
     "q_tpch_q6",
+    "q_basket_lift",
 ]
 
 
