@@ -1214,3 +1214,89 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), "brand_a", "brand_b")
         .limit(50)
     )
+
+
+@register(
+    "q_orders_cohort_ltv",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+          AND o_totalprice IS NOT NULL
+    ),
+    cohort AS (
+        SELECT o_custkey, MIN(m) AS cohort_month FROM o GROUP BY o_custkey
+    ),
+    cells AS (
+        SELECT c.cohort_month,
+               (year(o.m) - year(c.cohort_month)) * 12
+               + (month(o.m) - month(c.cohort_month)) AS month_offset,
+               SUM(o.cents) AS rev_cents
+        FROM o JOIN cohort c USING (o_custkey)
+        GROUP BY 1, 2
+    )
+    SELECT cohort_month, month_offset,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(SUM(rev_cents) OVER (
+               PARTITION BY cohort_month ORDER BY month_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_rev_cents
+    FROM cells
+    WHERE month_offset <= 12
+    ORDER BY cohort_month, month_offset
+    """,
+)
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monetary cohort LTV: customers grouped by first-order month,
+    revenue accumulated across their first year of month offsets —
+    the lifetime-value triangle finance teams project from (the
+    monetary sibling of q_retention_cohort's activity triangle).
+
+    Plan: cohort assignment is one per-customer min; the join back
+    rides the same custkey exchange; the cumulative sum runs over
+    ≤13 offsets per cohort month (tiny window partitions). Month
+    offsets use year/month integer arithmetic — identical on both
+    engines, no date_diff dialect trap. Money stays exact cents."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_custkey").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            "o_custkey",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("m"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_month"))
+    cells = (
+        o.join(cohort, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            (
+                (F.year("m") - F.year("cohort_month")) * 12
+                + (F.month("m") - F.month("cohort_month"))
+            ).alias("month_offset"),
+        )
+        .agg(F.sum("cents").alias("rev_cents"))
+        .filter(F.col("month_offset") <= 12)
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.select(
+            "cohort_month",
+            "month_offset",
+            F.col("rev_cents").cast("bigint"),
+            F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )

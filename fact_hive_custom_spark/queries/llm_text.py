@@ -897,3 +897,68 @@ def q_llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("tot")
         .orderBy("label", "predicted")
     )
+
+
+@register(
+    "q_llm_curriculum",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+    ),
+    phased AS (
+        SELECT doc_id, n_tokens,
+               ntile(4) OVER (ORDER BY n_tokens, doc_id) AS phase
+        FROM d
+    )
+    SELECT phase,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM phased
+    GROUP BY phase
+    ORDER BY phase
+    """,
+)
+def q_llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum phases: the corpus split into four
+    quartile phases by token length (short→long is the classic
+    curriculum-learning schedule — early phases train on short, easy
+    sequences), reported as phase manifests.
+
+    Plan: token counting is a map pass; the quartile assignment is
+    ntile over (n_tokens, doc_id) — deterministic under the total
+    tiebreak, same single-partition caveat and range-partition
+    swap-in documented at q_pareto_deciles (the window input is one
+    integer pair per doc, not text). The phase manifest is a 4-row
+    aggregate; downstream, each phase's shard list feeds the
+    q_dataset_shard layout unchanged."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+        )
+    )
+    from pyspark.sql import Window
+
+    phased = d.select(
+        "doc_id",
+        "n_tokens",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("n_tokens"), F.asc("doc_id")))
+        .alias("phase"),
+    )
+    return (
+        phased.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("phase")
+    )

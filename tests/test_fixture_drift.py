@@ -76,6 +76,7 @@ DOC_QUERIES = [
     "q_llm_lang_confusion",
     "q_llm_span_dedup",
     "q_llm_dataset_card",
+    "q_llm_curriculum",
 ]
 
 # Queries over the embeddings table (element/label dtype sensitive).
@@ -324,6 +325,7 @@ NULLABLE_ORD_QUERIES = [
     "q_pareto_deciles",
     "q_agg_gini",
     "q_orders_rfm",
+    "q_orders_cohort_ltv",
 ]
 
 
