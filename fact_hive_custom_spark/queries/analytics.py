@@ -1300,3 +1300,129 @@ def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "month_offset")
     )
+
+
+@register(
+    "q_graph_link_predict",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, epoch_us(ts) // {_US_PER_MIN} AS bucket,
+               user_id
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    ok AS (
+        SELECT event_type, bucket FROM b
+        GROUP BY 1, 2 HAVING COUNT(*) <= {_TRI_CAP}
+    ),
+    e AS (
+        SELECT DISTINCT a.user_id AS u, c.user_id AS v
+        FROM b a
+        JOIN ok USING (event_type, bucket)
+        JOIN b c ON c.event_type = a.event_type
+               AND c.bucket = a.bucket AND a.user_id < c.user_id
+    ),
+    adj AS (
+        SELECT u AS node, v AS nbr FROM e
+        UNION ALL SELECT v AS node, u AS nbr FROM e
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+    centers AS (SELECT node FROM deg WHERE d <= 64),
+    common AS (
+        SELECT a.nbr AS na, b.nbr AS nb, COUNT(*) AS n_common
+        FROM adj a
+        JOIN centers USING (node)
+        JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT c.na, c.nb, c.n_common, da.d AS deg_a, db.d AS deg_b
+        FROM common c
+        JOIN deg da ON c.na = da.node
+        JOIN deg db ON c.nb = db.node
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.u = c.na AND e.v = c.nb
+        )
+    )
+    SELECT na AS user_a, nb AS user_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(1000000 * n_common
+                // (deg_a + deg_b - n_common) AS BIGINT) AS jaccard_ppm
+    FROM cand
+    ORDER BY jaccard_ppm DESC, user_a, user_b
+    LIMIT 50
+    """,
+)
+def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-occurrence graph: non-adjacent user
+    pairs ranked by neighbor-set Jaccard (exact integer ppm) — the
+    "people you may know" primitive; pairs with high neighborhood
+    overlap but no edge are the predicted links.
+
+    Plan: the shared capped edge builder (one source of truth with
+    q_graph_triangles/q_graph_degree_dist), adjacency both ways, then
+    common-neighbor pairs expand from per-node SORTED neighbor sets —
+    bounded by capped-degree² per node (centers above degree 64 are
+    skipped — a hub's wedges are uninformative for link prediction
+    and alone cost deg² pairs each), never an unbounded
+    adjacency⋈adjacency shuffle. Existing edges anti-join out; degree
+    marginals broadcast; the score is exact-integer Jaccard ppm with
+    a TakeOrdered top-50 under the (score, a, b) total order."""
+    e = _cooccurrence_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    # hub guard: a super-hub center contributes deg^2 uninformative
+    # wedges (a hub neighbors everyone, so overlap through it predicts
+    # nothing); capping center degree at 64 bounds expansion per node
+    # and is a NO-OP below sf1.0 density (max degree 8 at sf0.01, 57
+    # at sf0.1 — measured). Same rule family as _TRI_CAP.
+    sets = (
+        adj.groupBy("node")
+        .agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
+        .filter(F.size("ns") <= 64)
+    )
+    common = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) ->"
+                    " transform(slice(ns, i + 2, size(ns)),"
+                    " y -> struct(x AS na, y AS nb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.na", "p.nb")
+        .groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    non_edges = common.join(
+        e,
+        (common["na"] == e["u"]) & (common["nb"] == e["v"]),
+        "left_anti",
+    )
+    cand = non_edges.join(
+        F.broadcast(deg.select(F.col("node").alias("na"), F.col("d").alias("deg_a"))),
+        "na",
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("nb"), F.col("d").alias("deg_b"))),
+        "nb",
+    )
+    return (
+        cand.select(
+            F.col("na").alias("user_a"),
+            F.col("nb").alias("user_b"),
+            F.col("n_common").cast("bigint"),
+            F.expr(
+                "CAST(1000000 * n_common AS BIGINT)"
+                " DIV (deg_a + deg_b - n_common)"
+            )
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "user_a", "user_b")
+        .limit(50)
+    )

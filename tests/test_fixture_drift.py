@@ -264,6 +264,7 @@ NULLABLE_EVT_QUERIES = [
     "q_join_asof_tolerance",
     "q_ts_heatmap_dow_hod",
     "q_ts_autocorr",
+    "q_graph_link_predict",
 ]
 
 
