@@ -791,3 +791,71 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r2_ppm"),
         F.col("sgn").cast("bigint").alias("r_sign"),
     ).orderBy("user_id")
+
+
+@register(
+    "q_ts_error_rate",
+    oracle=f"""
+    WITH d AS (
+        SELECT epoch_us(ts) // {_US_PER_DAY} AS day,
+               COUNT(*) AS n_events,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT day,
+           n_events, n_errors,
+           CAST(1000000 * n_errors // n_events AS BIGINT) AS err_ppm,
+           CAST(1000000 * SUM(n_errors) OVER w
+                // SUM(n_events) OVER w AS BIGINT) AS err_ppm_7d
+    FROM d
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+)
+def q_ts_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-rate SLA series: daily error share plus the 7-day rolling
+    rate, both in exact integer ppm — the reliability dashboard line,
+    with the rolling ratio computed as (Σ errors)/(Σ events) over the
+    window (the correct pooled rate) rather than an average of daily
+    ratios (which over-weights quiet days).
+
+    Plan: one map-combined aggregation collapses the stream to
+    |days| rows; the rolling window then runs over that tiny daily
+    frame (a global window over day-grain aggregates — bounded by
+    calendar length, the documented exception to the no-global-window
+    rule). All ratios are integer DIV on both engines."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_errors"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return (
+        d.select(
+            "day",
+            "n_events",
+            F.col("n_errors").cast("bigint").alias("n_errors"),
+            F.expr("CAST(1000000 * n_errors AS BIGINT) DIV n_events")
+            .cast("bigint")
+            .alias("err_ppm"),
+            F.sum("n_errors").over(w).alias("se"),
+            F.sum("n_events").over(w).alias("sn"),
+        )
+        # integer DIV, not float `/`+cast — the float quotient can land
+        # an ulp below the true rational and truncate differently than
+        # DuckDB's integer // (SURVEY §7.4 hazard 2)
+        .withColumn(
+            "err_ppm_7d",
+            F.expr("CAST(1000000 * se AS BIGINT) DIV sn").cast("bigint"),
+        )
+        .drop("se", "sn")
+        .orderBy("day")
+    )

@@ -265,6 +265,7 @@ NULLABLE_EVT_QUERIES = [
     "q_ts_heatmap_dow_hod",
     "q_ts_autocorr",
     "q_graph_link_predict",
+    "q_ts_error_rate",
 ]
 
 
