@@ -1426,3 +1426,117 @@ def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_ppm"), "user_a", "user_b")
         .limit(50)
     )
+
+
+@register(
+    "q_orders_mix_trend",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               o_orderpriority AS priority,
+               COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT month, priority, n_orders,
+           CAST(1000000 * n_orders
+                // SUM(n_orders) OVER (PARTITION BY month) AS BIGINT)
+               AS share_ppm
+    FROM m
+    ORDER BY month, priority
+    """,
+)
+def q_orders_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-mix trend: each month's order count per priority with
+    its exact-ppm share of the month — the mix-shift report behind
+    "are urgent orders growing?" reviews (an absolute count rises in
+    a growing business even when the MIX is flat; the share is the
+    signal).
+
+    Plan: one map-combined aggregation to |months|×|priorities| rows;
+    the normalizing window partitions by month over that tiny frame.
+    Integer ppm shares, calendar work limited to date_trunc (same
+    month rendering both engines)."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
+                "month"
+            ),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        m.withColumn(
+            "tot", F.sum("n_orders").over(Window.partitionBy("month"))
+        )
+        .withColumn(
+            "share_ppm",
+            F.expr("CAST(1000000 * n_orders AS BIGINT) DIV tot").cast("bigint"),
+        )
+        .drop("tot")
+        .orderBy("month", "priority")
+    )
+
+
+@register(
+    "q_agg_histogram2d",
+    oracle="""
+    SELECT CAST((CAST(round(l_quantity) AS BIGINT) - 1) // 5 AS BIGINT)
+               AS qty_band,
+           CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                // 2000000 AS BIGINT) AS price_band,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY qty_band, price_band
+    """,
+)
+def q_agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint 2-D histogram: quantity bands (width 5) × price bands
+    (width $20 000) with counts and exact-cents mass — the density
+    grid behind pricing heatmaps and outlier-cell detection (its 1-D
+    sibling is q_agg_histogram).
+
+    Plan: band keys are pure integer arithmetic on exact cents/units
+    computed IN the grouping expression — one map-combined
+    aggregation straight off the scan to a bounded grid (≤10×~25
+    cells), the cheapest aggregate shape there is. All quantities are
+    positive so integer division truncation agrees across engines
+    (negative operands would need the q_ship_delay_hist sentinel
+    rule)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.groupBy(
+            F.expr(
+                "CAST((CAST(round(l_quantity) AS BIGINT) - 1) DIV 5 AS BIGINT)"
+            ).alias("qty_band"),
+            F.expr(
+                "CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " DIV 2000000 AS BIGINT)"
+            ).alias("price_band_tmp"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(cents).cast("bigint").alias("total_cents"),
+        )
+        .select(
+            "qty_band",
+            F.col("price_band_tmp").alias("price_band"),
+            "n_lines",
+            "total_cents",
+        )
+        .orderBy("qty_band", "price_band")
+    )

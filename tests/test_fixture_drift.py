@@ -328,6 +328,7 @@ NULLABLE_ORD_QUERIES = [
     "q_agg_gini",
     "q_orders_rfm",
     "q_orders_cohort_ltv",
+    "q_orders_mix_trend",
 ]
 
 
