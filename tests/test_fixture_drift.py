@@ -389,6 +389,7 @@ NULLABLE_LI_QUERIES = [
     "q_tpch_q14",
     "q_tpch_q6",
     "q_basket_lift",
+    "q_agg_histogram2d",
 ]
 
 
