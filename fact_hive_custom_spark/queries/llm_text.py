@@ -962,3 +962,79 @@ def q_llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+@register(
+    "q_llm_typicality",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ),
+    freq AS (
+        SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+    ),
+    ranked AS (
+        SELECT term,
+               row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+        FROM freq
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               SUM(r.rnk) AS rank_sum
+        FROM tok t JOIN ranked r USING (term)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST((2 * rank_sum + n_tokens) // (2 * n_tokens) AS BIGINT)
+               AS mean_rank
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def q_llm_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typicality scoring: each document's mean corpus-frequency RANK
+    of its tokens (half-up exact integer) — a log-free perplexity
+    proxy: low mean rank = common words = typical/boilerplate text,
+    high = rare vocabulary (jargon, noise, other languages). The
+    unigram-LM quality filter without a float log anywhere.
+
+    Plan: one token explode feeds both the frequency table and the
+    scoring join; the vocab ranking is a window over DISTINCT TERMS
+    (vocabulary-sized, not corpus-sized — the global window runs on
+    |vocab| rows and is the same documented exception as
+    q_pareto_deciles), which then broadcasts back onto the token
+    stream keyed by term. Mean rank uses the shared (2s+n) DIV 2n
+    half-up rational (rank sums are positive). At 100 TB: two
+    aggregations and a broadcast join; text never enters an
+    exchange beyond its tokens."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    ranked = freq.select(
+        "term",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("term")))
+        .alias("rnk"),
+    )
+    scored = (
+        tok.join(F.broadcast(ranked), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("rnk").alias("rank_sum"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("CAST((2 * rank_sum + n_tokens) DIV (2 * n_tokens) AS BIGINT)").alias(
+            "mean_rank"
+        ),
+    ).orderBy("doc_id")

@@ -77,6 +77,7 @@ DOC_QUERIES = [
     "q_llm_span_dedup",
     "q_llm_dataset_card",
     "q_llm_curriculum",
+    "q_llm_typicality",
 ]
 
 # Queries over the embeddings table (element/label dtype sensitive).
