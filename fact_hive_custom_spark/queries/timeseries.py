@@ -859,3 +859,84 @@ def q_ts_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("se", "sn")
         .orderBy("day")
     )
+
+
+@register(
+    "q_ts_impute",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               CASE WHEN value IS NULL THEN NULL
+                    ELSE CAST(round(value * 10000) AS BIGINT) END AS v
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    modal AS (
+        SELECT user_id, v AS mode_e4 FROM (
+            SELECT user_id, v, COUNT(*) AS c,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY COUNT(*) DESC, v) AS rn
+            FROM e WHERE v IS NOT NULL
+            GROUP BY user_id, v
+        ) WHERE rn = 1
+    )
+    SELECT e.user_id,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(e.v) AS n_imputed,
+           m.mode_e4,
+           CAST(SUM(COALESCE(e.v, m.mode_e4)) AS BIGINT) AS sum_imputed_e4
+    FROM e JOIN modal m USING (user_id)
+    GROUP BY e.user_id, m.mode_e4
+    ORDER BY e.user_id
+    """,
+)
+def q_ts_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation by per-user mode: NULL readings filled
+    with the user's most frequent value (deterministic under the
+    (count DESC, value ASC) total order), reported as per-user repair
+    accounting — the data-repair step run before any aggregate that
+    would silently NULL-skip (SUM/AVG drop NULLs; a dashboard
+    comparing repaired vs raw needs this audit trail).
+
+    Plan: the modal value is one (user, value) count + a user-
+    partitioned top-1 window — the q_agg_mode shape; the join back
+    rides the SAME user_id key, so imputation costs one effective
+    partitioning end to end. Values in exact 1e-4 ints; users whose
+    readings are ALL NULL have no mode and drop from the report on
+    both engines (the join is inner) — the quarantine rule made
+    explicit."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.when(
+                F.col("value").isNull(), F.lit(None).cast("bigint")
+            ).otherwise(F.round(F.col("value") * 10000).cast("bigint")).alias("v"),
+        )
+    )
+    counts = (
+        e.filter(F.col("v").isNotNull())
+        .groupBy("user_id", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("c"), F.asc("v"))
+    modal = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("v").alias("mode_e4"))
+    )
+    return (
+        e.join(modal, "user_id")
+        .groupBy("user_id", "mode_e4")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("v")).alias("n_imputed"),
+            F.sum(F.coalesce(F.col("v"), F.col("mode_e4")))
+            .cast("bigint")
+            .alias("sum_imputed_e4"),
+        )
+        .select(
+            "user_id", "n_rows", "n_imputed", "mode_e4", "sum_imputed_e4"
+        )
+        .orderBy("user_id")
+    )

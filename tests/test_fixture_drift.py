@@ -267,6 +267,7 @@ NULLABLE_EVT_QUERIES = [
     "q_ts_autocorr",
     "q_graph_link_predict",
     "q_ts_error_rate",
+    "q_ts_impute",
 ]
 
 
