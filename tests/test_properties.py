@@ -301,3 +301,68 @@ class TestRound5Invariants:
         assert row.n_distinct == len(set(key_vals))
         assert row.min_value == min(key_vals)
         assert row.max_value == max(key_vals)
+
+
+class TestRound5eInvariants:
+    """Brute-force checks for the late-round-5 operators."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_gini_matches_bruteforce(self, spark):
+        import pyarrow.parquet as pq
+
+        from fact_hive_custom_spark.queries import QUERIES
+
+        t = pq.read_table(f"{self.SF}/orders.parquet").to_pydict()
+        rev: dict[int, int] = {}
+        for ck, tp in zip(t["o_custkey"], t["o_totalprice"]):
+            if ck is None or tp is None:
+                continue
+            rev[ck] = rev.get(ck, 0) + round(tp * 100)
+        xs = [rev[k] for k in sorted(rev, key=lambda k: (rev[k], k))]
+        n, s = len(xs), sum(xs)
+        s1 = sum((i + 1) * x for i, x in enumerate(xs))
+        want = (n, s, (1_000_000 * (2 * s1 - (n + 1) * s)) // (n * s))
+        row = QUERIES["q_agg_gini"](spark, self.SF).collect()[0]
+        assert (row.n_customers, row.total_cents, row.gini_ppm) == want
+
+    def test_gini_bounds(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+
+        row = QUERIES["q_agg_gini"](spark, self.SF).collect()[0]
+        assert 0 <= row.gini_ppm < 1_000_000
+
+    def test_basket_lift_bounds(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_basket_lift"](spark, self.SF).collect()
+        for r in rows:
+            assert r.brand_a < r.brand_b
+            assert r.n_both >= 10
+            assert r.lift_ppm > 0
+
+    def test_typicality_rank_bounds(self, spark):
+        import pyarrow.parquet as pq
+
+        from fact_hive_custom_spark.queries import QUERIES
+
+        t = pq.read_table(f"{self.SF}/documents.parquet").to_pydict()
+        vocab = set()
+        for txt in t["text"]:
+            if txt is not None:
+                vocab.update(txt.split(" "))
+        rows = QUERIES["q_llm_typicality"](spark, self.SF).collect()
+        n_docs = sum(1 for x in t["text"] if x is not None)
+        assert len(rows) == n_docs
+        for r in rows:
+            assert 1 <= r.mean_rank <= len(vocab)
+
+    def test_impute_accounting(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_ts_impute"](spark, self.SF).collect()
+        for r in rows:
+            # fixture has no NULL values, so nothing to impute — and
+            # the imputed sum must then be consistent with raw rows
+            assert r.n_imputed == 0
+            assert r.n_rows >= 1
