@@ -1540,3 +1540,67 @@ def q_agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qty_band", "price_band")
     )
+
+
+@register(
+    "q_orders_repeat_rate",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', MIN(o_orderdate)) AS DATE)
+                   AS cohort_month,
+               COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        GROUP BY o_custkey
+    )
+    SELECT cohort_month,
+           COUNT(*) AS n_customers,
+           COUNT(*) FILTER (WHERE n_orders >= 2) AS n_repeat,
+           CAST(1000000 * COUNT(*) FILTER (WHERE n_orders >= 2)
+                // COUNT(*) AS BIGINT) AS repeat_ppm
+    FROM per_cust
+    GROUP BY cohort_month
+    ORDER BY cohort_month
+    """,
+)
+def q_orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate by acquisition cohort: of the customers
+    first seen each month, how many ever ordered again (exact ppm) —
+    the one-number loyalty readout that pairs with
+    q_orders_cohort_ltv's revenue triangle.
+
+    Plan: ONE per-customer aggregation computes both the cohort month
+    (min orderdate) and the lifetime order count in the same pass —
+    no join between a cohort table and a counts table; the cohort
+    rollup then shuffles |customers| keyed rows to |months| cells.
+    Integer ppm, deterministic ordering."""
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.date_trunc("month", F.min("o_orderdate"))
+            .cast("date")
+            .alias("cohort_month"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return (
+        per_cust.groupBy("cohort_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).alias(
+                "n_repeat"
+            ),
+        )
+        .select(
+            "cohort_month",
+            "n_customers",
+            F.col("n_repeat").cast("bigint").alias("n_repeat"),
+            F.expr("CAST(1000000 * n_repeat AS BIGINT) DIV n_customers")
+            .cast("bigint")
+            .alias("repeat_ppm"),
+        )
+        .orderBy("cohort_month")
+    )

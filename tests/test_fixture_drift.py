@@ -331,6 +331,7 @@ NULLABLE_ORD_QUERIES = [
     "q_orders_rfm",
     "q_orders_cohort_ltv",
     "q_orders_mix_trend",
+    "q_orders_repeat_rate",
 ]
 
 
