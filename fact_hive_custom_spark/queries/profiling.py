@@ -33,9 +33,21 @@ _PROFILE_COLS = [
 ]
 
 
-def _profile_oracle() -> str:
+# supplier profile spec: exercises the negative-value rendering path
+# (s_acctbal can be negative — the cents string keeps its sign and the
+# lexicographic min/max rule stays engine-identical because the SAME
+# rendered strings are compared on both sides).
+_SUPPLIER_PROFILE_COLS = [
+    ("s_suppkey", "CAST(s_suppkey AS STRING)"),
+    ("s_name", "s_name"),
+    ("s_nationkey", "CAST(s_nationkey AS STRING)"),
+    ("acctbal_cents", "CAST(CAST(round(s_acctbal * 100) AS BIGINT) AS STRING)"),
+]
+
+
+def _profile_oracle(table: str, cols: list[tuple[str, str]]) -> str:
     parts = []
-    for name, expr in _PROFILE_COLS:
+    for name, expr in cols:
         sql_expr = expr.replace("AS STRING", "AS VARCHAR")
         parts.append(
             f"""
@@ -45,12 +57,44 @@ def _profile_oracle() -> str:
            COUNT(DISTINCT {sql_expr}) AS n_distinct,
            MIN({sql_expr}) AS min_value,
            MAX({sql_expr}) AS max_value
-    FROM orders"""
+    FROM {table}"""
         )
     return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
 
 
-@register("q_profile_table", oracle=_profile_oracle())
+def _profile(spark: SparkSession, sf_dir: str, table: str,
+             cols: list[tuple[str, str]]) -> DataFrame:
+    """Single-pass per-column profile: one wide aggregate + stack
+    unpivot (shared by q_profile_table / q_profile_supplier)."""
+    t = load_table(spark, sf_dir, table)
+    aggs = []
+    for name, expr in cols:
+        c = F.expr(expr)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{name}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{name}__nulls"),
+            F.countDistinct(c).alias(f"{name}__distinct"),
+            F.min(c).alias(f"{name}__min"),
+            F.max(c).alias(f"{name}__max"),
+        ]
+    wide = t.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__rows, {name}__nulls, {name}__distinct,"
+        f" {name}__min, {name}__max"
+        for name, _ in cols
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(cols)}, {stack_args}) AS "
+                "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+            )
+        )
+        .orderBy("column_name")
+    )
+
+
+@register("q_profile_table", oracle=_profile_oracle("orders", _PROFILE_COLS))
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column table profile over `orders`: row count, NULL count,
     exact distinct count, and lexicographic min/max of the rendered
@@ -67,32 +111,20 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare lexicographically the same way on both engines (digit
     strings of like magnitude; the profile is about drift detection,
     not numeric ordering)."""
-    o = load_table(spark, sf_dir, "orders")
-    aggs = []
-    for name, expr in _PROFILE_COLS:
-        c = F.expr(expr)
-        aggs += [
-            F.count(F.lit(1)).alias(f"{name}__rows"),
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{name}__nulls"),
-            F.countDistinct(c).alias(f"{name}__distinct"),
-            F.min(c).alias(f"{name}__min"),
-            F.max(c).alias(f"{name}__max"),
-        ]
-    wide = o.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{name}', {name}__rows, {name}__nulls, {name}__distinct,"
-        f" {name}__min, {name}__max"
-        for name, _ in _PROFILE_COLS
-    )
-    return (
-        wide.select(
-            F.expr(
-                f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-                "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
-            )
-        )
-        .orderBy("column_name")
-    )
+    return _profile(spark, sf_dir, "orders", _PROFILE_COLS)
+
+
+@register(
+    "q_profile_supplier",
+    oracle=_profile_oracle("supplier", _SUPPLIER_PROFILE_COLS),
+)
+def q_profile_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same single-pass profiler over `supplier` — proving the
+    operator is a reusable audit (one spec list per table), and
+    exercising the signed-money rendering path: s_acctbal goes
+    negative, and the rendered cents string keeps its sign so both
+    engines compare identical strings."""
+    return _profile(spark, sf_dir, "supplier", _SUPPLIER_PROFILE_COLS)
 
 
 # Ordered blocklist: first matching rule wins (priority = list order).
