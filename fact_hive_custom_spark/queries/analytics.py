@@ -13,7 +13,6 @@ with queries/timeseries.py) — no float crosses an engine boundary.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -635,46 +634,70 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket with more than {_TRI_CAP} users is dropped ON BOTH ENGINES
     before pair expansion, so edge generation is O(buckets × cap²) — a
     boilerplate-hour can't go quadratic. Edges are canonical (u < v)
-    and distinct, and the triangle join is the two-hop path-close
-    pattern (e1.v=e2.u, then close with e3) over that deduped edge
-    set; every count is an exact bigint.
+    and distinct; every count is an exact bigint.
 
-    At 100 TB the published refinement is degree-orientation (point
-    each edge low→high degree before the join — Suri & Vassilvitskii
-    WWW'11 makes the join input per-node O(sqrt(m))); here the cap
-    already bounds the hot side, and the plan is three shuffles on
-    edge endpoints with AQE free to pick broadcast when the edge set
-    collapses."""
-    # five consumers (e1/e2/e3, degree, edge count): persist the
-    # deduped (u, v) longs once instead of re-running the bucket
-    # self-join per consumer — the same rule as dedup's shingle
-    # persist (operators/dedup.py)
-    e = _cooccurrence_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    Counting is DEGREE-ORIENTED set intersection (Suri &
+    Vassilvitskii, WWW'11): every edge points from its
+    lower-(degree, id) endpoint to the higher, which bounds every
+    node's OUT-neighborhood at O(sqrt(m)) no matter how skewed the
+    raw degrees. Each triangle {a,b,c} (oriented a→b, a→c, b→c) is
+    counted exactly once, at edge (a,b), as |N⁺(a) ∩ N⁺(b)| — the
+    per-node out-neighbor arrays join onto the edge list and the
+    intersection runs INSIDE the executor over two bounded arrays, so
+    the Σ-outdeg² wedge stream never materializes as shuffle rows at
+    all (measured at sf1.0: wedge-row shuffle 69 s, broadcast-both-
+    sides close join 28 s, this form 14–24 s). No broadcast hint
+    anywhere — AQE broadcasts the ~|nodes|-row adjacency side only
+    when it actually fits, and the plan degrades to a partitioned
+    join, not OOM, on a denser graph (this replaced the round-5
+    broadcast-both-sides close join, whose tens-of-MB edge-set
+    assumption a denser graph would break).
+
+    The edge build is NOT persisted: its deduplicating exchange
+    (hashpartitioning(u, v)) is identical across all consumers
+    (orientation, degree, edge count), so Spark's ReuseExchange
+    computes it once within the plan — same work sharing as the old
+    MEMORY_AND_DISK persist without leaking cached blocks across a
+    243-query run (round-6 ADVICE)."""
+    e = _cooccurrence_edges(spark, sf_dir)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # The deduped edge list is (u, v) longs — ~16 B/edge, tens of MB
-    # even on a dense fixture — so BOTH close-join sides broadcast:
-    # the wedge stream (Σ deg²/4 rows, the real volume) then flows
-    # through two in-memory hash probes in ONE stage instead of being
-    # exchanged twice (measured at sf1.0: 101 s → the SMJ plan
-    # shuffled ~370 M wedge rows; broadcast closes in-stage). At
-    # 100 TB the dial is the q_graph_degree_dist density probe: an
-    # edge set past broadcast size falls back to the partitioned
-    # join by removing the hints — same result, same oracle.
-    tri = (
-        e.alias("e1")
-        .join(F.broadcast(e.alias("e2")), F.col("e2.u") == F.col("e1.v"))
-        .join(
-            F.broadcast(e.alias("e3")),
-            (F.col("e3.u") == F.col("e1.u"))
-            & (F.col("e3.v") == F.col("e2.v")),
+    # orient: src = endpoint with smaller (degree, id); e already has
+    # u < v, so ties on degree keep u as the source
+    oriented = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.when(F.col("du") <= F.col("dv"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("src"),
+            F.when(F.col("du") <= F.col("dv"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("dst"),
         )
     )
-    n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    outs = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("ns")
+    )
+    # inner joins are safe for the count: an edge whose dst has no
+    # out-neighbors contributes zero triangles
+    n_tri = (
+        oriented.join(outs.withColumnRenamed("ns", "ns_src"), "src")
+        .join(
+            outs.select(F.col("src").alias("dst"), F.col("ns").alias("ns_dst")),
+            "dst",
+        )
+        .select(F.size(F.array_intersect("ns_src", "ns_dst")).alias("k"))
+        .agg(
+            F.coalesce(F.sum("k"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles")
+        )
+    )
     n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     n_nodes = deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
@@ -709,16 +732,16 @@ def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     journey string, counted across users — the onboarding-flow /
     drop-off analysis behind every product-analytics "paths" view.
 
-    Plan: ONE aggregation per user collects (ts, event_id, type)
-    structs; `array_sort` orders them inside the executor (struct
-    comparison is field-lexicographic, and (us, event_id) is a unique
-    prefix, so the sort — and therefore the path string — is
-    deterministic on both engines despite collect_list's arbitrary
-    arrival order). slice(·,1,5) caps state per user at five events
-    BEFORE the second, tiny aggregation over distinct path strings;
-    the final top-10 is TakeOrderedAndProject. At 100 TB: per-user
-    state is bounded, both shuffles carry map-combined partials, and
-    no per-user history ever concatenates unbounded.
+    Plan: a row_number window over (user_id ORDER BY us, event_id)
+    keeps only each user's first five events BEFORE any collection,
+    so per-user aggregation state is genuinely bounded at five structs
+    (round-6 ADVICE: the previous slice-after-collect form gathered
+    the FULL history into one array first). The window's exchange on
+    user_id is reused by the following groupBy — no extra shuffle —
+    and `array_sort` re-orders the ≤5 collected structs inside the
+    executor ((us, event_id) is a unique prefix, so the path string is
+    deterministic despite collect_list's arbitrary arrival order).
+    The final top-10 is TakeOrderedAndProject.
 
     NULL quarantine (fixture-drift rule, SURVEY.md §7.4): NULL ts is
     unorderable (Spark sorts NULLs first, DuckDB last) and NULL
@@ -739,11 +762,17 @@ def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
-    per_user = e.groupBy("user_id").agg(
+    first5 = e.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("us", "event_id")
+        ),
+    ).filter(F.col("rn") <= 5)
+    per_user = first5.groupBy("user_id").agg(
         F.array_join(
             F.expr(
-                "transform(slice(array_sort(collect_list("
-                "struct(us, event_id, event_type))), 1, 5),"
+                "transform(array_sort(collect_list("
+                "struct(us, event_id, event_type))),"
                 " x -> x.event_type)"
             ),
             ">",
@@ -1127,6 +1156,7 @@ def q_ship_delay_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ob AS (
         SELECT DISTINCT l_orderkey, p.p_brand
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_orderkey IS NOT NULL
     ),
     n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM ob),
     brand_n AS (SELECT p_brand, COUNT(*) AS nb FROM ob GROUP BY p_brand),
@@ -1163,11 +1193,16 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto the ≤|brands|² pair table. The lift ratio is pure
     integer (1e6·n_both·N DIV (n_a·n_b)); the support floor keeps
     noise pairs out and the output deterministic under the
-    (lift, a, b) total order."""
+    (lift, a, b) total order. NULL l_orderkey rows are quarantined
+    before the incidence is built: Spark's groupBy would collapse all
+    NULL orderkeys into one phantom basket while the oracle's
+    equi-self-join never matches NULLs (same rule as
+    q_event_overlap_matrix's NULL user_id filter)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.filter(F.col("l_orderkey").isNotNull())
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
     )
@@ -1369,8 +1404,14 @@ def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     and alone cost deg² pairs each), never an unbounded
     adjacency⋈adjacency shuffle. Existing edges anti-join out; degree
     marginals broadcast; the score is exact-integer Jaccard ppm with
-    a TakeOrdered top-50 under the (score, a, b) total order."""
-    e = _cooccurrence_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    a TakeOrdered top-50 under the (score, a, b) total order.
+
+    The edge build is not persisted: its deduplicating exchange is
+    identical across the three consumers (adjacency twice, anti-join
+    once), so ReuseExchange computes it once within the plan without
+    leaking cached blocks across a multi-query run (round-6
+    ADVICE)."""
+    e = _cooccurrence_edges(spark, sf_dir)
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
@@ -1488,8 +1529,9 @@ def q_orders_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_histogram2d",
     oracle="""
-    SELECT CAST((CAST(round(l_quantity) AS BIGINT) - 1) // 5 AS BIGINT)
-               AS qty_band,
+    SELECT CAST(CASE WHEN round(l_quantity) < 1 THEN -1
+                     ELSE (CAST(round(l_quantity) AS BIGINT) - 1) // 5
+                END AS BIGINT) AS qty_band,
            CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
                 // 2000000 AS BIGINT) AS price_band,
            COUNT(*) AS n_lines,
@@ -1510,10 +1552,11 @@ def q_agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: band keys are pure integer arithmetic on exact cents/units
     computed IN the grouping expression — one map-combined
     aggregation straight off the scan to a bounded grid (≤10×~25
-    cells), the cheapest aggregate shape there is. All quantities are
-    positive so integer division truncation agrees across engines
-    (negative operands would need the q_ship_delay_hist sentinel
-    rule)."""
+    cells), the cheapest aggregate shape there is. Quantities that
+    round below 1 are routed to a -1 sentinel band BEFORE the division
+    on both engines (the q_ship_delay_hist rule): Spark DIV truncates
+    toward zero while DuckDB // floors, so a negative dividend would
+    land in different bands otherwise."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
     )
@@ -1521,7 +1564,9 @@ def q_agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy(
             F.expr(
-                "CAST((CAST(round(l_quantity) AS BIGINT) - 1) DIV 5 AS BIGINT)"
+                "CAST(CASE WHEN round(l_quantity) < 1 THEN -1"
+                " ELSE (CAST(round(l_quantity) AS BIGINT) - 1) DIV 5"
+                " END AS BIGINT)"
             ).alias("qty_band"),
             F.expr(
                 "CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"

@@ -245,7 +245,7 @@ _PROPS_SHAPE = '^\\{"k": ?-?[0-9]+\\}$'
 
 @register(
     "q_fn_map",
-    oracle="""
+    oracle=r"""
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS INTEGER)           AS k_val,
            array_to_string(json_keys(props), ',')                AS key_list,
@@ -282,7 +282,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fn_json",
-    oracle="""
+    oracle=r"""
     SELECT event_id,
            json_extract_string(props, '$.k')                     AS k_str,
            CAST(json_extract(props, '$.k') AS INTEGER)           AS k_int,
@@ -334,7 +334,7 @@ def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fn_variant",
-    oracle="""
+    oracle=r"""
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
            CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS VARCHAR) AS k_str,

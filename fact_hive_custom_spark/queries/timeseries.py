@@ -633,7 +633,7 @@ def q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WHERE ts IS NOT NULL AND value IS NOT NULL
     )
-    SELECT (day + 4) % 7 AS dow,
+    SELECT (day + 3) % 7 AS dow,
            hod AS hour_of_day,
            COUNT(*) AS n_events,
            CAST(SUM(v_e4) AS BIGINT) AS sum_e4
@@ -648,10 +648,10 @@ def q_ts_heatmap_dow_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ts_seasonality's 24-row profile to a 168-cell week.
 
     Day-of-week is pure integer arithmetic: epoch day 0 (1970-01-01)
-    was a Thursday, so (day + 4) % 7 maps Monday→0 … Sunday→6 with
-    no calendar API, no locale first-day-of-week trap (Spark dayofweek
-    is Sunday=1, DuckDB's is locale-stable but differently numbered —
-    neither is used). One map-side-combined aggregation to ≤168 rows;
+    was a Thursday, so (day + 3) % 7 maps Monday→0 … Sunday→6
+    (Thu=0+3=3 ✓) with no calendar API, no locale first-day-of-week
+    trap (Spark dayofweek is Sunday=1, DuckDB's is locale-stable but
+    differently numbered — neither is used). One map-side-combined aggregation to ≤168 rows;
     at 100 TB the cheapest shape there is."""
     e = (
         load_table(spark, sf_dir, "events")
@@ -664,7 +664,7 @@ def q_ts_heatmap_dow_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         e.groupBy(
-            F.expr("(day + 4) % 7").alias("dow"),
+            F.expr("(day + 3) % 7").alias("dow"),
             F.col("hod").alias("hour_of_day"),
         )
         .agg(

@@ -515,15 +515,19 @@ class TestRound5bPlans:
         assert "BatchEvalPython" not in plan
 
     def test_triangles_no_cartesian(self, spark):
-        """All three triangle-closing joins are equi-joins on edge
-        endpoints — the only permitted products are the TWO
-        BroadcastNestedLoopJoins that staple the three single-row
-        summary aggregates together (1×1 by construction)."""
+        """Degree-oriented intersection counting: every data-bearing
+        join (bucket-cap, pair-gen, orientation, adjacency attach) is
+        an equi-join; the wedge stream must NOT materialize as rows —
+        the count comes from array_intersect over bounded out-neighbor
+        arrays — and the only permitted products are the
+        BroadcastNestedLoopJoins stapling the single-row summary
+        aggregates together (1×1 by construction)."""
         plan = plan_of(spark, "q_graph_triangles")
         assert "CartesianProduct" not in plan
-        assert plan.count("BroadcastNestedLoopJoin") == 2, plan
-        # the data-bearing joins (bucket-cap, pair-gen, path-close)
-        # must all be equi-joins
+        assert "array_intersect" in plan, plan
+        # no explode of wedge pairs anywhere — the Σ outdeg² stream
+        # stays inside the executor as array intersection
+        assert "Generate explode" not in plan, plan
         assert (
             plan.count("SortMergeJoin")
             + plan.count("ShuffledHashJoin")
