@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fact_hive_custom_spark.queries.registry import register
-from fact_hive_custom_spark.tables import load_table
+from fact_hive_custom_spark.tables import load_table, register_views
 
 
 @register(
@@ -299,3 +299,65 @@ def q_subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("c_mktsegment")
     )
+
+
+_Q21_SQL = """
+    WITH lf AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               (l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY) AS late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_suppkey IS NOT NULL
+          AND l.l_orderkey IS NOT NULL
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lf l1 ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (
+          SELECT 1 FROM lf l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lf l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.late
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+"""
+
+
+@register("q_tpch_q21", oracle=_Q21_SQL)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape): for
+    finished multi-supplier orders, count the late lines of suppliers
+    who were the ONLY late supplier on the order — the classic
+    blame-assignment query and the one decorrelation shape nothing
+    else in the inventory exercises: a correlated EXISTS and a
+    correlated NOT EXISTS against the SAME fact, each carrying a
+    non-equi (<>) correlated predicate.
+
+    The fixture has no l_commitdate/l_receiptdate, so "late" is
+    l_shipdate more than 75 days after o_orderdate — same per-line
+    boolean role, same subquery structure as the published query.
+
+    Physical strategy at 100 TB: both engines run the IDENTICAL SQL
+    text; Catalyst decorrelates the EXISTS into a LEFT SEMI and the
+    NOT EXISTS into a LEFT ANTI join, both keyed on l_orderkey with
+    the <> residual as the join condition. All three lf legs and both
+    rewritten joins key on the same l_orderkey, so the lf exchange is
+    built once and reused (ReuseExchange) — the plan pin in
+    tests/test_plans.py asserts both rewrites are present and the
+    l_orderkey exchange count stays minimal. The orderstatus filter
+    pushes into the orders scan, shrinking lf before any shuffle;
+    supplier is a dimension side (AQE broadcasts it); the final
+    top-100 is TakeOrderedAndProject. NULL l_suppkey/l_orderkey rows
+    are quarantined identically on both engines: under <> correlation
+    a NULL suppkey can never match, but a NULL orderkey would differ
+    between groupBy and equi-join handling (SURVEY §7.4)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)

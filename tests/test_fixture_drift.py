@@ -324,6 +324,7 @@ NULLABLE_ORD_QUERIES = [
     # round-5c/d orders consumers
     "q_tpch_q10",
     "q_tpch_q18",
+    "q_tpch_q21",
     "q_join_sort_merge",
     "q_profile_table",
     "q_pareto_deciles",
@@ -393,6 +394,7 @@ NULLABLE_LI_QUERIES = [
     "q_tpch_q6",
     "q_basket_lift",
     "q_agg_histogram2d",
+    "q_tpch_q21",
 ]
 
 

@@ -577,13 +577,43 @@ class TestRound5cPlans:
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan
 
-    def test_event_path_two_aggs_no_window(self, spark):
-        """Path building is agg-side array_sort — no per-user window
-        (which would re-sort the whole events history) and no joins."""
+    def test_event_path_bounded_state_no_join(self, spark):
+        """Per-user state is bounded BEFORE collection: a rank-5
+        window (running over the same user_id exchange the groupBy
+        needs — exactly one user_id exchange total) trims each user
+        to five events, so collect_list never gathers an unbounded
+        history. No joins anywhere."""
         plan = plan_of(spark, "q_event_path_topk")
         assert "Join" not in plan, plan
-        assert "Window" not in plan, plan
+        assert "Window" in plan, plan
+        user_ex = [
+            l
+            for l in plan.splitlines()
+            if "Exchange hashpartitioning(user_id" in l
+        ]
+        assert len(user_ex) == 1, plan
         assert "BatchEvalPython" not in plan
+
+    def test_tpch_q21_decorrelates_to_shared_semi_anti(self, spark):
+        """The correlated EXISTS / NOT EXISTS pair must decorrelate to
+        a LEFT SEMI and a LEFT ANTI join, both keyed on l_orderkey
+        with the <> correlation as a non-equi residual, stacked on the
+        SAME sorted fact leg — at most three l_orderkey exchanges (one
+        per lf leg), never a re-shuffle between the two rewrites. The
+        orderstatus filter reaches the orders scan and the top-100 is
+        a heap, not a global sort."""
+        plan = plan_of(spark, "q_tpch_q21")
+        assert "LeftSemi" in plan, plan
+        assert "LeftAnti" in plan, plan
+        ok_ex = [
+            l
+            for l in plan.splitlines()
+            if "Exchange hashpartitioning(l_orderkey" in l
+        ]
+        assert len(ok_ex) <= 3, plan
+        assert "EqualTo(o_orderstatus,F)" in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
 
     def test_bigram_lm_window_reuses_group_exchange(self, spark):
         """The P(w2|w1) denominator window partitions on a prefix of
