@@ -658,3 +658,80 @@ class TestRound5dPlans:
         plan = plan_of(spark, "q_llm_hybrid_rrf")
         assert "TakeOrderedAndProject" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestRound6Plans:
+    """Plan pins for the round-5d tail (round-6 VERDICT task 8): the
+    single-exchange / no-Python shapes these queries were designed
+    around, frozen so a regression fails CI while results stay green."""
+
+    def test_repeat_rate_two_narrow_shuffles_no_join(self, spark):
+        """Cohort month and lifetime count come from ONE per-customer
+        aggregation — no cohort⋈counts join; exactly two hash
+        exchanges (o_custkey, then cohort_month)."""
+        plan = plan_of(spark, "q_orders_repeat_rate")
+        assert "Join" not in plan, plan
+        hash_ex = [
+            l for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l and "Reused" not in l
+        ]
+        assert len(hash_ex) == 2, plan
+        assert "BatchEvalPython" not in plan
+
+    def test_profile_supplier_single_scan(self, spark):
+        """One wide aggregate + unpivot over supplier — never
+        |columns| scans, no joins, one SinglePartition reduce."""
+        plan = plan_of(spark, "q_profile_supplier")
+        assert plan.count("supplier.parquet") <= 2, plan
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange SinglePartition") == 1, plan
+        assert "BatchEvalPython" not in plan
+
+    def test_histogram2d_one_mapcombined_agg(self, spark):
+        """Band keys are computed IN the grouping expression: one
+        partial+final hash aggregate straight off the scan, zero
+        joins, one hash exchange."""
+        plan = plan_of(spark, "q_agg_histogram2d")
+        assert "Join" not in plan, plan
+        hash_ex = [
+            l for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l and "Reused" not in l
+        ]
+        assert len(hash_ex) == 1, plan
+        assert "partial_count" in plan or "partial" in plan.lower(), plan
+        assert "BatchEvalPython" not in plan
+
+    def test_mix_trend_window_over_tiny_frame(self, spark):
+        """The share window partitions by month over the already-
+        aggregated |months|×|priorities| frame — no joins, two hash
+        exchanges (group key, then month), exactly one Window."""
+        plan = plan_of(spark, "q_orders_mix_trend")
+        assert "Join" not in plan, plan
+        hash_ex = [
+            l for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l and "Reused" not in l
+        ]
+        assert len(hash_ex) == 2, plan
+        assert plan.count("Window") >= 1, plan
+        assert "BatchEvalPython" not in plan
+
+    def test_ts_impute_user_keyed_exchanges_only(self, spark):
+        """Gap-filling runs per user: every hash exchange keys on
+        user_id (never ts or value), the only join is the broadcast
+        mode attach, and all sequencing is window-side."""
+        plan = plan_of(spark, "q_ts_impute")
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                assert "user_id" in line, line
+        assert "BatchEvalPython" not in plan
+
+    def test_typicality_broadcast_model_no_wide_join(self, spark):
+        """The n-gram model attaches by BROADCAST onto the per-doc
+        term stream — a shuffled join on term would carry the corpus;
+        the corpus-size scalar is one SinglePartition reduce."""
+        plan = plan_of(spark, "q_llm_typicality")
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert plan.count("Exchange SinglePartition") >= 1, plan
+        assert "BatchEvalPython" not in plan
