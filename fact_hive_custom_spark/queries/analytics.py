@@ -1532,8 +1532,10 @@ def q_orders_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(CASE WHEN round(l_quantity) < 1 THEN -1
                      ELSE (CAST(round(l_quantity) AS BIGINT) - 1) // 5
                 END AS BIGINT) AS qty_band,
-           CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
-                // 2000000 AS BIGINT) AS price_band,
+           CAST(CASE WHEN round(l_extendedprice * 100) < 0 THEN -1
+                     ELSE CAST(round(l_extendedprice * 100) AS BIGINT)
+                          // 2000000
+                END AS BIGINT) AS price_band,
            COUNT(*) AS n_lines,
            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
                 AS BIGINT) AS total_cents
@@ -1553,10 +1555,11 @@ def q_agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed IN the grouping expression — one map-combined
     aggregation straight off the scan to a bounded grid (≤10×~25
     cells), the cheapest aggregate shape there is. Quantities that
-    round below 1 are routed to a -1 sentinel band BEFORE the division
-    on both engines (the q_ship_delay_hist rule): Spark DIV truncates
-    toward zero while DuckDB // floors, so a negative dividend would
-    land in different bands otherwise."""
+    round below 1 and prices that round below 0 are routed to -1
+    sentinel bands BEFORE the division on both engines (the
+    q_ship_delay_hist rule): Spark DIV truncates toward zero while
+    DuckDB // floors, so a negative dividend would land in different
+    bands otherwise."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
     )
@@ -1569,8 +1572,9 @@ def q_agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " END AS BIGINT)"
             ).alias("qty_band"),
             F.expr(
-                "CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
-                " DIV 2000000 AS BIGINT)"
+                "CAST(CASE WHEN round(l_extendedprice * 100) < 0 THEN -1"
+                " ELSE CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " DIV 2000000 END AS BIGINT)"
             ).alias("price_band_tmp"),
         )
         .agg(
