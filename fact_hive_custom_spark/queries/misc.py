@@ -462,3 +462,49 @@ def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "q_metrics_observe",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_e2
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_metrics_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline audit counters riding a report query — the engine's
+    metrics surface (fact_hive_custom_spark/metrics.py, reference
+    analogue: the empty `h-stats.sh:1` stats hook) exercised on a
+    registered query. `df.observe(Observation)` attaches accumulator
+    metrics (input rows, pre-aggregation revenue) that are collected
+    DURING the same action with zero extra passes — at 100 TB the
+    alternative ("count the input again") is a second full scan. The
+    observation is a side channel: the RESULT is the plain
+    status-filtered priority report, identical on both engines, so
+    the oracle checks it row-for-row; tests/test_metrics.py checks
+    the observed counters themselves."""
+    from fact_hive_custom_spark.metrics import observed
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    audited, _obs = observed(
+        o,
+        "q_metrics_observe_audit",
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_in_e2"),
+    )
+    return (
+        audited.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_e2"),
+        )
+        .orderBy("o_orderpriority")
+    )

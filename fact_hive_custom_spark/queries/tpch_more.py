@@ -361,3 +361,115 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     between groupBy and equi-join handling (SURVEY §7.4)."""
     register_views(spark, sf_dir)
     return spark.sql(_Q21_SQL)
+
+
+_Q17_SQL = """
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS small_rev_e2,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND p.p_size < 15
+      AND 5 * CAST(l.l_quantity AS BIGINT)
+              * (SELECT COUNT(*) FROM lineitem l2
+                 WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+             FROM lineitem l2
+             WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register("q_tpch_q17", oracle=_Q17_SQL)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): revenue from
+    lines of one brand's small parts whose quantity is below 20% of
+    that part's all-time average quantity — the correlated
+    SCALAR-AGGREGATE decorrelation family (Q21 covers correlated
+    EXISTS; nothing else in the inventory forces Catalyst through
+    ScalarSubquery → Aggregate-then-join rewriting).
+
+    The fixture part table has no p_container, so the inner predicate
+    pair is p_brand + p_size; the subquery structure is the published
+    one. The knife-edge is removed exactly, not approximately:
+    `qty < 0.2 * AVG(qty)` is compared as
+    `5 * qty * COUNT(*) < SUM(qty)` in BIGINT (quantities are
+    integral), so no float AVG ever crosses an engine boundary
+    (SURVEY §7.4 ROUND discipline; the q_llm_domain_mix incident).
+
+    Physical strategy at 100 TB: both engines run the IDENTICAL SQL;
+    Catalyst decorrelates each correlated aggregate into a
+    map-side-combined groupBy(l_partkey) over lineitem joined back on
+    l_partkey (RewriteCorrelatedScalarSubquery) — per-row
+    re-execution never happens; the exchanges carry (partkey, bigint)
+    partials, never line rows. The plan pin asserts the rewrite:
+    per-partkey HashAggregates feeding equi-joins, zero cartesian.
+    The brand/size filter reaches the part scan and `part`
+    broadcasts. At sf0.01 AQE broadcasts the aggregate legs too; on a
+    cluster their size crosses the threshold and the same plan
+    becomes a co-partitioned shuffle join on l_partkey — both legs
+    and the probe share one key, so one partitioning serves all.
+    Final single-row SUM is exact cents."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+_Q20_SQL = """
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT ps.l_suppkey
+        FROM (
+            SELECT l_suppkey, l_partkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS total_qty
+            FROM lineitem
+            WHERE l_suppkey IS NOT NULL
+            GROUP BY l_suppkey, l_partkey
+        ) ps
+        WHERE ps.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+        )
+        AND ps.total_qty >= 60
+        AND 2 * COALESCE(
+            (SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+             FROM lineitem l2
+             WHERE l2.l_partkey = ps.l_partkey
+               AND l2.l_suppkey = ps.l_suppkey
+               AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+               AND l2.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'),
+            0) > ps.total_qty
+    )
+    ORDER BY s.s_name, s.s_acctbal
+"""
+
+
+@register("q_tpch_q20", oracle=_Q20_SQL)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentrated-stock suppliers (TPC-H Q20 shape): suppliers with
+    a substantial 'small%'-part lane (≥60 units lifetime) where the
+    single year 1997 carried the MAJORITY of that lane's volume —
+    Q20's "availqty > half of one period's shipments" threshold
+    re-aimed at the fixture (no partsupp table, so ps_availqty is
+    replaced by the per-(supplier, part) all-time shipped total). The
+    published query's structure is kept exactly: IN-subquery →
+    IN-subquery → correlated scalar aggregate, with the correlation
+    on TWO keys (l_partkey AND l_suppkey) — the multi-key variant of
+    the Q17 decorrelation family. Selectivity is real, not vacuous:
+    37/100 suppliers qualify at sf0.01.
+
+    COALESCE(…, 0) pins the empty-subquery case (no 1997 shipments →
+    SUM is NULL) to the same kept-row semantics on both engines
+    rather than relying on NULL-comparison dropout (SURVEY §7.4).
+
+    Physical strategy at 100 TB: Catalyst decorrelates the scalar
+    SUM into a groupBy(l_partkey, l_suppkey) aggregate over the
+    1997-pruned lineitem (shipdate range reaches the parquet scan),
+    LEFT-joined to the outer per-(supplier, part) aggregate on the
+    SAME two keys — one key layout for both exchanges, so the join
+    co-locates. The part name-filter IN becomes a LeftSemi with a
+    broadcast dim side; the outer supplier IN is another LeftSemi on
+    a tiny distinct suppkey set. Exchanges carry (keys, bigint)
+    partials only — never line rows. All quantities exact BIGINT."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)

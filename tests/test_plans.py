@@ -735,3 +735,45 @@ class TestRound6Plans:
         assert "BroadcastHashJoin" in plan, plan
         assert plan.count("Exchange SinglePartition") >= 1, plan
         assert "BatchEvalPython" not in plan
+
+
+class TestRound8Plans:
+    def test_q17_scalar_agg_decorrelated(self, spark):
+        """Both correlated scalar aggregates must be REWRITTEN into
+        per-partkey HashAggregates joined back on l_partkey — never
+        per-outer-row re-execution (no remaining ScalarSubquery on
+        lineitem) and never a cartesian. The part filter reaches the
+        scan; all lineitem exchanges carry l_partkey partials."""
+        plan = plan_of(spark, "q_tpch_q17")
+        assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+        assert "Subquery" not in plan, plan  # fully decorrelated
+        # per-partkey aggregate legs exist and key their exchanges
+        part_ex = [
+            l
+            for l in plan.splitlines()
+            if "Exchange hashpartitioning(l_partkey" in l
+        ]
+        assert 1 <= len(part_ex) <= 2, plan
+        assert "EqualTo(p_brand,Brand#4)" in plan, plan
+        assert "LessThan(p_size,15)" in plan, plan
+
+    def test_q20_two_key_decorrelation_colocated(self, spark):
+        """The two-key correlated SUM must decorrelate into a
+        groupBy(l_partkey, l_suppkey) aggregate joined on the SAME
+        two keys as the outer aggregate (one key layout, co-located
+        at scale); the part-name IN and the supplier IN must both be
+        LeftSemi; the 1997 range must reach the lineitem scan."""
+        plan = plan_of(spark, "q_tpch_q20")
+        assert plan.count("LeftSemi") >= 3, plan
+        assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+        assert "Subquery" not in plan, plan
+        two_key_ex = [
+            l
+            for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l
+            and "l_partkey" in l
+            and "l_suppkey" in l
+        ]
+        assert len(two_key_ex) == 2, plan
+        assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+        assert "StartsWith(p_name,small)" in plan, plan
