@@ -77,17 +77,20 @@ def main() -> None:
 
     run("q_agg_flagship")  # JVM/codegen warmup, untimed
 
-    # Best of 2 runs per query: the first execution of a query pays
-    # one-off JIT/codegen-cache costs and is exposed to host-steal
-    # spikes (measured ~1.8× window drift, SCALING.md); the min
-    # measures the plan. Pass 1 runs every query once (so pass 2 is
-    # uniformly warm), then pass 2 re-times them.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        timings[name] = run(name)
-    for name in HEADLINE:
-        timings[name] = min(timings[name], run(name))
+    # THREE timed passes per query, reported as median + spread: the
+    # first execution pays one-off JIT/codegen-cache costs and the
+    # shared container shows ±20-30% host-steal drift (BASELINE.md),
+    # so a single-shot number makes cross-round deltas unfalsifiable.
+    # Median of [cold-ish, warm, warm] lands on a warm run but
+    # survives one spike; the per-query min/max spread is printed so
+    # noise is visible, not inferred. Pass 1 runs every query once
+    # (uniform warmth for passes 2-3).
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _pass in range(3):
+        for name in HEADLINE:
+            runs[name].append(run(name))
 
+    timings = {name: sorted(r)[1] for name, r in runs.items()}  # median of 3
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -96,6 +99,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "spread": {
+                    name: [min(r), max(r)] for name, r in runs.items()
+                },
+                "value_min": round(sum(min(r) for r in runs.values()), 3),
+                "value_max": round(sum(max(r) for r in runs.values()), 3),
                 "sf": float(sf),
             }
         )
