@@ -777,3 +777,105 @@ class TestRound8Plans:
         assert len(two_key_ex) == 2, plan
         assert "GreaterThanOrEqual(l_shipdate" in plan, plan
         assert "StartsWith(p_name,small)" in plan, plan
+
+
+def final_plan_of(spark, name: str) -> str:
+    """The EXECUTED, AQE-finalized plan (runtime reuse/demotions
+    visible) — runs the query once JVM-side, no driver transfer."""
+    df = QUERIES[name](spark, SF_DIR)
+    jqe = df._jdf.queryExecution()
+    jqe.executedPlan().execute().count()
+    return jqe.executedPlan().toString().split("== Initial Plan ==")[0]
+
+
+class TestRound8TpchPlans:
+    def test_q4_exists_semi_with_date_pushdown(self, spark):
+        """The correlated EXISTS must become a LeftSemi; the quarter
+        range must reach the orders scan so the probe side shrinks
+        before any exchange."""
+        plan = plan_of(spark, "q_tpch_q4")
+        assert "LeftSemi" in plan, plan
+        assert "Subquery" not in plan, plan
+        assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+        assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+    def test_q5_only_orderkey_exchanges(self, spark):
+        """Six-table chain: every dimension (customer, supplier,
+        nation, region) broadcasts — the only wide exchanges carry
+        the orderkey fact join. The nation-equality condition rides
+        the supplier broadcast join, never a shuffle."""
+        plan = plan_of(spark, "q_tpch_q5")
+        assert plan.count("BroadcastHashJoin") >= 4, plan
+        # permitted exchange keys: the fact orderkey join (wide at
+        # cluster scale; AQE broadcasts it at fixture scale) and the
+        # final n_name aggregate — never custkey/suppkey/nationkey
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                assert "orderkey" in line or "n_name" in line, line
+        assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+    def test_q7_shipdate_pushed_nations_broadcast(self, spark):
+        plan = plan_of(spark, "q_tpch_q7")
+        assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+        assert plan.count("BroadcastHashJoin") >= 3, plan
+        assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+    def test_q8_market_single_pass_share(self, spark):
+        """p_type prunes at the part scan; the share is CASE-summed in
+        ONE aggregate — no numerator⋈denominator join, so at most the
+        two fact exchanges appear."""
+        plan = plan_of(spark, "q_tpch_q8")
+        assert "EqualTo(p_type,PROMO)" in plan, plan
+        wide = [
+            l
+            for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l and "Reused" not in l
+        ]
+        assert len(wide) <= 2, plan
+        assert plan.count("BroadcastHashJoin") >= 6, plan
+        assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+    def test_q13_left_join_survives_zero_bucket(self, spark):
+        """The exclusion filter must stay ON the join (LeftOuter
+        preserved) — a post-join WHERE would drop the zero-order
+        customers the histogram exists to count."""
+        plan = plan_of(spark, "q_tpch_q13")
+        assert "LeftOuter" in plan, plan
+        assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+    def test_q15_revenue_view_computed_once(self, spark):
+        """The revenue view feeds both the scalar MAX and the final
+        join; the EXECUTED plan must serve both from one exchange
+        (AQE ReusedExchange) — computing a 100 TB aggregate twice is
+        the classic view-inlining regression."""
+        plan = final_plan_of(spark, "q_tpch_q15")
+        assert "ReusedExchange" in plan, plan
+        assert "BatchEvalPython" not in plan
+
+    def test_q19_disjunction_reaches_scan(self, spark):
+        """Catalyst must derive the quantity-only OR from the three
+        brand/size/quantity arms and push it into the lineitem scan —
+        no arm alone spans the filter, but their union constrains
+        l_quantity to [1,30] bandwise."""
+        plan = plan_of(spark, "q_tpch_q19")
+        li_scans = [
+            l
+            for l in plan.splitlines()
+            if "Scan parquet" in l or "FileScan parquet" in l
+        ]
+        assert any(
+            "l_quantity" in l and ("Or(" in l or " OR " in l) for l in li_scans
+        ), plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "BatchEvalPython" not in plan
+
+    def test_q22_anti_join_and_inlist_pushdown(self, spark):
+        """NOT EXISTS on recent orders → LeftAnti keyed on custkey;
+        the 6-nation IN-list must prune the customer scan; the two
+        exact-average scalars stay as one-row uncorrelated
+        subqueries (executed once, broadcast)."""
+        plan = plan_of(spark, "q_tpch_q22")
+        assert "LeftAnti" in plan, plan
+        assert "In(c_nationkey" in plan, plan
+        assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+        assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
