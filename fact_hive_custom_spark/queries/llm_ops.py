@@ -889,3 +889,140 @@ def q_llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_tokens",
         "max_tokens",
     )
+
+
+@register(
+    "q_llm_semdedup",
+    oracle=f"""
+    WITH emb AS ({EMB_CONTRACT_SQL}),
+    piv AS (
+        SELECT vec_id AS pivot_id, embedding AS pivot_vec
+        FROM emb ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.embedding, p.pivot_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                                CAST(e.embedding AS DOUBLE[]),
+                                CAST(p.pivot_vec AS DOUBLE[])), 6) DESC,
+                            p.pivot_id
+               ) AS rk
+        FROM emb e CROSS JOIN piv p
+    ),
+    cl AS (
+        SELECT vec_id, embedding, pivot_id AS cluster
+        FROM assigned WHERE rk = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS keeper, b.vec_id AS dropped,
+               ROUND(list_cosine_similarity(
+                         CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])), 6) AS c6
+        FROM cl a
+        JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    )
+    SELECT dropped AS dropped_id, MIN(keeper) AS keeper_id,
+           MAX(c6) AS best_cos6
+    FROM pairs WHERE c6 >= 0.35
+    GROUP BY dropped ORDER BY dropped_id
+    """,
+)
+def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv:
+    2303.09540): cluster the embedding space, then drop within each
+    cluster every vector that has a lower-id near-duplicate
+    (cosine ≥ τ; τ=0.35 calibrated to this near-random fixture —
+    production embeddings cluster tighter and use ~0.9). Emitted per
+    dropped vector: its lowest-id qualifying neighbor (audit pointer)
+    and the best within-cluster cosine. Survivors = ids absent from
+    the output, i.e. the lowest id of each duplicate group.
+
+    This is the scale path the exact q_llm_cosine_dedup oracles
+    cannot be at 100 TB: pairwise work is confined WITHIN clusters —
+    cost drops from O(n²) to Σ|cluster|², the clustering reuses the
+    IVF machinery (deterministic pivots, broadcast, argmax
+    assignment — operators/similarity.py), and missing cross-cluster
+    duplicates is the documented, bounded approximation the paper
+    accepts. Both engines compute the IDENTICAL rule (16 lowest-id
+    pivots, 6-dp rounded cosine, pivot-id tiebreak), so the oracle
+    checks it exactly.
+
+    Physical strategy at 100 TB: pivots broadcast as ONE array-of-
+    structs row (kB) and assignment is a genuinely map-side argmax —
+    an F.aggregate fold over the pivot array inside whole-stage
+    codegen, so the corpus reaches its cluster WITHOUT ever being
+    shuffled on vec_id (the naive crossJoin+groupBy assignment
+    shuffles the full corpus, embeddings included, once more than
+    needed). The corpus then shuffles ONCE on cluster id and the
+    per-cluster self-join runs co-partitioned — no pair ever crosses
+    an exchange. The fold-order of the cosine (zip_with +
+    left-to-right aggregate) matches the oracle bit-for-bit before
+    rounding (functions/vectors.py); fold ties keep the first
+    (lowest) pivot_id, the oracle's tiebreak."""
+    from fact_hive_custom_spark.functions.vectors import cosine
+
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    pivots = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("pivot_id"),
+            F.col("embedding").alias("pivot_vec"),
+        )
+    )
+    # one row holding the sorted pivot array: broadcast-joined 1×n, no
+    # row multiplication, no re-aggregation of the corpus
+    parr = pivots.agg(
+        F.sort_array(F.collect_list(F.struct("pivot_id", "pivot_vec"))).alias(
+            "pivs"
+        )
+    )
+
+    def _argmax(acc, p):
+        c6 = F.round(cosine(F.col("embedding"), p["pivot_vec"]), 6)
+        better = c6 > acc["best"]
+        return F.struct(
+            F.when(better, c6).otherwise(acc["best"]).alias("best"),
+            F.when(better, p["pivot_id"]).otherwise(acc["pid"]).alias("pid"),
+        )
+
+    assigned = (
+        emb.crossJoin(F.broadcast(parr))
+        .withColumn(
+            "acc",
+            F.aggregate(
+                "pivs",
+                F.struct(
+                    F.lit(-2.0).alias("best"),
+                    F.lit(None).cast("long").alias("pid"),
+                ),
+                _argmax,
+            ),
+        )
+        .select("vec_id", "embedding", F.col("acc.pid").alias("cluster"))
+    )
+    a = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("keeper"),
+        F.col("embedding").alias("vec_a"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("dropped"),
+        F.col("embedding").alias("vec_b"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("keeper") < F.col("dropped"))
+        .withColumn("c6", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("c6") >= 0.35)
+    )
+    return (
+        pairs.groupBy(F.col("dropped").alias("dropped_id"))
+        .agg(
+            F.min("keeper").alias("keeper_id"),
+            F.max("c6").alias("best_cos6"),
+        )
+        .orderBy("dropped_id")
+    )

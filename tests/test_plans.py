@@ -879,3 +879,21 @@ class TestRound8TpchPlans:
         assert "In(c_nationkey" in plan, plan
         assert "GreaterThanOrEqual(o_orderdate" in plan, plan
         assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+class TestSemDedupPlan:
+    def test_semdedup_assignment_is_map_side(self, spark):
+        """Cluster assignment must be the folded-pivot-array argmax:
+        the corpus is NEVER exchanged on vec_id (the naive
+        crossJoin+groupBy assignment re-shuffles the full corpus,
+        embeddings included); the one permitted nested-loop is the
+        1×n broadcast attach of the single pivot-array row; all math
+        stays in codegen."""
+        plan = plan_of(spark, "q_llm_semdedup")
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                assert "vec_id" not in line, line
+        # exactly two bounded 1×n attaches: the pivot-array row and
+        # the embedding contract's modal-dim scalar (tables.py)
+        assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
