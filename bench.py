@@ -58,6 +58,11 @@ HEADLINE = [
     # TakeOrdered candidate heaps regress visibly here
     "q_tpch_q10",
     "q_llm_hybrid_rrf",
+    # round-8: the correlated-scalar-aggregate decorrelation family
+    # and the cluster-scoped semantic dedup — the two newest plan
+    # shapes whose regressions should surface in BENCH directly
+    "q_tpch_q17",
+    "q_llm_semdedup",
 ]
 
 

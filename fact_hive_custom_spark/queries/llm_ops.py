@@ -959,8 +959,20 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exchange. The fold-order of the cosine (zip_with +
     left-to-right aggregate) matches the oracle bit-for-bit before
     rounding (functions/vectors.py); fold ties keep the first
-    (lowest) pivot_id, the oracle's tiebreak."""
-    from fact_hive_custom_spark.functions.vectors import cosine
+    (lowest) pivot_id, the oracle's tiebreak. Norms are computed once
+    per row before the pair join, so each pair costs ONE fold (the
+    dot product) — dot/(‖a‖·‖b‖) is the identical expression tree to
+    cosine(), so the 6-dp values are bit-equal.
+
+    Known trade-off (SCALING.md §known-trade-offs): the per-pair fold
+    here is a HigherOrderFunction — CodegenFallback, ~40 µs/pair —
+    chosen because its left-to-right order is bit-identical to the
+    DuckDB oracle. In production the within-cluster scoring hands off
+    to the same pivot-blocked Arrow/BLAS matmul kernel as
+    cosine_pairs (operators/similarity.py:167, measured 653 s → 8 s),
+    whose reordered summation is numerically equivalent at any real
+    dedup threshold but not bit-pinned at the 6-dp rounding edge."""
+    from fact_hive_custom_spark.functions.vectors import cosine, dot, norm
 
     emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     pivots = (
@@ -1000,22 +1012,34 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _argmax,
             ),
         )
-        .select("vec_id", "embedding", F.col("acc.pid").alias("cluster"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("acc.pid").alias("cluster"),
+            # norm once per ROW here, not three folds per PAIR below —
+            # the pair join is the O(Σ|cluster|²) hot loop
+            norm(F.col("embedding")).alias("nrm"),
+        )
     )
     a = assigned.select(
         F.col("cluster"),
         F.col("vec_id").alias("keeper"),
         F.col("embedding").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = assigned.select(
         F.col("cluster"),
         F.col("vec_id").alias("dropped"),
         F.col("embedding").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    c6_pair = F.round(
+        dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
     )
     pairs = (
         a.join(b, "cluster")
         .filter(F.col("keeper") < F.col("dropped"))
-        .withColumn("c6", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .withColumn("c6", c6_pair)
         .filter(F.col("c6") >= 0.35)
     )
     return (
