@@ -191,10 +191,13 @@ class MetricsListener:
 
     def __init__(self) -> None:
         self.records: list[QueryRecord] = []
+        self.active = True
 
     # -- QueryExecutionListener interface (called from the JVM) --
 
     def onSuccess(self, funcName: str, qe: Any, durationNs: int) -> None:
+        if not self.active:
+            return
         try:
             summary = _summarize(plan_metrics(qe))
         except Exception:
@@ -204,6 +207,8 @@ class MetricsListener:
         )
 
     def onFailure(self, funcName: str, qe: Any, exception: Any) -> None:
+        if not self.active:
+            return
         self.records.append(
             QueryRecord(str(funcName), 0.0, {}, error=str(exception))
         )
@@ -226,4 +231,16 @@ def install_listener(spark: SparkSession) -> MetricsListener:
 
 
 def uninstall_listener(spark: SparkSession, listener: MetricsListener) -> None:
+    """Stop the listener recording.
+
+    Muting is Python-side by design: Spark's ListenerBus removes
+    listeners by REFERENCE equality (`_ eq listener`), and py4j mints
+    a fresh Java proxy on every conversion of a Python callback — the
+    unregister proxy can never be `eq` to the registered one, so a
+    JVM-side unregister of a Python QueryExecutionListener is
+    structurally unreachable. The dormant proxy costs one no-op
+    callback per action until the session ends; `active = False`
+    guarantees no further records regardless."""
+    listener.active = False
+    # harmless if it ever starts matching (future Spark/py4j versions)
     spark._jsparkSession.listenerManager().unregister(listener)

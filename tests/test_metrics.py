@@ -87,3 +87,33 @@ class TestQueryExecutionListener:
             assert rec.summary.get("rows_scanned", 0) > 0, rec
         finally:
             metrics.uninstall_listener(spark, listener)
+
+    def test_listener_records_failures_and_uninstalls(self, spark):
+        """A failing action must surface as a QueryRecord with its
+        error; after uninstall the listener must stop recording."""
+        from pyspark.sql import functions as F
+
+        listener = metrics.install_listener(spark)
+        try:
+            bad = spark.range(4).select(
+                F.raise_error(F.lit("boom")).alias("x")
+            )
+            try:
+                bad.collect()
+            except Exception:
+                pass
+            deadline = time.time() + 30
+            while (
+                not any(r.error for r in listener.records)
+                and time.time() < deadline
+            ):
+                time.sleep(0.2)
+            assert any(
+                r.error and "boom" in r.error for r in listener.records
+            ), listener.records
+        finally:
+            metrics.uninstall_listener(spark, listener)
+        n = len(listener.records)
+        spark.range(3).collect()
+        time.sleep(2)
+        assert len(listener.records) == n, "listener fired after uninstall"
