@@ -897,7 +897,7 @@ def q_llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH emb AS ({EMB_CONTRACT_SQL}),
     piv AS (
         SELECT vec_id AS pivot_id, embedding AS pivot_vec
-        FROM emb ORDER BY vec_id LIMIT 16
+        FROM emb ORDER BY vec_id LIMIT 32
     ),
     assigned AS (
         SELECT e.vec_id, e.embedding, p.pivot_id,
@@ -936,7 +936,10 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     production embeddings cluster tighter and use ~0.9). Emitted per
     dropped vector: its lowest-id qualifying neighbor (audit pointer)
     and the best within-cluster cosine. Survivors = ids absent from
-    the output, i.e. the lowest id of each duplicate group.
+    the output, i.e. the lowest id of each duplicate group. 32
+    clusters at fixture scale (the paper's regime is |corpus|/avg-
+    cluster-size clusters; the dial shifts work between the O(P)
+    assignment fold and the O(Σ|cluster|²) pair stage).
 
     This is the scale path the exact q_llm_cosine_dedup oracles
     cannot be at 100 TB: pairwise work is confined WITHIN clusters —
@@ -977,7 +980,7 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     pivots = (
         emb.orderBy("vec_id")
-        .limit(16)
+        .limit(32)
         .select(
             F.col("vec_id").alias("pivot_id"),
             F.col("embedding").alias("pivot_vec"),
