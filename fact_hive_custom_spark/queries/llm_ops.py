@@ -981,10 +981,17 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # norm once per ROW up front: the assignment fold and the pair
     # join both consume it — nesting norm's fold inside the pivot
-    # fold was measured 2.7× slower (nested HOFs evaluate interpreted)
+    # fold was measured 2.7× slower (nested HOFs evaluate interpreted).
+    # Round-robin repartition first: the fixture corpus is ONE parquet
+    # file → one scan partition → the per-row assignment fold runs
+    # serial (measured: it, not the pair join, dominated sf1.0). At
+    # 100 TB the corpus arrives in thousands of files and this is a
+    # no-op-sized safety; RoundRobin, not hash — the pin forbids
+    # shuffling the corpus on vec_id.
     emb = (
         load_embeddings(spark, sf_dir)
         .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("nrm", norm(F.col("embedding")))
     )
     pivots = (
@@ -1032,14 +1039,24 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "embedding", "nrm", F.col("acc.pid").alias("cluster"))
     )
+    # Pair-stage parallelism: a plain join on `cluster` has only 32
+    # distinct keys, so at most 32 tasks score Σ|cluster|² pairs
+    # (measured 48 s at sf1.0). Salt the keeper side into S
+    # deterministic sub-buckets and replicate the other side S× —
+    # each (a, b) pair still meets exactly once, at bucket h(a), but
+    # 32·S keys keep every core busy. S bounds the extra shuffle
+    # volume (the replicated side) and buys wall-clock linearly.
+    salt = 16
     a = assigned.select(
         F.col("cluster"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(salt)).alias("bkt"),
         F.col("vec_id").alias("keeper"),
         F.col("embedding").alias("vec_a"),
         F.col("nrm").alias("nrm_a"),
     )
     b = assigned.select(
         F.col("cluster"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("bkt"),
         F.col("vec_id").alias("dropped"),
         F.col("embedding").alias("vec_b"),
         F.col("nrm").alias("nrm_b"),
@@ -1048,7 +1065,7 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
     )
     pairs = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "bkt"])
         .filter(F.col("keeper") < F.col("dropped"))
         .withColumn("c6", c6_pair)
         .filter(F.col("c6") >= 0.35)
