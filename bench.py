@@ -63,6 +63,11 @@ HEADLINE = [
     # shapes whose regressions should surface in BENCH directly
     "q_tpch_q17",
     "q_llm_semdedup",
+    # round-8b: vocab-first BPE merge induction — the two-stage
+    # aggregation order (corpus→vocab→pairs) is the plan property
+    # under watch; a regression that re-explodes the corpus for pair
+    # counting would show here as a step change
+    "q_llm_bpe_pairs",
 ]
 
 

@@ -860,3 +860,227 @@ def q_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_e6"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@register(
+    "q_llm_bpe_pairs",
+    oracle="""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL
+    ),
+    wf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wf
+        FROM w WHERE length(word) >= 2 GROUP BY word
+    ),
+    p AS (
+        SELECT substr(word, CAST(unnest(generate_series(1, length(word) - 1))
+                            AS INT), 2) AS pair,
+               wf
+        FROM wf
+    ),
+    agg AS (
+        SELECT pair, CAST(SUM(wf) AS BIGINT) AS pair_count
+        FROM p GROUP BY pair
+    )
+    SELECT pair,
+           substr(pair, 1, 1) AS left_sym,
+           substr(pair, 2, 1) AS right_sym,
+           pair_count,
+           CAST(row_number() OVER (ORDER BY pair_count DESC, pair)
+                AS BIGINT) AS merge_rank
+    FROM agg
+    QUALIFY merge_rank <= 20
+    ORDER BY merge_rank
+    """,
+)
+def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge induction, round one: the 20 most
+    frequent adjacent character pairs weighted by word frequency — the
+    statistic a BPE/WordPiece tokenizer trainer computes to pick its
+    next merge (Sennrich et al. 2016's counting step, re-expressed as
+    two aggregations).
+
+    The scale trick is the order of aggregation: the corpus collapses
+    to its WORD-FREQUENCY table first (one token explode + groupBy —
+    the same shuffle q_llm_heavy_hitters pays), and pair extraction
+    then runs over |vocab| rows, not |corpus| tokens. At 100 TB the
+    vocab is ~1e7 rows regardless of corpus size, so every later BPE
+    round is constant-cost — this is why real tokenizer trainers
+    precompute word counts. The pair space itself is ≤|charset|², so
+    the final ranking window is over a broadcast-sized relation; the
+    sequence() guard (length ≥ 2) matters because Spark's
+    sequence(1, 0) yields a DESCENDING [1, 0], not an empty array.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wf = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wf"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "wf",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("wf").cast("bigint").alias("pair_count"))
+    ranked = agg.select(
+        "pair",
+        F.substring("pair", 1, 1).alias("left_sym"),
+        F.substring("pair", 2, 1).alias("right_sym"),
+        "pair_count",
+        F.row_number()
+        .over(Window.orderBy(F.desc("pair_count"), F.asc("pair")))
+        .cast("bigint")
+        .alias("merge_rank"),
+    )
+    return ranked.filter(F.col("merge_rank") <= 20).orderBy("merge_rank")
+
+
+# Deterministic noisy-URL builder shared by the Spark and oracle sides
+# of q_llm_url_canonical: four crawl-noise variants keyed on the
+# 40-block index (doc_id DIV 40) % 4 — NOT doc_id % 4, which is fully
+# determined by the page identity doc_id % 40 (40 ≡ 0 mod 4) and would
+# give every page a single variant, making the collapse vacuous —
+# variants: uppercase host + explicit default port / trailing slash +
+# utm prefix param / utm suffix param + fragment, all resolving to the
+# same page identity doc_id % 40, so canonicalization provably
+# collapses 4 raw forms per page (asserted in tests).
+_URL_VARIANT_SQL = """
+    CASE CAST((doc_id {div} 40) % 4 AS INT)
+        WHEN 1 THEN 'HTTPS://Corpus.Example:443/p/' || CAST(doc_id % 40 AS {i})
+                    || '?id=' || CAST(doc_id % 40 AS {i})
+        WHEN 2 THEN 'https://corpus.example/p/' || CAST(doc_id % 40 AS {i})
+                    || '/?utm_source=feed&id=' || CAST(doc_id % 40 AS {i})
+        WHEN 3 THEN 'https://corpus.example/p/' || CAST(doc_id % 40 AS {i})
+                    || '?id=' || CAST(doc_id % 40 AS {i}) || '&utm_campaign=x#frag'
+        ELSE 'https://corpus.example/p/' || CAST(doc_id % 40 AS {i})
+             || '?id=' || CAST(doc_id % 40 AS {i})
+    END
+"""
+
+
+@register(
+    "q_llm_url_canonical",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_URL_VARIANT_SQL.format(i="VARCHAR", div="//")} AS url
+        FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag
+        FROM raw
+    ),
+    s2 AS (
+        SELECT doc_id, url,
+               regexp_replace(
+                   regexp_replace(
+                       lower(regexp_extract(nofrag, '^[a-zA-Z]+://[^/?]*', 0)),
+                       ':443$', ''),
+                   '^http://(.*)$', 'https://\\1') AS schemehost,
+               regexp_replace(
+                   regexp_extract(regexp_replace(nofrag, '^[a-zA-Z]+://[^/?]*', ''),
+                                  '^[^?]*', 0),
+                   '/+$', '') AS path,
+               CASE WHEN contains(nofrag, '?')
+                    THEN regexp_extract(nofrag, '\\?(.*)$', 1) ELSE '' END AS q
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id, url,
+               schemehost
+               || (CASE WHEN path = '' THEN '/' ELSE path END)
+               || (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS canonical_url
+        FROM (
+            SELECT doc_id, url, schemehost, path,
+                   array_to_string(
+                       list_sort(list_filter(string_split(q, '&'),
+                                 x -> x <> '' AND NOT starts_with(x, 'utm_'))),
+                       '&') AS cq
+            FROM s2
+        )
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+           MIN(doc_id) AS keep_doc
+    FROM s3
+    GROUP BY canonical_url
+    """,
+)
+def q_llm_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the first dedup a web-crawl pipeline runs,
+    BEFORE any content hashing: strip the fragment, lowercase
+    scheme+host, drop the default port, upgrade http→https, strip
+    trailing slashes, drop utm_* tracking params, and sort the
+    surviving query params; then group by the canonical form. URLs are
+    built deterministically from doc_id (four noise variants that
+    provably collapse 4→1) so both engines canonicalize identical
+    strings — the capability under test is the normalization chain and
+    the dedup shape, not a fetcher.
+
+    At 100 TB: canonicalization is a map-only regex/array chain fused
+    into the scan (zero exchanges until the groupBy), and the dedup
+    shuffles only the canonical-URL hash — the same
+    narrow-exchange posture as q_llm_exact_dedup. Param sorting uses
+    array_sort/list_sort (both engines sort strings bytewise), so the
+    canonical form is order-stable across crawlers that emit params in
+    different orders."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id", F.expr(_URL_VARIANT_SQL.format(i="STRING", div="DIV")).alias("url")
+    )
+    s1 = raw.withColumn("nofrag", F.regexp_replace("url", "#.*$", ""))
+    s2 = s1.select(
+        "doc_id",
+        "url",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.regexp_extract("nofrag", "^[a-zA-Z]+://[^/?]*", 0)),
+                ":443$",
+                "",
+            ),
+            "^http://(.*)$",
+            "https://$1",
+        ).alias("schemehost"),
+        F.regexp_replace(
+            F.regexp_extract(
+                F.regexp_replace("nofrag", "^[a-zA-Z]+://[^/?]*", ""),
+                "^[^?]*",
+                0,
+            ),
+            "/+$",
+            "",
+        ).alias("path"),
+        F.when(
+            F.col("nofrag").contains("?"),
+            F.regexp_extract("nofrag", "\\?(.*)$", 1),
+        )
+        .otherwise(F.lit(""))
+        .alias("q"),
+    )
+    s3 = s2.select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.col("schemehost"),
+            F.when(F.col("path") == "", F.lit("/")).otherwise(F.col("path")),
+            F.expr(
+                "CASE WHEN array_join(array_sort(filter(split(q, '&'),"
+                " x -> x <> '' AND NOT startswith(x, 'utm_'))), '&') <> ''"
+                " THEN '?' || array_join(array_sort(filter(split(q, '&'),"
+                " x -> x <> '' AND NOT startswith(x, 'utm_'))), '&')"
+                " ELSE '' END"
+            ),
+        ).alias("canonical_url"),
+    )
+    return s3.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        F.countDistinct("url").cast("bigint").alias("n_raw_forms"),
+        F.min("doc_id").alias("keep_doc"),
+    )

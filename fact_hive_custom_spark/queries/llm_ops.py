@@ -1078,3 +1078,76 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dropped_id")
     )
+
+
+@register(
+    "q_llm_dedup_eval",
+    oracle=f"""
+    WITH exact AS ({_exact_jaccard_oracle(None)})
+    SELECT CAST(COUNT(*) AS BIGINT) AS tp,
+           CAST(0 AS BIGINT) AS fp,
+           CAST(0 AS BIGINT) AS fn,
+           CAST(1000000 AS BIGINT) AS precision_ppm,
+           CAST(1000000 AS BIGINT) AS recall_ppm
+    FROM exact
+    """,
+)
+def q_llm_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation: confusion counts and precision/recall
+    (integer ppm) of the MinHash-LSH near-dedup against the exact
+    Jaccard pair set — the governance query a pipeline owner runs
+    before trusting an approximate dedup at 100 TB (CCNet/RefinedWeb
+    publish exactly this table for their MinHash configs).
+
+    Spark computes BOTH sides honestly (exact pairs via the capped-free
+    shingle self-join, predicted pairs via banding + verification) and
+    full-outer-joins them; the oracle pins the EXPECTED verdict — fp=0
+    structurally (every LSH candidate is exact-verified before emission)
+    and fn=0 because r=3×b=8 banding has measured recall 1.0 on these
+    fixtures (the same contract q_llm_minhash_lsh's oracle already
+    certifies; a banding miss would fail BOTH queries' gates, which is
+    the point — this query is the one that would localize it to recall).
+
+    Scale: the truth side is the O(candidate²) exact join — affordable
+    here because evaluation runs on a SAMPLE in production (the
+    standard practice this query models); the prediction side is the
+    production-shape LSH plan. The final confusion matrix is a 1-row
+    aggregate: nothing wide ever reaches the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = jaccard_pairs(docs, threshold=0.8, k=3, max_doc_freq=None).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
+    )
+    pred = minhash_lsh_pairs(
+        docs, threshold=0.8, k=3, rows_per_band=3, num_bands=8
+    ).select("doc_a", "doc_b", F.lit(1).alias("p"))
+    j = truth.join(pred, ["doc_a", "doc_b"], "full_outer")
+    m = j.agg(
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("p").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("t").isNull() & F.col("p").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(F.col("t").isNotNull() & F.col("p").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CASE WHEN tp + fp > 0 THEN (tp * 1000000) DIV (tp + fp)"
+            " ELSE 1000000 END"
+        )
+        .cast("bigint")
+        .alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN tp + fn > 0 THEN (tp * 1000000) DIV (tp + fn)"
+            " ELSE 1000000 END"
+        )
+        .cast("bigint")
+        .alias("recall_ppm"),
+    )

@@ -647,3 +647,151 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("r", "f", "m")
     )
+
+
+@register(
+    "q_stat_ttest_welch",
+    oracle="""
+    WITH p AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx
+        FROM p GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.n AS na, b.n AS nb,
+               a.sx AS sxa, b.sx AS sxb,
+               a.sxx AS sxxa, b.sxx AS sxxb
+        FROM m a JOIN m b ON a.event_type < b.event_type
+        WHERE a.n >= 2 AND b.n >= 2
+    ),
+    r AS (
+        SELECT type_a, type_b, na, nb, sxa, sxb,
+               ((sxa * nb - sxb * na) * (sxa * nb - sxb * na))
+                   // 1000000000000 AS red2,
+               (nb * nb * (na * sxxa - sxa * sxa) * (nb - 1)
+                + na * na * (nb * sxxb - sxb * sxb) * (na - 1))
+                   // 100000000000000000 AS dred,
+               CASE WHEN sxa * nb - sxb * na >= 0 THEN 1 ELSE -1 END AS sgn
+        FROM pairs
+    )
+    SELECT type_a, type_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST((sxa * 10) // na AS BIGINT) AS mean_a_milli,
+           CAST((sxb * 10) // nb AS BIGINT) AS mean_b_milli,
+           CAST(CASE WHEN dred > 0
+                THEN (red2 * (na - 1) * (nb - 1) * 10) // dred
+                ELSE NULL END AS BIGINT) AS t2_ppm,
+           CAST(sgn AS BIGINT) AS t_sign,
+           CAST(CASE WHEN dred > 0
+                     AND (red2 * (na - 1) * (nb - 1) * 10) // dred
+                         > 3841459
+                THEN 1 ELSE 0 END AS BIGINT) AS signif_5pct
+    FROM r
+    ORDER BY type_a, type_b
+    """,
+)
+def q_stat_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test over every event-type pair — the A/B
+    significance staple ("does `click` carry a different mean value
+    than `view`?") — emitted as t² in integer ppm plus the sign of
+    (mean_a − mean_b), the q_agg_corr_exact discipline: no sqrt, no
+    float accumulation, bit-identical across engines.
+
+    Rational form (x in exact cents):
+        t² = (sxa·nb − sxb·na)²·(na−1)(nb−1)
+             / [nb²(na·sxxa − sxa²)(nb−1) + na²(nb·sxxb − sxb²)(na−1)]
+    Overflow budget (worst bound: n≤2e5/type, x≤6e4 cents): the
+    squared difference (≤5e30) and the denominator (≤1.4e35) both fit
+    DECIMAL(38,0)/HUGEINT, but neither survives the final product
+    un-scaled, so the SQUARE is truncated DIV 1e12 and the denominator
+    DIV 1e17 — truncating after squaring keeps relative error ≤1e-4 at
+    sf0.01 (truncating the difference before squaring, the first cut,
+    lost 1.5%). Divisors are sized so every DIV RESULT also fits
+    int64, because Spark's integral division on DECIMAL returns BIGINT
+    and silently wraps past 9.2e18 (verified on 4.1: 1e28 DIV 1e3 →
+    negative long). Identical fixed divisors on both engines, so the
+    shaved precision cancels in the comparison; they are the knob to
+    re-size for ≥1e7 rows per group. The 5%-level
+    flag uses the z² critical value 1.959964²·1e6 = 3841459 (valid for
+    the n ≥ 1000 groups here; Welch df ≫ 100 makes the normal
+    approximation exact to 4 decimals — df itself stays internal, the
+    same reason corr_exact emits r²·sign, not r).
+
+    Plan: ONE map-side-combined aggregation (3 integer moments per
+    event_type) then an O(types²) self-join on the tiny moment table —
+    at 100 TB the only exchange is 5 rows of 3 integers; the pairwise
+    test matrix is driver-free and broadcast-sized."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    m = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+    )
+    a = m.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("sx").alias("sxa"),
+        F.col("sxx").alias("sxxa"),
+    ).filter(F.col("na") >= 2)
+    b = m.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("sx").alias("sxb"),
+        F.col("sxx").alias("sxxb"),
+    ).filter(F.col("nb") >= 2)
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    r = pairs.select(
+        "type_a",
+        "type_b",
+        "na",
+        "nb",
+        "sxa",
+        "sxb",
+        F.expr(
+            "((sxa * nb - sxb * na) * (sxa * nb - sxb * na))"
+            " DIV 1000000000000"
+        ).alias("red2"),
+        F.expr(
+            "(nb * nb * (na * sxxa - sxa * sxa) * (nb - 1)"
+            " + na * na * (nb * sxxb - sxb * sxb) * (na - 1))"
+            " DIV 100000000000000000"
+        ).alias("dred"),
+        F.expr(
+            "CASE WHEN sxa * nb - sxb * na >= 0 THEN 1 ELSE -1 END"
+        ).alias("sgn"),
+    )
+    t2 = F.expr(
+        "CASE WHEN dred > 0 THEN"
+        " (red2 * (na - 1) * (nb - 1) * 10) DIV dred"
+        " ELSE NULL END"
+    )
+    return r.select(
+        "type_a",
+        "type_b",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.expr("(sxa * 10) DIV na").cast("bigint").alias("mean_a_milli"),
+        F.expr("(sxb * 10) DIV nb").cast("bigint").alias("mean_b_milli"),
+        t2.cast("bigint").alias("t2_ppm"),
+        F.col("sgn").cast("bigint").alias("t_sign"),
+        F.when(t2.isNotNull() & (t2 > 3841459), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("signif_5pct"),
+    ).orderBy("type_a", "type_b")

@@ -776,3 +776,71 @@ class TestCompaction:
             spark.read.parquet(out).count()
             == spark.read.parquet(frag).count()
         )
+
+
+class TestRound8bOperators:
+    def test_welch_t2_matches_float_formula(self, spark):
+        """The integer-ppm t² must track the textbook float Welch
+        statistic to ≤0.1% (cents quantization + fixed-divisor
+        truncation) for a well-separated pair."""
+        import duckdb
+
+        from fact_hive_custom_spark.queries import QUERIES
+
+        row = (
+            QUERIES["q_stat_ttest_welch"](spark, SF_DIR)
+            .filter("type_a = 'click' AND type_b = 'purchase'")
+            .collect()[0]
+        )
+        t = duckdb.sql(
+            f"""
+            WITH e AS (SELECT event_type, value
+                       FROM '{SF_DIR}/events.parquet' WHERE value IS NOT NULL)
+            SELECT (a.m - b.m) / sqrt(a.v/a.n + b.v/b.n)
+            FROM (SELECT avg(value) m, var_samp(value) v, count(*) n
+                  FROM e WHERE event_type='click') a,
+                 (SELECT avg(value) m, var_samp(value) v, count(*) n
+                  FROM e WHERE event_type='purchase') b
+            """
+        ).fetchall()[0][0]
+        assert abs(row.t2_ppm / 1e6 - t * t) <= 0.001 * t * t
+        assert row.t_sign == (1 if t >= 0 else -1)
+
+    def test_bpe_rank_is_dense_and_positive(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_llm_bpe_pairs"](spark, SF_DIR).collect()
+        assert [r.merge_rank for r in rows] == list(range(1, 21))
+        counts = [r.pair_count for r in rows]
+        assert counts == sorted(counts, reverse=True)
+        assert all(len(r.pair) == 2 and r.pair[0] == r.left_sym for r in rows)
+
+    def test_url_canonicalization_collapses_all_four_noise_forms(self, spark):
+        """Every canonical URL at sf0.01 must absorb exactly the 4
+        deterministic raw variants — the collapse the canonicalizer
+        exists to perform (a regression to 1 form means the variant
+        keying went vacuous again; see the doc_id%4 trap in corpus.py)."""
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_llm_url_canonical"](spark, SF_DIR).collect()
+        assert len(rows) == 40
+        assert {r.n_raw_forms for r in rows} == {4}
+        assert all(
+            r.canonical_url.startswith("https://corpus.example/p/")
+            and "utm" not in r.canonical_url
+            and "#" not in r.canonical_url
+            and ":443" not in r.canonical_url
+            for r in rows
+        )
+
+    def test_dedup_eval_agrees_with_operator_ground_truth(self, spark):
+        from fact_hive_custom_spark.operators.dedup import jaccard_pairs
+        from fact_hive_custom_spark.queries import QUERIES
+        from fact_hive_custom_spark.tables import load_table
+
+        row = QUERIES["q_llm_dedup_eval"](spark, SF_DIR).collect()[0]
+        exact = jaccard_pairs(
+            load_table(spark, SF_DIR, "documents"), 0.8, max_doc_freq=None
+        ).count()
+        assert (row.tp, row.fp, row.fn) == (exact, 0, 0)
+        assert row.precision_ppm == row.recall_ppm == 1_000_000

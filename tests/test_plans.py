@@ -897,3 +897,70 @@ class TestSemDedupPlan:
         # the embedding contract's modal-dim scalar (tables.py)
         assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestRound8bPlans:
+    def test_ttest_one_moment_shuffle_then_tiny_matrix(self, spark):
+        """Welch t-test: the only wide work is ONE map-side-combined
+        moment aggregation per leg keyed on event_type; the pairwise
+        test matrix is a broadcast nested-loop over the ≤|types| moment
+        rows (non-equi type_a < type_b), never a cartesian of events;
+        all the DECIMAL(38,0) arithmetic stays in codegen."""
+        plan = plan_of(spark, "q_stat_ttest_welch")
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                assert "event_type" in line, line
+        assert "partial_sum" in plan, plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_bpe_pair_count_runs_over_vocab_not_corpus(self, spark):
+        """BPE merge induction: the corpus collapses to its word-
+        frequency table FIRST (exchange on word), and the adjacent-pair
+        explode+aggregate runs over |vocab| (exchange on pair) — the
+        two hash exchanges are the whole wide plan; the ranking window
+        sees only the ≤|charset|² aggregated pair relation."""
+        plan = plan_of(spark, "q_llm_bpe_pairs")
+        keys = [
+            line.split("hashpartitioning(")[1].split("#")[0]
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line and "Reused" not in line
+        ]
+        assert sorted(keys) == ["pair", "word"], keys
+        # the window's child must be the pair aggregate, not raw tokens
+        win = plan.split("Window ")[1]
+        assert "HashAggregate(keys=[pair" in win, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_url_canonicalization_is_map_only_until_dedup(self, spark):
+        """Canonical-URL dedup: the regex/array normalization chain is
+        fused into the scan stage (no exchange before the groupBy) and
+        every exchange carries the canonical key — the count(distinct
+        url) adds only the standard two-round distinct expansion keyed
+        on (canonical_url, url), never a join or a second scan."""
+        plan = plan_of(spark, "q_llm_url_canonical")
+        ex = [
+            line
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line and "Reused" not in line
+        ]
+        assert ex and all("canonical_url" in line for line in ex), plan
+        assert "Join" not in plan, plan
+        scans = [
+            line
+            for line in plan.splitlines()
+            if "Scan parquet" in line or "FileScan" in line
+        ]
+        assert len(scans) == 1, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_dedup_eval_confusion_matrix_stays_distributed(self, spark):
+        """Dedup evaluation: truth (exact Jaccard) and prediction
+        (LSH-verified) legs full-outer-join on the pair key and reduce
+        to ONE confusion row — no cartesian, no Python eval, no
+        driver-side set comparison."""
+        plan = plan_of(spark, "q_llm_dedup_eval")
+        assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
