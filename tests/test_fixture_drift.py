@@ -78,6 +78,10 @@ DOC_QUERIES = [
     "q_llm_dataset_card",
     "q_llm_curriculum",
     "q_llm_typicality",
+    # round-8b document consumers
+    "q_llm_bpe_pairs",
+    "q_llm_url_canonical",
+    "q_llm_dedup_eval",
 ]
 
 # Queries over the embeddings table (element/label dtype sensitive).
@@ -233,6 +237,7 @@ def test_reencoded_events_parity(spark, reencoded_events_dir, name):
 # keeps it; collect_list skips NULL values, DuckDB list() keeps them).
 # All now quarantine NULL ts/props/value identically on both engines.
 NULLABLE_EVT_QUERIES = [
+    "q_stat_ttest_welch",
     "q_fn_map",
     "q_fn_json",
     "q_event_transitions",
