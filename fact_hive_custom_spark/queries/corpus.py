@@ -1084,3 +1084,140 @@ def q_llm_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("url").cast("bigint").alias("n_raw_forms"),
         F.min("doc_id").alias("keep_doc"),
     )
+
+
+# q_llm_bpe_train: the iterative step q_llm_bpe_pairs only ranks.
+# Symbol sequences are encoded as '~~'-separated strings ('der' →
+# 'd~~e~~r'; the corpus is lowercase a-z, SURVEY §1.2, so '~' never
+# collides) because applying a merge then becomes ONE plain
+# replace(enc, a||'~~'||b, a||b) — and replace's leftmost-
+# non-overlapping scan IS the BPE merge rule ('e~~e~~e' + (e,e) →
+# 'ee~~e'), verified identical in Spark and DuckDB. A fold-based
+# array rewrite would need a struct-accumulator HOF Spark has but
+# DuckDB's list_reduce cannot express.
+_BPE_ORACLE_ROUND = """
+    p{r} AS (
+        SELECT list_extract(s, CAST(i AS INT)) AS a,
+               list_extract(s, CAST(i AS INT) + 1) AS b,
+               CAST(SUM(wf) AS BIGINT) AS pair_count
+        FROM (
+            SELECT string_split(enc, '~~') AS s, wf,
+                   unnest(generate_series(
+                       1, len(string_split(enc, '~~')) - 1)) AS i
+            FROM {src} WHERE len(string_split(enc, '~~')) >= 2
+        )
+        GROUP BY 1, 2
+    ),
+    m{r} AS (
+        SELECT a, b, pair_count FROM p{r}
+        QUALIFY row_number() OVER (ORDER BY pair_count DESC, a, b) = 1
+    ),
+    w{r} AS (
+        SELECT replace(enc, m{r}.a || '~~' || m{r}.b, m{r}.a || m{r}.b)
+                   AS enc,
+               wf
+        FROM {src}, m{r}
+    )"""
+
+
+@register(
+    "q_llm_bpe_train",
+    oracle=f"""
+    WITH w0 AS (
+        SELECT array_to_string(string_split(word, ''), '~~') AS enc,
+               CAST(COUNT(*) AS BIGINT) AS wf
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE text IS NOT NULL
+        ) WHERE word <> '' GROUP BY word
+    ),
+    {_BPE_ORACLE_ROUND.format(r=1, src="w0")},
+    {_BPE_ORACLE_ROUND.format(r=2, src="w1")},
+    {_BPE_ORACLE_ROUND.format(r=3, src="w2")}
+    SELECT CAST(1 AS BIGINT) AS merge_round, a AS merge_a, b AS merge_b,
+           pair_count FROM m1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), a, b, pair_count FROM m2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), a, b, pair_count FROM m3
+    ORDER BY merge_round
+    """,
+)
+def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, three full merge rounds: each round
+    counts adjacent symbol pairs over the word-frequency table, elects
+    the most frequent pair (count desc, then lexicographic — the
+    deterministic tie rule), APPLIES the merge to every word, and
+    recounts on the merged symbols — the actual Sennrich et al. loop,
+    not just its first statistic (q_llm_bpe_pairs).
+
+    The data-dependent merge choice never touches the driver: each
+    round's winner is a limit(1) TakeOrdered whose single row is
+    broadcast-cross-joined back onto the vocab so the replace() runs
+    distributed — the same 1×n attach shape as q_llm_semdedup's pivot
+    row. Rounds chain as one lazy plan; every stage after the initial
+    corpus→vocab collapse is O(|vocab|) (see SCALING.md §Round-8b), so
+    at 100 TB adding merge rounds adds constant-sized stages, not
+    corpus passes. The sequence(1, size-1) guard drops fully-merged
+    single-symbol words per round (Spark's sequence(1, 0) yields a
+    DESCENDING [1,0], not an empty array)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wf = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wf"))
+        .select(
+            F.expr("array_join(split(word, ''), '~~')").alias("enc"), "wf"
+        )
+        # Without the per-round persist the final 3-branch union is a
+        # TREE: round r's plan embeds every earlier round's argmax AND
+        # vocab-transform subtrees, so the corpus explode re-runs ~2^r
+        # times (measured 11.3 s at sf0.01). Persisting pins each
+        # round's |vocab|-sized table: one corpus pass, O(R) tiny
+        # vocab stages after it (0.9 s).
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    outs = []
+    for r in (1, 2, 3):
+        syms = wf.select("wf", F.split("enc", "~~").alias("s")).filter(
+            F.size("s") >= 2
+        )
+        pairs = syms.select(
+            "wf",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1),"
+                    " i -> struct(element_at(s, i) AS a,"
+                    " element_at(s, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(
+                F.col("p.a").alias("a"), F.col("p.b").alias("b")
+            )
+            .agg(F.sum("wf").cast("bigint").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "a", "b")
+            .limit(1)
+        )
+        outs.append(
+            best.select(
+                F.lit(r).cast("bigint").alias("merge_round"),
+                F.col("a").alias("merge_a"),
+                F.col("b").alias("merge_b"),
+                "pair_count",
+            )
+        )
+        wf = wf.crossJoin(
+            F.broadcast(
+                best.select(F.col("a").alias("ma"), F.col("b").alias("mb"))
+            )
+        ).select(
+            F.expr("replace(enc, ma || '~~' || mb, ma || mb)").alias("enc"),
+            "wf",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("merge_round")

@@ -80,6 +80,7 @@ DOC_QUERIES = [
     "q_llm_typicality",
     # round-8b document consumers
     "q_llm_bpe_pairs",
+    "q_llm_bpe_train",
     "q_llm_url_canonical",
     "q_llm_dedup_eval",
 ]

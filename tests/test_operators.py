@@ -844,3 +844,28 @@ class TestRound8bOperators:
         ).count()
         assert (row.tp, row.fp, row.fn) == (exact, 0, 0)
         assert row.precision_ppm == row.recall_ppm == 1_000_000
+
+    def test_bpe_train_first_merge_is_bpe_pairs_top_rank(self, spark):
+        """Round 1 of the trainer must elect exactly q_llm_bpe_pairs'
+        rank-1 pair (same counting, same tie rule); later rounds must
+        emit distinct merges with positive counts, and the leftmost-
+        non-overlapping replace semantics both engines rely on must
+        hold on the canonical overlap cases."""
+        from fact_hive_custom_spark.queries import QUERIES
+
+        train = QUERIES["q_llm_bpe_train"](spark, SF_DIR).collect()
+        top = QUERIES["q_llm_bpe_pairs"](spark, SF_DIR).collect()[0]
+        assert [r.merge_round for r in train] == [1, 2, 3]
+        assert (train[0].merge_a, train[0].merge_b, train[0].pair_count) == (
+            top.left_sym,
+            top.right_sym,
+            top.pair_count,
+        )
+        merges = {(r.merge_a, r.merge_b) for r in train}
+        assert len(merges) == 3
+        assert all(r.pair_count > 0 for r in train)
+        row = spark.sql(
+            "SELECT replace('e~~e~~e', 'e~~e', 'ee') AS a,"
+            " replace('a~~b~~a~~b~~a~~b', 'a~~b', 'ab') AS b"
+        ).collect()[0]
+        assert (row.a, row.b) == ("ee~~e", "ab~~ab~~ab")

@@ -964,3 +964,25 @@ class TestRound8bPlans:
         assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_bpe_train_iterates_on_vocab_without_driver_loop(self, spark):
+        """Iterative BPE: every exchange is keyed on word or the pair
+        grouping — the '~~'-encoded symbol strings never key a shuffle;
+        each data-dependent merge winner attaches as a 1-row broadcast
+        nested loop (no CartesianProduct, no collect-and-rebuild), the
+        argmax is a TakeOrdered heap (no global sort window), and the
+        per-round vocab tables are persisted (InMemoryTableScan) so the
+        3-branch union doesn't re-explode the corpus per round."""
+        plan = plan_of(spark, "q_llm_bpe_train")
+        keys = {
+            line.split("hashpartitioning(")[1].split("#")[0]
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line and "Reused" not in line
+        }
+        assert keys <= {"word", "_groupingexpression"}, keys
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "InMemoryTableScan" in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
