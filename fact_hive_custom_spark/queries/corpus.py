@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fact_hive_custom_spark.queries.registry import register
-from fact_hive_custom_spark.tables import EMB_CONTRACT_SQL, load_table
+from fact_hive_custom_spark.tables import (
+    EMB_CONTRACT_SQL,
+    load_embeddings,
+    load_table,
+)
 
 _CHUNK = 20  # tokens per chunk
 _STRIDE = 15  # tokens between chunk starts (overlap = _CHUNK - _STRIDE)
@@ -1221,3 +1225,166 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("merge_round")
+
+
+# q_llm_pq_codes constants: 64-dim contract → M=8 subspaces × 8 dims,
+# K=16 centroids per subspace (the 16 smallest vec_ids — deterministic
+# and SQL-expressible on both engines, unlike the hashed-pivot family
+# whose xxhash64 DuckDB cannot reproduce). Distances are computed on
+# int8-quantized components (global scale), so the argmin compares
+# EXACT integers — no float last-ulp ordering risk across engines.
+_PQ_M = 8
+_PQ_SUB = 8
+_PQ_K = 16
+
+
+@register(
+    "q_llm_pq_codes",
+    oracle=f"""
+    WITH emb AS ({{emb}}),
+    g AS (
+        SELECT max(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))))) AS gscale
+        FROM emb
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor((CAST(x AS DOUBLE) * 127) / gscale + 0.5)
+                        AS BIGINT)) AS qs
+        FROM emb, g WHERE gscale > 0
+    ),
+    cent AS (
+        SELECT vec_id AS cid, qs AS cqs FROM q
+        QUALIFY row_number() OVER (ORDER BY vec_id) <= {_PQ_K}
+    ),
+    sub AS (
+        SELECT vec_id, CAST(m AS BIGINT) AS m,
+               list_slice(qs, (CAST(m AS INT) - 1) * {_PQ_SUB} + 1,
+                          CAST(m AS INT) * {_PQ_SUB}) AS sv
+        FROM q, unnest(generate_series(1, {_PQ_M})) AS t(m)
+    ),
+    csub AS (
+        SELECT cid, CAST(m AS BIGINT) AS m,
+               list_slice(cqs, (CAST(m AS INT) - 1) * {_PQ_SUB} + 1,
+                          CAST(m AS INT) * {_PQ_SUB}) AS cv
+        FROM cent, unnest(generate_series(1, {_PQ_M})) AS t(m)
+    ),
+    d AS (
+        SELECT s.vec_id, s.m, c.cid,
+               CAST(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                   i -> (list_extract(s.sv, CAST(i AS INT))
+                         - list_extract(c.cv, CAST(i AS INT)))
+                        * (list_extract(s.sv, CAST(i AS INT))
+                           - list_extract(c.cv, CAST(i AS INT)))))
+                    AS BIGINT) AS dist
+        FROM sub s JOIN csub c USING (m)
+    ),
+    best AS (
+        SELECT vec_id, m,
+               arg_min(cid, dist * 10000000 + cid) AS code,
+               MIN(dist) AS min_dist
+        FROM d GROUP BY vec_id, m
+    )
+    SELECT vec_id,
+           {{codes}},
+           CAST(SUM(min_dist) AS BIGINT) AS distortion
+    FROM best GROUP BY vec_id
+    """.format(
+        emb=EMB_CONTRACT_SQL,
+        codes=",\n           ".join(
+            f"CAST(MAX(CASE WHEN m = {m} THEN code END) AS BIGINT)"
+            f" AS code_{m}"
+            for m in range(1, _PQ_M + 1)
+        ),
+    ),
+)
+def q_llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each 64-dim embedding compresses to 8
+    codebook indices (one per 8-dim subspace, 16 centroids each) plus
+    its total integer distortion — the memory layout ANN systems like
+    FAISS-IVFPQ serve from (64 floats → 8 codes ≈ 32× compression).
+
+    Determinism engineering: distances compare EXACT INTEGERS because
+    vectors are first int8-quantized with a single global scale (the
+    q_llm_embed_quantize floor(x·127/scale + 0.5) discipline — float
+    multiply/divide is the identical IEEE expression on both engines,
+    and everything after is integer); a float L2 argmin would be
+    engine-ordering-fragile in the last ulp. Centroids are the K=16
+    smallest vec_ids — deterministic AND oracle-expressible (the
+    hashed-pivot family used by IVF needs Spark's seeded xxhash64,
+    which DuckDB cannot evaluate); ties in the argmin break on the
+    composite dist·1e7 + cid, exact in int64.
+
+    Scale: the codebook is 16 rows — broadcast; the subspace explode
+    is 8× map-side; the per-(vector, subspace) argmin is a groupBy
+    over broadcast-join output that never shuffles the corpus (codes
+    pivot back with one exchange on vec_id). At 100 TB: scan-bound,
+    one narrow shuffle of 9 integers per vector."""
+    emb = load_embeddings(spark, sf_dir)
+    g = emb.agg(
+        F.max(
+            F.expr(
+                "array_max(transform(embedding,"
+                " x -> abs(cast(x as double))))"
+            )
+        ).alias("gscale")
+    )
+    q = (
+        emb.crossJoin(F.broadcast(g))
+        .filter(F.col("gscale") > 0)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> cast(floor("
+                "(cast(x as double) * 127) / gscale + 0.5) as bigint))"
+            ).alias("qs"),
+        )
+    )
+    cent = (
+        q.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("qs").alias("cqs"))
+    )
+    sub = q.select(
+        "vec_id",
+        F.explode(F.expr(f"sequence(1, {_PQ_M})")).alias("m"),
+        "qs",
+    ).select(
+        "vec_id",
+        F.col("m").cast("bigint").alias("m"),
+        F.expr(f"slice(qs, (m - 1) * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv"),
+    )
+    csub = cent.select(
+        "cid",
+        F.explode(F.expr(f"sequence(1, {_PQ_M})")).alias("m"),
+        "cqs",
+    ).select(
+        "cid",
+        F.col("m").cast("bigint").alias("m"),
+        F.expr(f"slice(cqs, (m - 1) * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv"),
+    )
+    d = sub.join(F.broadcast(csub), "m").select(
+        "vec_id",
+        "m",
+        "cid",
+        F.expr(
+            "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("dist"),
+    )
+    best = d.groupBy("vec_id", "m").agg(
+        F.min_by(F.col("cid"), F.col("dist") * 10000000 + F.col("cid")).alias(
+            "code"
+        ),
+        F.min("dist").alias("min_dist"),
+    )
+    code_cols = [
+        F.max(F.when(F.col("m") == m, F.col("code")))
+        .cast("bigint")
+        .alias(f"code_{m}")
+        for m in range(1, _PQ_M + 1)
+    ]
+    return best.groupBy("vec_id").agg(
+        *code_cols, F.sum("min_dist").cast("bigint").alias("distortion")
+    )

@@ -87,6 +87,7 @@ DOC_QUERIES = [
 
 # Queries over the embeddings table (element/label dtype sensitive).
 EMB_QUERIES = [
+    "q_llm_pq_codes",
     "q_llm_hard_negatives",
     "q_llm_embed_quantize",
     "q_llm_cosine_topk",

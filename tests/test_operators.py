@@ -869,3 +869,21 @@ class TestRound8bOperators:
             " replace('a~~b~~a~~b~~a~~b', 'a~~b', 'ab') AS b"
         ).collect()[0]
         assert (row.a, row.b) == ("ee~~e", "ab~~ab~~ab")
+
+    def test_pq_codes_centroids_self_code_and_distortion_bounds(self, spark):
+        """The 16 centroid vectors must PQ-encode to themselves with
+        zero distortion; every other vector gets codes drawn from the
+        centroid id set with positive distortion bounded by the int8
+        grid's worst case (8 subspaces × 8 dims × 254²)."""
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_llm_pq_codes"](spark, SF_DIR).collect()
+        cent_ids = set(range(16))
+        code_cols = [f"code_{m}" for m in range(1, 9)]
+        for r in rows:
+            codes = [r[c] for c in code_cols]
+            assert set(codes) <= cent_ids, r
+            if r.vec_id in cent_ids:
+                assert codes == [r.vec_id] * 8 and r.distortion == 0, r
+            else:
+                assert 0 < r.distortion <= 8 * 8 * 254 * 254, r

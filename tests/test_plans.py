@@ -986,3 +986,23 @@ class TestRound8bPlans:
         assert "InMemoryTableScan" in plan, plan
         assert "Exchange SinglePartition" not in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_pq_codebook_broadcasts_corpus_never_reshuffles_wide(self, spark):
+        """Product quantization: the 128-row codebook (16 centroids × 8
+        subspaces) joins as a BroadcastHashJoin — the corpus-side
+        subvector stream is never exchanged to meet it; hash exchanges
+        carry only vec_id (argmin + code pivot) and the embedding
+        contract's dim key; the only nested loops are the two bounded
+        1×n scalar attaches (global scale, modal dim); all distance
+        arithmetic is integer codegen, no Python."""
+        plan = plan_of(spark, "q_llm_pq_codes")
+        keys = {
+            line.split("hashpartitioning(")[1].split("#")[0]
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line and "Reused" not in line
+        }
+        assert keys <= {"vec_id", "dim"}, keys
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
