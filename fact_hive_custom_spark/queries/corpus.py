@@ -1227,21 +1227,21 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("merge_round")
 
 
-# q_llm_pq_codes constants: 64-dim contract → M=8 subspaces × 8 dims,
-# K=16 centroids per subspace (the 16 smallest vec_ids — deterministic
-# and SQL-expressible on both engines, unlike the hashed-pivot family
+# Product-quantization family (q_llm_pq_codes, q_llm_ivfpq_topk)
+# constants: 64-dim contract → M=8 subspaces × 8 dims, K=16 centroids
+# per subspace (the 16 smallest vec_ids — deterministic and
+# SQL-expressible on both engines, unlike the hashed-pivot family
 # whose xxhash64 DuckDB cannot reproduce). Distances are computed on
-# int8-quantized components (global scale), so the argmin compares
-# EXACT integers — no float last-ulp ordering risk across engines.
+# int8-quantized components (global scale), so every argmin/ranking
+# compares EXACT integers — no float last-ulp ordering risk.
 _PQ_M = 8
 _PQ_SUB = 8
 _PQ_K = 16
 
-
-@register(
-    "q_llm_pq_codes",
-    oracle=f"""
-    WITH emb AS ({{emb}}),
+# Shared oracle CTE chain: contract → global scale → int8 grid →
+# centroid table → subvector explodes → per-(vector, subspace,
+# centroid) integer L2² → per-(vector, subspace) argmin code.
+_PQ_CTE_PREFIX = f"""emb AS ({EMB_CONTRACT_SQL}),
     g AS (
         SELECT max(list_max(list_transform(embedding,
                    x -> abs(CAST(x AS DOUBLE))))) AS gscale
@@ -1285,43 +1285,14 @@ _PQ_K = 16
                arg_min(cid, dist * 10000000 + cid) AS code,
                MIN(dist) AS min_dist
         FROM d GROUP BY vec_id, m
-    )
-    SELECT vec_id,
-           {{codes}},
-           CAST(SUM(min_dist) AS BIGINT) AS distortion
-    FROM best GROUP BY vec_id
-    """.format(
-        emb=EMB_CONTRACT_SQL,
-        codes=",\n           ".join(
-            f"CAST(MAX(CASE WHEN m = {m} THEN code END) AS BIGINT)"
-            f" AS code_{m}"
-            for m in range(1, _PQ_M + 1)
-        ),
-    ),
-)
-def q_llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization: each 64-dim embedding compresses to 8
-    codebook indices (one per 8-dim subspace, 16 centroids each) plus
-    its total integer distortion — the memory layout ANN systems like
-    FAISS-IVFPQ serve from (64 floats → 8 codes ≈ 32× compression).
+    )"""
 
-    Determinism engineering: distances compare EXACT INTEGERS because
-    vectors are first int8-quantized with a single global scale (the
-    q_llm_embed_quantize floor(x·127/scale + 0.5) discipline — float
-    multiply/divide is the identical IEEE expression on both engines,
-    and everything after is integer); a float L2 argmin would be
-    engine-ordering-fragile in the last ulp. Centroids are the K=16
-    smallest vec_ids — deterministic AND oracle-expressible (the
-    hashed-pivot family used by IVF needs Spark's seeded xxhash64,
-    which DuckDB cannot evaluate); ties in the argmin break on the
-    composite dist·1e7 + cid, exact in int64.
 
-    Scale: the codebook is 16 rows — broadcast; the subspace explode
-    is 8× map-side; the per-(vector, subspace) argmin is a groupBy
-    over broadcast-join output that never shuffles the corpus (codes
-    pivot back with one exchange on vec_id). At 100 TB: scan-bound,
-    one narrow shuffle of 9 integers per vector."""
-    emb = load_embeddings(spark, sf_dir)
+def _pq_parts(emb: DataFrame):
+    """Spark-side PQ building blocks shared by q_llm_pq_codes and
+    q_llm_ivfpq_topk: returns (sub, csub, best) — the subvector
+    stream, the 128-row codebook, and the per-(vector, subspace)
+    argmin code relation. Mirrors _PQ_CTE_PREFIX stage for stage."""
     g = emb.agg(
         F.max(
             F.expr(
@@ -1379,6 +1350,48 @@ def q_llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("dist").alias("min_dist"),
     )
+    return sub, csub, best
+
+
+@register(
+    "q_llm_pq_codes",
+    oracle=f"""
+    WITH {_PQ_CTE_PREFIX}
+    SELECT vec_id,
+           {{codes}},
+           CAST(SUM(min_dist) AS BIGINT) AS distortion
+    FROM best GROUP BY vec_id
+    """.format(
+        codes=",\n           ".join(
+            f"CAST(MAX(CASE WHEN m = {m} THEN code END) AS BIGINT)"
+            f" AS code_{m}"
+            for m in range(1, _PQ_M + 1)
+        ),
+    ),
+)
+def q_llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each 64-dim embedding compresses to 8
+    codebook indices (one per 8-dim subspace, 16 centroids each) plus
+    its total integer distortion — the memory layout ANN systems like
+    FAISS-IVFPQ serve from (64 floats → 8 codes ≈ 32× compression).
+
+    Determinism engineering: distances compare EXACT INTEGERS because
+    vectors are first int8-quantized with a single global scale (the
+    q_llm_embed_quantize floor(x·127/scale + 0.5) discipline — float
+    multiply/divide is the identical IEEE expression on both engines,
+    and everything after is integer); a float L2 argmin would be
+    engine-ordering-fragile in the last ulp. Centroids are the K=16
+    smallest vec_ids — deterministic AND oracle-expressible (the
+    hashed-pivot family used by IVF needs Spark's seeded xxhash64,
+    which DuckDB cannot evaluate); ties in the argmin break on the
+    composite dist·1e7 + cid, exact in int64.
+
+    Scale: the codebook is 16 rows — broadcast; the subspace explode
+    is 8× map-side; the per-(vector, subspace) argmin is a groupBy
+    over broadcast-join output that never shuffles the corpus (codes
+    pivot back with one exchange on vec_id). At 100 TB: scan-bound,
+    one narrow shuffle of 9 integers per vector."""
+    sub, csub, best = _pq_parts(load_embeddings(spark, sf_dir))
     code_cols = [
         F.max(F.when(F.col("m") == m, F.col("code")))
         .cast("bigint")
@@ -1387,4 +1400,95 @@ def q_llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return best.groupBy("vec_id").agg(
         *code_cols, F.sum("min_dist").cast("bigint").alias("distortion")
+    )
+
+
+@register(
+    "q_llm_ivfpq_topk",
+    oracle=f"""
+    WITH {_PQ_CTE_PREFIX},
+    probes AS (
+        SELECT vec_id AS probe_id, m, sv AS pv
+        FROM sub WHERE vec_id < 10
+    ),
+    dt AS (
+        SELECT p.probe_id, p.m, c.cid,
+               CAST(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                   i -> (list_extract(p.pv, CAST(i AS INT))
+                         - list_extract(c.cv, CAST(i AS INT)))
+                        * (list_extract(p.pv, CAST(i AS INT))
+                           - list_extract(c.cv, CAST(i AS INT)))))
+                    AS BIGINT) AS pdist
+        FROM probes p JOIN csub c USING (m)
+    ),
+    adc AS (
+        SELECT t.probe_id, b.vec_id AS neighbor_id,
+               CAST(SUM(t.pdist) AS BIGINT) AS adc_dist
+        FROM best b JOIN dt t ON b.m = t.m AND b.code = t.cid
+        WHERE b.vec_id <> t.probe_id
+        GROUP BY 1, 2
+    )
+    SELECT probe_id, neighbor_id, adc_dist,
+           CAST(row_number() OVER (
+               PARTITION BY probe_id
+               ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rnk
+    FROM adc
+    QUALIFY rnk <= 5
+    """,
+)
+def q_llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from PQ codes — asymmetric distance computation
+    (ADC): each probe precomputes a 8×16 integer distance table
+    against the codebook, and every corpus vector's distance is then
+    just 8 table lookups summed over its stored codes — the corpus
+    EMBEDDINGS are never touched at query time, only the 8-int codes.
+    This is FAISS-IVFPQ's query path, relationally expressed; top-5
+    per probe (vec_id < 10, the q_llm_cosine_topk probe convention),
+    ranked by exact-integer ADC distance with neighbor_id tie-break.
+
+    Plan: the distance table (10 probes × 128 entries) broadcasts; the
+    code relation streams through one broadcast join and reduces
+    map-side to (probe, vector) partial sums, so the only wide
+    exchange carries 3 integers per candidate. In a real deployment
+    the codes table is precomputed once (q_llm_pq_codes) and this
+    query's cost is INDEPENDENT of embedding dimension — the 32×
+    bandwidth win that makes 100 TB vector serving feasible; the
+    rank-vs-exact quality of this operating point is measured in
+    ANN_RECALL.md's framework."""
+    sub, csub, best = _pq_parts(load_embeddings(spark, sf_dir))
+    probes = sub.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "m", F.col("sv").alias("pv")
+    )
+    dt = probes.join(F.broadcast(csub), "m").select(
+        "probe_id",
+        "m",
+        "cid",
+        F.expr(
+            "aggregate(zip_with(pv, cv, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("pdist"),
+    )
+    adc = (
+        best.alias("b")
+        .join(
+            F.broadcast(dt).alias("t"),
+            (F.col("b.m") == F.col("t.m"))
+            & (F.col("b.code") == F.col("t.cid"))
+            & (F.col("b.vec_id") != F.col("t.probe_id")),
+        )
+        .groupBy(
+            F.col("t.probe_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+        .agg(F.sum("pdist").cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.select(
+            "probe_id",
+            "neighbor_id",
+            "adc_dist",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
     )
