@@ -78,7 +78,7 @@ def main() -> None:
     from fact_hive_custom_spark.queries import QUERIES
     from fact_hive_custom_spark.session import get_session
 
-    spark = get_session("fact_hive_custom_spark-bench")
+    spark = get_session("fact_hive_custom_spark-bench", quiet=True)
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
@@ -102,6 +102,24 @@ def main() -> None:
 
     timings = {name: sorted(r)[1] for name, r in runs.items()}  # median of 3
     total = round(sum(timings.values()), 3)
+    # Two lines, bulky diagnostics FIRST and the compact headline LAST:
+    # the driver tail-captures stdout, so anything that must survive
+    # truncation has to be the final line (round-8 lesson — the single
+    # mega-line JSON lost its head, leaving BENCH_r08.json unparseable).
+    print(
+        json.dumps(
+            {
+                "detail": "runs_and_spread",
+                "runs": runs,
+                "spread": {
+                    name: [min(r), max(r)] for name, r in runs.items()
+                },
+                "value_min": round(sum(min(r) for r in runs.values()), 3),
+                "value_max": round(sum(max(r) for r in runs.values()), 3),
+            }
+        ),
+        flush=True,
+    )
     print(
         json.dumps(
             {
@@ -109,15 +127,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs": runs,
-                "spread": {
-                    name: [min(r), max(r)] for name, r in runs.items()
-                },
-                "value_min": round(sum(min(r) for r in runs.values()), 3),
-                "value_max": round(sum(max(r) for r in runs.values()), 3),
                 "sf": float(sf),
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -114,6 +114,7 @@ def _summarize(nodes: list[dict[str, Any]]) -> dict[str, int]:
     """
     s = {
         "rows_scanned": 0,
+        "rows_cache_read": 0,
         "files_read": 0,
         "shuffle_bytes_written": 0,
         "shuffle_records_written": 0,
@@ -123,10 +124,15 @@ def _summarize(nodes: list[dict[str, Any]]) -> dict[str, int]:
     }
     for i, row in enumerate(nodes):
         m = row["metrics"]
-        if "Scan" in row["node"]:
+        # File-source scans only (ShuffleExchangeExec's nodeName is
+        # plain "Exchange"; InMemoryTableScan is a CACHE read, counted
+        # separately so cached plans don't inflate rows_scanned).
+        if row["node"].startswith("Scan "):
             s["rows_scanned"] += m.get("number of output rows", 0)
             s["files_read"] += m.get("number of files read", 0)
-        if row["node"] in ("Exchange", "ShuffleExchange", "AQEShuffleRead"):
+        elif row["node"] == "InMemoryTableScan":
+            s["rows_cache_read"] += m.get("number of output rows", 0)
+        if row["node"] == "Exchange":
             s["shuffle_bytes_written"] += m.get("shuffle bytes written", 0)
             s["shuffle_records_written"] += m.get("shuffle records written", 0)
         s["spill_bytes"] += m.get("spill size", 0)

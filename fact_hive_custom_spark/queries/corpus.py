@@ -1099,6 +1099,10 @@ def q_llm_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 'ee~~e'), verified identical in Spark and DuckDB. A fold-based
 # array rewrite would need a struct-accumulator HOF Spark has but
 # DuckDB's list_reduce cannot express.
+# Previous q_llm_bpe_train invocation's persisted vocab tables —
+# released at the next invocation (see its docstring, Cache hygiene).
+_BPE_TRAIN_CACHE: list = []
+
 _BPE_ORACLE_ROUND = """
     p{r} AS (
         SELECT list_extract(s, CAST(i AS INT)) AS a,
@@ -1164,7 +1168,22 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB adding merge rounds adds constant-sized stages, not
     corpus passes. The sequence(1, size-1) guard drops fully-merged
     single-symbol words per round (Spark's sequence(1, 0) yields a
-    DESCENDING [1,0], not an empty array)."""
+    DESCENDING [1,0], not an empty array).
+
+    Cache hygiene: the contract returns a LAZY DataFrame, so this
+    call can't unpersist its own four vocab tables before the caller
+    materializes them. Instead each invocation releases the PREVIOUS
+    invocation's tables (module-level handle list), bounding the
+    session-lifetime footprint to one generation — repeated builds in
+    the parity suite / plan audit / bench no longer accumulate.
+    Unpersisting never breaks correctness (a stale handle would just
+    recompute)."""
+    for h in _BPE_TRAIN_CACHE:
+        try:
+            h.unpersist()
+        except Exception:
+            pass
+    _BPE_TRAIN_CACHE.clear()
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     wf = (
         d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
@@ -1182,6 +1201,7 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # vocab stages after it (0.9 s).
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _BPE_TRAIN_CACHE.append(wf)
     outs = []
     for r in (1, 2, 3):
         syms = wf.select("wf", F.split("enc", "~~").alias("s")).filter(
@@ -1221,6 +1241,7 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("replace(enc, ma || '~~' || mb, ma || mb)").alias("enc"),
             "wf",
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        _BPE_TRAIN_CACHE.append(wf)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)
@@ -1289,8 +1310,9 @@ _PQ_CTE_PREFIX = f"""emb AS ({EMB_CONTRACT_SQL}),
 
 
 def _pq_parts(emb: DataFrame):
-    """Spark-side PQ building blocks shared by q_llm_pq_codes and
-    q_llm_ivfpq_topk: returns (sub, csub, best) — the subvector
+    """Spark-side PQ building blocks shared by q_llm_pq_codes,
+    q_llm_ivfpq_topk and q_llm_pq_rerank: returns (q, sub, csub,
+    best) — the int8-quantized vector relation, the subvector
     stream, the 128-row codebook, and the per-(vector, subspace)
     argmin code relation. Mirrors _PQ_CTE_PREFIX stage for stage."""
     g = emb.agg(
@@ -1350,7 +1372,144 @@ def _pq_parts(emb: DataFrame):
         ),
         F.min("dist").alias("min_dist"),
     )
-    return sub, csub, best
+    return q, sub, csub, best
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    n_probes: int = 10,
+    k: int = 5,
+    rerank_r: int | None = None,
+) -> DataFrame:
+    """Reusable PQ/ADC serving core (q_llm_ivfpq_topk, q_llm_pq_rerank,
+    tools/ann_recall.py): top-k neighbors per probe (vec_id < n_probes)
+    ranked by exact-integer ADC distance over the stored 8-int codes.
+
+    With rerank_r set, runs FAISS-IVFPQ's standard second stage: the
+    top-R candidates by ADC are re-scored with the EXACT integer L2
+    over the full 64-int quantized vectors, and the final top-k ranks
+    by (exact_dist, neighbor_id). The candidate relation entering the
+    re-rank is ≤ R·|probes| rows by construction, so its joins
+    broadcast the candidates and its final window is bounded — no
+    salting needed past the ADC stage.
+
+    Top-k discipline: the ADC top-R is two-stage — salted partial
+    heaps per (probe, pmod(neighbor_id, 32)) bound every sort to
+    |corpus|/32, then the final window ranks ≤ 32·R survivors."""
+    q, sub, csub, best = _pq_parts(emb)
+    probes = sub.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"), "m", F.col("sv").alias("pv")
+    )
+    dt = probes.join(F.broadcast(csub), "m").select(
+        "probe_id",
+        "m",
+        "cid",
+        F.expr(
+            "aggregate(zip_with(pv, cv, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("pdist"),
+    )
+    adc = (
+        best.alias("b")
+        .join(
+            F.broadcast(dt).alias("t"),
+            (F.col("b.m") == F.col("t.m"))
+            & (F.col("b.code") == F.col("t.cid"))
+            & (F.col("b.vec_id") != F.col("t.probe_id")),
+        )
+        .groupBy(
+            F.col("t.probe_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+        .agg(F.sum("pdist").cast("bigint").alias("adc_dist"))
+    )
+    r = k if rerank_r is None else rerank_r
+    # Two-stage top-R: salted partial heaps, then a tiny final window.
+    wpart = Window.partitionBy("probe_id", "salt").orderBy(
+        "adc_dist", "neighbor_id"
+    )
+    partial = (
+        adc.withColumn("salt", F.pmod(F.col("neighbor_id"), F.lit(32)))
+        .withColumn("prnk", F.row_number().over(wpart))
+        .filter(F.col("prnk") <= r)
+        .drop("salt", "prnk")
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_dist", "neighbor_id")
+    cand = partial.select(
+        "probe_id",
+        "neighbor_id",
+        "adc_dist",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    ).filter(F.col("rnk") <= r)
+    if rerank_r is None:
+        return cand
+    # Exact re-rank: candidates broadcast into the quantized-vector
+    # relation (never the reverse — q is corpus-sized), full-vector
+    # integer L2, final rank over ≤ R rows per probe.
+    qn = q.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qs").alias("nqs")
+    )
+    qp = q.select(F.col("vec_id").alias("probe_id"), F.col("qs").alias("pqs"))
+    ex = (
+        qn.join(F.broadcast(cand.drop("rnk")), "neighbor_id")
+        .join(F.broadcast(qp.filter(F.col("probe_id") < n_probes)), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "adc_dist",
+            F.expr(
+                "aggregate(zip_with(pqs, nqs, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("exact_dist"),
+        )
+    )
+    wr = Window.partitionBy("probe_id").orderBy("exact_dist", "neighbor_id")
+    return ex.select(
+        "probe_id",
+        "neighbor_id",
+        "adc_dist",
+        "exact_dist",
+        F.row_number().over(wr).cast("bigint").alias("rnk"),
+    ).filter(F.col("rnk") <= k)
+
+
+def pq_exact_l2_topk(emb: DataFrame, n_probes: int = 10, k: int = 5) -> DataFrame:
+    """Exact integer-L2 top-k over the full quantized vectors — the
+    ground truth tools/ann_recall.py scores the PQ/ADC path against
+    (same metric, same int8 grid, no subspace quantization), isolating
+    the codebook approximation error from the metric choice."""
+    q, _sub, _csub, _best = _pq_parts(emb)
+    p = q.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"), F.col("qs").alias("pqs")
+    )
+    scored = (
+        q.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(pqs, qs, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("exact_dist"),
+        )
+    )
+    wpart = Window.partitionBy("probe_id", "salt").orderBy(
+        "exact_dist", "neighbor_id"
+    )
+    w = Window.partitionBy("probe_id").orderBy("exact_dist", "neighbor_id")
+    return (
+        scored.withColumn("salt", F.pmod(F.col("neighbor_id"), F.lit(32)))
+        .withColumn("prnk", F.row_number().over(wpart))
+        .filter(F.col("prnk") <= k)
+        .drop("salt", "prnk")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "exact_dist",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k)
+    )
 
 
 @register(
@@ -1391,7 +1550,7 @@ def q_llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     over broadcast-join output that never shuffles the corpus (codes
     pivot back with one exchange on vec_id). At 100 TB: scan-bound,
     one narrow shuffle of 9 integers per vector."""
-    sub, csub, best = _pq_parts(load_embeddings(spark, sf_dir))
+    _q, sub, csub, best = _pq_parts(load_embeddings(spark, sf_dir))
     code_cols = [
         F.max(F.when(F.col("m") == m, F.col("code")))
         .cast("bigint")
@@ -1454,41 +1613,92 @@ def q_llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's cost is INDEPENDENT of embedding dimension — the 32×
     bandwidth win that makes 100 TB vector serving feasible; the
     rank-vs-exact quality of this operating point is measured in
-    ANN_RECALL.md's framework."""
-    sub, csub, best = _pq_parts(load_embeddings(spark, sf_dir))
-    probes = sub.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("probe_id"), "m", F.col("sv").alias("pv")
+    ANN_RECALL.md (PQ/ADC rows; exact re-rank in q_llm_pq_rerank).
+
+    Top-k discipline (round-9 fix): with few probes, a single
+    row_number window PARTITION BY probe_id sorts the ENTIRE corpus
+    candidate set in one task per probe — the r8 plan did exactly
+    that and was flagged as the round's one scale-killer. Now
+    two-stage: partial top-5 per (probe, pmod(neighbor_id, 32))
+    salt bucket — 32-way parallel, each partition ≤ |corpus|/32 —
+    then final top-5 over the ≤ 160 salted survivors. Deterministic
+    (the salt is a pure function of neighbor_id, both stages order by
+    (adc_dist, neighbor_id)) and exactly equal to the global top-5,
+    so the oracle's single QUALIFY stays the correctness twin.
+    tests/test_plans.py pins the two-window shape."""
+    return pq_adc_topk(load_embeddings(spark, sf_dir), n_probes=10, k=5)
+
+
+@register(
+    "q_llm_pq_rerank",
+    oracle=f"""
+    WITH {_PQ_CTE_PREFIX},
+    probes AS (
+        SELECT vec_id AS probe_id, m, sv AS pv
+        FROM sub WHERE vec_id < 10
+    ),
+    dt AS (
+        SELECT p.probe_id, p.m, c.cid,
+               CAST(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                   i -> (list_extract(p.pv, CAST(i AS INT))
+                         - list_extract(c.cv, CAST(i AS INT)))
+                        * (list_extract(p.pv, CAST(i AS INT))
+                           - list_extract(c.cv, CAST(i AS INT)))))
+                    AS BIGINT) AS pdist
+        FROM probes p JOIN csub c USING (m)
+    ),
+    adc AS (
+        SELECT t.probe_id, b.vec_id AS neighbor_id,
+               CAST(SUM(t.pdist) AS BIGINT) AS adc_dist
+        FROM best b JOIN dt t ON b.m = t.m AND b.code = t.cid
+        WHERE b.vec_id <> t.probe_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT probe_id, neighbor_id, adc_dist,
+               row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY adc_dist, neighbor_id) AS arnk
+        FROM adc
+        QUALIFY arnk <= 20
+    ),
+    ex AS (
+        SELECT c.probe_id, c.neighbor_id, c.adc_dist,
+               CAST(list_sum(list_transform(
+                   range(1, {_PQ_M * _PQ_SUB} + 1),
+                   i -> (list_extract(qp.qs, CAST(i AS INT))
+                         - list_extract(qn.qs, CAST(i AS INT)))
+                        * (list_extract(qp.qs, CAST(i AS INT))
+                           - list_extract(qn.qs, CAST(i AS INT)))))
+                    AS BIGINT) AS exact_dist
+        FROM cand c
+        JOIN q qp ON qp.vec_id = c.probe_id
+        JOIN q qn ON qn.vec_id = c.neighbor_id
     )
-    dt = probes.join(F.broadcast(csub), "m").select(
-        "probe_id",
-        "m",
-        "cid",
-        F.expr(
-            "aggregate(zip_with(pv, cv, (a, b) -> (a - b) * (a - b)),"
-            " 0L, (acc, x) -> acc + x)"
-        ).alias("pdist"),
-    )
-    adc = (
-        best.alias("b")
-        .join(
-            F.broadcast(dt).alias("t"),
-            (F.col("b.m") == F.col("t.m"))
-            & (F.col("b.code") == F.col("t.cid"))
-            & (F.col("b.vec_id") != F.col("t.probe_id")),
-        )
-        .groupBy(
-            F.col("t.probe_id").alias("probe_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-        )
-        .agg(F.sum("pdist").cast("bigint").alias("adc_dist"))
-    )
-    w = Window.partitionBy("probe_id").orderBy("adc_dist", "neighbor_id")
-    return (
-        adc.select(
-            "probe_id",
-            "neighbor_id",
-            "adc_dist",
-            F.row_number().over(w).cast("bigint").alias("rnk"),
-        )
-        .filter(F.col("rnk") <= 5)
-    )
+    SELECT probe_id, neighbor_id, adc_dist, exact_dist,
+           CAST(row_number() OVER (
+               PARTITION BY probe_id
+               ORDER BY exact_dist, neighbor_id) AS BIGINT) AS rnk
+    FROM ex
+    QUALIFY rnk <= 5
+    """,
+)
+def q_llm_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-IVFPQ's standard second stage: ADC candidate generation
+    (top-20 per probe by table-lookup distance over the 8-int codes)
+    followed by an EXACT integer-L2 re-rank of those 20 candidates
+    against the full 64-int quantized vectors, final top-5 per probe
+    by (exact_dist, neighbor_id). The re-rank recovers most of what
+    subspace quantization loses — measured in ANN_RECALL.md's PQ
+    section (ADC-only vs ADC+rerank recall against the exact-L2
+    ground truth, tools/ann_recall.py).
+
+    Scale: the ADC stage is the q_llm_ivfpq_topk plan (codes stream
+    through one broadcast join, salted two-stage top-R); the re-rank
+    touches full vectors for ONLY R·|probes| candidates — the
+    candidates broadcast into the corpus-side quantized relation, the
+    corpus itself is never re-shuffled, and the final window ranks a
+    bounded ≤ 20-row partition per probe. This is the 100 TB serving
+    recipe: dimension-independent scan for candidates, full-precision
+    arithmetic only on the shortlist."""
+    return pq_adc_topk(load_embeddings(spark, sf_dir), n_probes=10, k=5, rerank_r=20)

@@ -947,9 +947,9 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF machinery (deterministic pivots, broadcast, argmax
     assignment — operators/similarity.py), and missing cross-cluster
     duplicates is the documented, bounded approximation the paper
-    accepts. Both engines compute the IDENTICAL rule (16 lowest-id
-    pivots, 6-dp rounded cosine, pivot-id tiebreak), so the oracle
-    checks it exactly.
+    accepts. Both engines compute the IDENTICAL rule (32 lowest-id
+    pivots — limit(32) below, LIMIT 32 in the oracle — 6-dp rounded
+    cosine, pivot-id tiebreak), so the oracle checks it exactly.
 
     Physical strategy at 100 TB: pivots broadcast as ONE array-of-
     structs row (kB) and assignment is a genuinely map-side argmax —

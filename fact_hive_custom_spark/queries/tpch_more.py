@@ -733,16 +733,25 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
         )
     )
+    # Overflow budget: per-row rev ≤ ~1e13 (price_e2 ≤ 1e11 × 100), so
+    # a bigint SUM wraps past ~9.2e5 such rows per (year) group — easily
+    # reached at sf ≥ 1 market sizes. DuckDB sums BIGINT into HUGEINT;
+    # Spark must accumulate in DECIMAL(38,0) to match (the
+    # q_stat_ttest_welch discipline). The ppm scaling and the integral
+    # division run in decimal, exact; only the final ≤ 1e6 ppm and the
+    # audited market total cast back to BIGINT.
     return (
         market.groupBy("o_year")
         .agg(
             F.expr(
-                "CAST(1000000 * SUM(CASE WHEN supp_nation = 'NATION_1'"
-                " THEN rev ELSE 0 END) AS BIGINT) DIV SUM(rev)"
-            )
+                "CAST(CAST(1000000 AS DECIMAL(38,0))"
+                " * SUM(CAST(CASE WHEN supp_nation = 'NATION_1'"
+                " THEN rev ELSE 0 END AS DECIMAL(38,0)))"
+                " DIV SUM(CAST(rev AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("share_ppm"),
+            F.sum(F.col("rev").cast("decimal(38,0)"))
             .cast("bigint")
-            .alias("share_ppm"),
-            F.sum("rev").cast("bigint").alias("market_rev_e4"),
+            .alias("market_rev_e4"),
         )
         .orderBy("o_year")
     )

@@ -1005,4 +1005,38 @@ class TestRound8bPlans:
         assert "BroadcastHashJoin" in plan, plan
         assert "CartesianProduct" not in plan
         assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+    def test_ivfpq_topk_is_two_stage_no_per_probe_full_sort(self, spark):
+        """IVFPQ/ADC serving (round-9 fix for the r8 scale-killer):
+        with few probes, a single row_number window PARTITION BY
+        probe_id sorts the entire corpus candidate set in one task per
+        probe. Pin the two-stage shape: a salted partial-top-5 window
+        partitioned by (probe_id, pmod(neighbor_id, 32)) bounds every
+        sort to |corpus|/32, and the final probe_id-only window runs
+        over ≤ 160 salted survivors. Both window partition specs must
+        be present; no single-partition exchange, no cartesian, no
+        Python eval."""
+        plan = plan_of(spark, "q_llm_ivfpq_topk")
+        win_parts = [
+            line.split("Window ", 1)[1]
+            for line in plan.splitlines()
+            if "+- Window [" in line
+        ]
+        assert len(win_parts) == 2, plan
+        assert any("salt" in w for w in win_parts), (
+            "salted partial top-k window missing:\n" + plan
+        )
+        # WindowGroupLimit Partial/Final = rank-limit pushdown: each
+        # task keeps only its per-group top-5 BEFORE the exchange.
+        assert "row_number(), 5, Partial" in plan, plan
+        assert "row_number(), 5, Final" in plan, plan
+        # the only SinglePartition exchanges allowed are the 1-row
+        # scalar attaches (global scale) feeding BroadcastExchange —
+        # never on the candidate top-k path
+        for i, line in enumerate(plan.splitlines()):
+            if "Exchange SinglePartition" in line:
+                above = plan.splitlines()[max(0, i - 3) : i]
+                assert any("BroadcastExchange" in a for a in above), plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
