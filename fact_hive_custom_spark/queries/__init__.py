@@ -8,6 +8,7 @@ from fact_hive_custom_spark.queries import (  # noqa: F401
     layout,
     llm_ops,
     llm_text,
+    media,
     misc,
     optimizer,
     profiling,

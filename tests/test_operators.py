@@ -887,3 +887,31 @@ class TestRound8bOperators:
                 assert codes == [r.vec_id] * 8 and r.distortion == 0, r
             else:
                 assert 0 < r.distortion <= 8 * 8 * 254 * 254, r
+
+    def test_media_dedup_finds_every_planted_reencode(self, spark):
+        """Planted-duplicate recall = 1.0: every re-encoded asset
+        (vec_id % 20 == 0, features × 0.97) must pair with its
+        original within Hamming radius 7 — the pigeonhole guarantee
+        says the banded join cannot miss a true pair, and the hash
+        must be stable under the 3% lossy-transcode drift. Also: the
+        survivor (keep_id) is always the original (min-id policy),
+        and no pair is an original-original false positive at radius
+        ≤ 1 (near-random fixture vectors sit at Hamming ~32)."""
+        from fact_hive_custom_spark.queries import QUERIES
+        from fact_hive_custom_spark.tables import load_embeddings
+
+        rows = QUERIES["q_llm_media_dedup"](spark, SF_DIR).collect()
+        planted = {
+            r.vec_id
+            for r in load_embeddings(spark, SF_DIR)
+            .select("vec_id")
+            .collect()
+            if r.vec_id % 20 == 0
+        }
+        found = {
+            (r.keep_id, r.drop_id) for r in rows if r.drop_id >= 1000000
+        }
+        assert {(v, v + 1000000) for v in planted} <= found
+        for r in rows:
+            assert r.keep_id < r.drop_id, r
+            assert 0 <= r.hamming <= 7, r

@@ -1040,3 +1040,31 @@ class TestRound8bPlans:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestMediaDedupPlan:
+    def test_media_dedup_banded_equi_join_not_all_pairs(self, spark):
+        """Perceptual-hash media dedup: candidates must come from an
+        EQUI-join keyed on (band_index, band_value) — the pigeonhole-
+        exact rewrite of the all-pairs Hamming join. An all-pairs
+        shape would surface as a nested-loop join carrying media_id;
+        the only nested loops allowed are the bounded 1×n scalar
+        attaches (global scale, contract dim). The Hamming verify
+        rides inside the candidate join (no join-back re-scan), so no
+        join on keep_id/drop_id should exist either."""
+        import re
+
+        plan = plan_of(spark, "q_llm_media_dedup")
+        assert re.search(
+            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+            r" \[j#\d+, v#\d+L?\]",
+            plan,
+        ), plan
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "media_id" not in line, line
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert not re.search(r"Join \[keep_id#\d+L?\]", plan), (
+            "join-back to the bands relation reappeared:\n" + plan
+        )
