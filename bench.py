@@ -68,6 +68,13 @@ HEADLINE = [
     # under watch; a regression that re-explodes the corpus for pair
     # counting would show here as a step change
     "q_llm_bpe_pairs",
+    # round-9: the salted two-stage ADC top-k (the r8 scale-killer
+    # fix — a regression back to the per-probe full sort would show
+    # as a step change) and the banded perceptual-hash media dedup
+    # (equi-join on band values; an all-pairs regression explodes
+    # quadratically with corpus size)
+    "q_llm_ivfpq_topk",
+    "q_llm_media_dedup",
 ]
 
 

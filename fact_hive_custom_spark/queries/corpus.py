@@ -1178,6 +1178,19 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parity suite / plan audit / bench no longer accumulate.
     Unpersisting never breaks correctness (a stale handle would just
     recompute)."""
+    _wf0, outs, _wf3 = _bpe_train_parts(spark, sf_dir)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("merge_round")
+
+
+def _bpe_train_parts(spark: SparkSession, sf_dir: str):
+    """Shared BPE training core (q_llm_bpe_train, q_llm_bpe_tokenize):
+    returns (wf0, outs, wf3) — the initial '~~'-encoded
+    word-frequency table, the three per-round merge-winner
+    DataFrames, and the vocab after all three merges applied. See
+    q_llm_bpe_train's docstring for the plan and cache discipline."""
     for h in _BPE_TRAIN_CACHE:
         try:
             h.unpersist()
@@ -1202,6 +1215,7 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _BPE_TRAIN_CACHE.append(wf)
+    wf0 = wf
     outs = []
     for r in (1, 2, 3):
         syms = wf.select("wf", F.split("enc", "~~").alias("s")).filter(
@@ -1242,10 +1256,83 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wf",
         ).persist(StorageLevel.MEMORY_AND_DISK)
         _BPE_TRAIN_CACHE.append(wf)
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out.orderBy("merge_round")
+    return wf0, outs, wf
+
+
+_BPE_TOKENIZE_W0 = """w0 AS (
+        SELECT array_to_string(string_split(word, ''), '~~') AS enc,
+               CAST(COUNT(*) AS BIGINT) AS wf
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE text IS NOT NULL
+        ) WHERE word <> '' GROUP BY word
+    )"""
+
+
+@register(
+    "q_llm_bpe_tokenize",
+    oracle=f"""
+    WITH {_BPE_TOKENIZE_W0},
+    {_BPE_ORACLE_ROUND.format(r=1, src="w0")},
+    {_BPE_ORACLE_ROUND.format(r=2, src="w1")},
+    {_BPE_ORACLE_ROUND.format(r=3, src="w2")}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wf) AS BIGINT) AS whitespace_tokens,
+           (SELECT CAST(SUM(len(string_split(enc, '~~')) * wf) AS BIGINT)
+            FROM w0) AS char_symbols,
+           CAST(SUM(len(string_split(enc, '~~')) * wf) AS BIGINT)
+               AS bpe_symbols,
+           CAST(1000000 * ((SELECT SUM(len(string_split(enc, '~~')) * wf)
+                            FROM w0)
+                           - SUM(len(string_split(enc, '~~')) * wf))
+                // (SELECT SUM(len(string_split(enc, '~~')) * wf) FROM w0)
+               AS BIGINT) AS saved_ppm
+    FROM w3
+    """,
+)
+def q_llm_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY as an operator: run the trained 3-round merge list
+    over the corpus (the re-entrant replace-encoding shared with
+    q_llm_bpe_train via _bpe_train_parts) and report the compression
+    ledger a tokenizer rollout needs: distinct words, whitespace
+    token count, character-symbol count before any merge, BPE symbol
+    count after the merges, and the exact-integer ppm saved vs the
+    character baseline.
+
+    Plan: tokenization happens on the WORD-FREQUENCY table, never the
+    raw corpus — applying a merge list is O(|vocab|) regardless of
+    corpus size (the measured 8.3× vocab-first lesson, SCALING.md
+    §Round-8b), and each summary is a map-combined 1-row aggregate
+    over the persisted per-round vocab (InMemoryTableScan — zero
+    extra corpus passes beyond q_llm_bpe_train's one). The two 1-row
+    frames meet in a broadcast attach. At 100 TB the corpus cost is
+    the single explode+groupBy building the vocab; everything after
+    is constant-sized."""
+    wf0, _outs, wf3 = _bpe_train_parts(spark, sf_dir)
+    s0 = wf0.agg(
+        F.sum(F.expr("size(split(enc, '~~')) * wf"))
+        .cast("bigint")
+        .alias("char_symbols")
+    )
+    s3 = wf3.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("wf").cast("bigint").alias("whitespace_tokens"),
+        F.sum(F.expr("size(split(enc, '~~')) * wf"))
+        .cast("bigint")
+        .alias("bpe_symbols"),
+    )
+    return s3.crossJoin(F.broadcast(s0)).select(
+        "n_words",
+        "whitespace_tokens",
+        "char_symbols",
+        "bpe_symbols",
+        F.expr(
+            "CAST(1000000 * (char_symbols - bpe_symbols) AS BIGINT)"
+            " DIV char_symbols"
+        )
+        .cast("bigint")
+        .alias("saved_ppm"),
+    )
 
 
 # Product-quantization family (q_llm_pq_codes, q_llm_ivfpq_topk)

@@ -813,6 +813,120 @@ def q_llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_span_excise",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 20
+    ),
+    blocks AS (
+        SELECT doc_id, CAST(s AS BIGINT) AS start_tok,
+               md5(array_to_string(list_slice(toks, CAST(s AS INT) + 1,
+                                              CAST(s AS INT) + 20), ' ')) AS h
+        FROM t, unnest(generate_series(0, len(toks) - 20, 20)) AS g(s)
+    ),
+    firsts AS (
+        SELECT h, COUNT(*) AS n_occ,
+               MIN(struct_pack(d := doc_id, s := start_tok)) AS fk
+        FROM blocks GROUP BY h
+    ),
+    cut AS (
+        SELECT b.doc_id, b.start_tok
+        FROM blocks b JOIN firsts f USING (h)
+        WHERE f.n_occ >= 2
+          AND NOT (b.doc_id = f.fk.d AND b.start_tok = f.fk.s)
+    ),
+    isl AS (
+        SELECT doc_id, start_tok,
+               start_tok // 20
+               - row_number() OVER (
+                     PARTITION BY doc_id ORDER BY start_tok) AS grp
+        FROM cut
+    )
+    SELECT doc_id, CAST(MIN(start_tok) AS BIGINT) AS cut_start,
+           CAST(MAX(start_tok) + 20 AS BIGINT) AS cut_end,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def q_llm_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring EXCISION ranges — the consumable form of span dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): instead of q_llm_span_dedup's doc-level audit
+    rows, emit the (doc_id, cut_start, cut_end) token ranges a corpus
+    pipeline actually CUTS, keeping exactly one occurrence of every
+    duplicated 20-token aligned block corpus-wide.
+
+    Policy: a block occurrence is cut iff its hash occurs ≥ 2 times
+    anywhere AND it is not the canonical first occurrence — the
+    lexicographic (doc_id, start_tok) minimum, computed as a struct
+    MIN (both engines order structs lexicographically), which is
+    map-side-combinable — no per-hash window, so a boilerplate block
+    occurring in 10⁹ documents aggregates in parallel instead of
+    piling its occurrences into one task. Adjacent cut blocks merge
+    into maximal ranges via gaps-and-islands (start DIV 20 minus the
+    per-doc rank; the window is keyed on doc_id and bounded by one
+    document's block count — the q_ts_impute user-keyed discipline).
+
+    Plan at 100 TB: block construction is the same map-side
+    slice+hash as q_llm_span_dedup; text never enters an exchange —
+    the shuffles carry (hash, doc_id, start_tok) triples: one
+    hash-keyed aggregation, one hash-keyed join back (co-partitioned
+    with it), one doc-keyed island merge. Output is the per-doc cut
+    list a tokenizer-side filter consumes directly."""
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.size("toks") >= 20)
+    )
+    blocks = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 20, 20),"
+                " s -> struct(cast(s as bigint) as start_tok,"
+                " md5(array_join(slice(toks, s + 1, 20), ' ')) as h))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.start_tok", "b.h")
+    firsts = blocks.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(
+            F.struct(
+                F.col("doc_id").alias("d"), F.col("start_tok").alias("s")
+            )
+        ).alias("fk"),
+    )
+    cut = (
+        blocks.join(firsts, "h")
+        .filter(
+            (F.col("n_occ") >= 2)
+            & ~(
+                (F.col("doc_id") == F.col("fk.d"))
+                & (F.col("start_tok") == F.col("fk.s"))
+            )
+        )
+        .select("doc_id", "start_tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("start_tok")
+    isl = cut.withColumn(
+        "grp",
+        F.expr("start_tok div 20") - F.row_number().over(w),
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("start_tok").cast("bigint").alias("cut_start"),
+            (F.max("start_tok") + F.lit(20)).cast("bigint").alias("cut_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        )
+        .select("doc_id", "cut_start", "cut_end", "n_blocks")
+    )
+
+
+@register(
     "q_llm_dataset_card",
     oracle="""
     WITH d AS (
