@@ -1068,3 +1068,24 @@ class TestMediaDedupPlan:
         assert not re.search(r"Join \[keep_id#\d+L?\]", plan), (
             "join-back to the bands relation reappeared:\n" + plan
         )
+
+    def test_ivfpq_pruned_co_partitioned_and_salted(self, spark):
+        """Full IVFPQ (cluster pruning + ADC): every hash exchange is
+        keyed on vec_id (codes/assignment co-partition on the same
+        key — no new shuffle shape for best ⋈ assign), probe_id (the
+        16-row-bounded centroid ranking + the two salted top-k
+        stages), or the embedding contract's dim. Exactly three
+        windows (centroid rank, salted partial, final), all
+        rank-limit pushed (WindowGroupLimit); pivots/codebook/probe
+        tables attach as bounded broadcasts — no cartesian, no
+        Python."""
+        plan = plan_of(spark, "q_llm_ivfpq_pruned")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"vec_id", "probe_id", "dim"}, keys
+        assert sum("+- Window [" in l for l in plan.splitlines()) == 3, plan
+        assert "WindowGroupLimit" in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
