@@ -3,6 +3,7 @@
 from fact_hive_custom_spark.queries import (  # noqa: F401
     aggregates,
     analytics,
+    clustering,
     corpus,
     joins,
     layout,

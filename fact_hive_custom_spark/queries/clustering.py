@@ -1,0 +1,293 @@
+"""Distributed clustering: exact-integer Lloyd k-means over the
+embedding corpus.
+
+Why this exists: the PQ/IVF family (corpus.py) deliberately uses
+id-selected codebooks because they are oracle-expressible — and
+ANN_RECALL.md documents the recall cost of that honesty. This module
+closes the gap: Lloyd's algorithm IS oracle-expressible if every
+quantity stays an exact integer — quantize to the int8 grid, shift to
+non-negative (distances are shift-invariant), hold centroids in
+scale-64 fixed point, and round the mean with integer arithmetic
+((128·Σu + n) DIV 2n == floor(64·mean + ½) for non-negative sums,
+where DuckDB `//` and Spark `DIV` agree). Every assignment compares
+exact integer L2² with a cid tiebreak, so Spark and DuckDB walk the
+IDENTICAL trajectory through every iteration — no float drift, no
+seed, no convergence ambiguity.
+
+Reference parity note: /root/reference/fact-hive is a 142-line miner
+wrapper with no clustering surface (SURVEY.md §0); this operator is
+charter-derived (training-data pipeline: codebook training for
+IVF/PQ, SemDeDup cluster induction, corpus bucketing).
+
+Scale design (100 TB): per Lloyd round the corpus is scanned ONCE
+(codes-only: vec_id + 64 ints ≈ 0.5 kB/row), assignment is a
+map-side fold over a broadcast K-row centroid array (the semdedup
+argmax pattern — the corpus NEVER shuffles on vec_id), and the
+update shuffle carries only K×D partial (sum, count) pairs per task
+— independent of corpus size. T rounds = T+1 scans, the textbook
+distributed-k-means cost. The quantized relation is cached across
+rounds (generation cache, released on next build, the
+_BPE_TRAIN_CACHE discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fact_hive_custom_spark.queries.registry import register
+from fact_hive_custom_spark.tables import EMB_CONTRACT_SQL, load_embeddings
+
+# K seeds (the K lowest vec_ids — deterministic and SQL-expressible,
+# the same convention as the PQ/IVF codebooks), T full Lloyd update
+# rounds, centroids in scale-64 fixed point on the shifted int8 grid.
+_KM_K = 8
+_KM_T = 2
+_KM_SCALE = 64
+
+_KMEANS_CACHE: list = []
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, us) — int8-quantized embedding shifted to [0, 254].
+
+    Same global-scale grid as _pq_parts (corpus.py:1399); the +127
+    shift makes every component non-negative so the fixed-point mean
+    rounding below is floor-division-portable across engines.
+    Cached: every Lloyd round re-reads it; generation cache releases
+    the previous build (the _BPE_TRAIN_CACHE discipline).
+    """
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    g = emb.agg(
+        F.max(
+            F.expr("array_max(transform(embedding, x -> abs(cast(x as double))))")
+        ).alias("gscale")
+    )
+    q = (
+        emb.crossJoin(F.broadcast(g))
+        .filter(F.col("gscale") > 0)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> cast(floor("
+                "(cast(x as double) * 127) / gscale + 0.5) as bigint) + 127)"
+            ).alias("us"),
+        )
+        # the fixture corpus is one parquet file → one scan partition;
+        # round-robin so the per-row assignment fold parallelizes
+        # (measured lesson from semdedup, llm_ops.py:1104). NOT a hash
+        # shuffle on vec_id — the plan pin forbids that.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    for h in _KMEANS_CACHE:
+        h.unpersist()
+    _KMEANS_CACHE.clear()
+    q = q.persist()
+    _KMEANS_CACHE.append(q)
+    return q
+
+
+def _centroid_array(cent_long: DataFrame) -> DataFrame:
+    """K×D long-form centroids → ONE row holding the cid-sorted array
+    of (cid, carr) structs, ready to broadcast into the fold."""
+    return (
+        cent_long.groupBy("cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("carr")
+        )
+        .agg(
+            F.sort_array(F.collect_list(F.struct("cid", "carr"))).alias("cents")
+        )
+    )
+
+
+def _assign(q: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """Map-side argmin assignment: fold the broadcast centroid array
+    per row — exact integer L2² on the scale-64 grid, strict `<` keeps
+    the first (lowest) cid on ties, matching the oracle's
+    ORDER BY dist, cid. The corpus crosses NO exchange here."""
+
+    def _argmin(acc, p):
+        d = F.aggregate(
+            F.zip_with(
+                F.col("us"),
+                p["carr"],
+                lambda u, c: (F.lit(_KM_SCALE) * u - c) * (F.lit(_KM_SCALE) * u - c),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+        better = d < acc["best"]
+        return F.struct(
+            F.when(better, d).otherwise(acc["best"]).alias("best"),
+            F.when(better, p["cid"]).otherwise(acc["cid"]).alias("cid"),
+        )
+
+    return (
+        q.crossJoin(F.broadcast(cent_arr))
+        .withColumn(
+            "acc",
+            F.aggregate(
+                "cents",
+                F.struct(
+                    F.lit(2**62).cast("bigint").alias("best"),
+                    F.lit(None).cast("long").alias("cid"),
+                ),
+                _argmin,
+            ),
+        )
+        .select(
+            "vec_id",
+            "us",
+            F.col("acc.cid").alias("cluster"),
+            F.col("acc.best").alias("dist"),
+        )
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroids: per-(cluster, dim) fixed-point rounded mean.
+    posexplode keeps dims JVM-side; partial aggregation collapses the
+    shuffle to K×D (sum, count) pairs per task. (128·Σu + n) DIV 2n
+    is floor(64·mean + ½) exactly, for non-negative u."""
+    return (
+        assigned.select(
+            F.col("cluster").alias("cid"),
+            F.posexplode("us").alias("pos", "u"),
+        )
+        .groupBy("cid", (F.col("pos") + 1).cast("bigint").alias("dim"))
+        .agg(
+            F.expr(
+                "CAST((128 * SUM(u) + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)"
+            ).alias("c")
+        )
+    )
+
+
+def _kmeans_parts(spark: SparkSession, sf_dir: str, rounds: int = _KM_T):
+    """(final centroid long-form, final assignment) after `rounds`
+    Lloyd updates from the K-lowest-id seeds. Exposed for the
+    inertia-monotonicity property test."""
+    q = _quantized(spark, sf_dir)
+    cent = (
+        q.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.posexplode("us").alias("pos", "u"),
+        )
+        .select(
+            "cid",
+            (F.col("pos") + 1).cast("bigint").alias("dim"),
+            (F.lit(_KM_SCALE) * F.col("u")).cast("bigint").alias("c"),
+        )
+    )
+    for _ in range(rounds):
+        assigned = _assign(q, _centroid_array(cent))
+        cent = _update(assigned)
+    return cent, _assign(q, _centroid_array(cent))
+
+
+def _km_assign_cte(cent: str, tag: str) -> str:
+    """One oracle Lloyd step: assignment vs `cent`, then the updated
+    centroid table — mirrors _assign/_update stage for stage."""
+    return f"""
+    a{tag} AS (
+        SELECT l.vec_id, c.cid,
+               SUM(({_KM_SCALE} * l.u - c.c) * ({_KM_SCALE} * l.u - c.c)) AS dist
+        FROM ql l JOIN {cent} c ON l.dim = c.dim
+        GROUP BY l.vec_id, c.cid
+    ),
+    asg{tag} AS (
+        SELECT vec_id, cid, dist FROM a{tag}
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) = 1
+    ),
+    c{tag} AS (
+        SELECT a.cid, l.dim,
+               (128 * SUM(l.u) + COUNT(*)) // (2 * COUNT(*)) AS c
+        FROM asg{tag} a JOIN ql l ON a.vec_id = l.vec_id
+        GROUP BY a.cid, l.dim
+    )"""
+
+
+@register(
+    "q_llm_kmeans",
+    oracle=f"""
+    WITH emb AS ({EMB_CONTRACT_SQL}),
+    g AS (
+        SELECT max(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))))) AS gscale
+        FROM emb
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor((CAST(x AS DOUBLE) * 127) / gscale + 0.5)
+                        AS BIGINT) + 127) AS us
+        FROM emb, g WHERE gscale > 0
+    ),
+    ql AS (
+        SELECT vec_id, CAST(d AS BIGINT) AS dim, us[CAST(d AS INT)] AS u
+        FROM q, unnest(generate_series(1, len(us))) AS t(d)
+    ),
+    c0 AS (
+        SELECT vec_id AS cid, dim, {_KM_SCALE} * u AS c FROM ql
+        WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    {_km_assign_cte('c0', '1')},
+    {_km_assign_cte('c1', '2')},
+    af AS (
+        SELECT l.vec_id, c.cid,
+               SUM(({_KM_SCALE} * l.u - c.c) * ({_KM_SCALE} * l.u - c.c)) AS dist
+        FROM ql l JOIN c2 c ON l.dim = c.dim
+        GROUP BY l.vec_id, c.cid
+    ),
+    asgf AS (
+        SELECT vec_id, cid, dist FROM af
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) = 1
+    )
+    SELECT cid AS cluster_id,
+           COUNT(*) AS n_members,
+           CAST(SUM(dist) AS BIGINT) AS inertia,
+           MIN(vec_id) AS min_member_id
+    FROM asgf GROUP BY cid ORDER BY cluster_id
+    """,
+)
+def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embedding corpus, T=2 exact update
+    rounds from the K=8 lowest-id seeds: per final cluster
+    its size, exact-integer inertia (Σ L2² on the scale-64 grid), and
+    lowest member id. This is codebook TRAINING — the step the
+    id-selected PQ/IVF codebooks (corpus.py, ANN_RECALL.md) document
+    as the production upgrade; here it runs, exactly, in both engines.
+
+    Every iteration is bit-identical across engines: assignment
+    compares exact integer L2² (ties → lowest cid), the mean rounds
+    via (128·Σu + n) DIV 2n on non-negative components (floor
+    division agrees between Spark DIV and DuckDB //), so iteration 2
+    starts from byte-equal centroids in both. Empty clusters drop in
+    both engines the same way (no member rows → no updated centroid).
+
+    Plan (pinned in tests/test_plans.py): per round the corpus is
+    scanned once from the cached codes-only relation, assignment is
+    an F.aggregate fold over ONE broadcast row holding all K
+    centroids — map-side, whole-stage-codegen, the corpus never
+    shuffles on vec_id — and the update's posexplode+groupBy shuffle
+    carries only K×D partially-aggregated (sum, count) pairs per
+    task. At 100 TB: T+1 codes-only scans + T constant-size shuffles,
+    the canonical distributed k-means shape."""
+    _cent, assigned = _kmeans_parts(spark, sf_dir, _KM_T)
+    return (
+        assigned.groupBy(F.col("cluster").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+            F.min("vec_id").alias("min_member_id"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1089,3 +1089,29 @@ class TestMediaDedupPlan:
         assert "WindowGroupLimit" in plan, plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestKMeansPlan:
+    def test_kmeans_corpus_never_shuffles_on_vec_id(self, spark):
+        """Lloyd k-means (clustering.py): the corpus reaches its
+        cluster through a map-side fold over ONE broadcast centroid
+        row — never a hash shuffle on vec_id (the only RoundRobin
+        exchange is the cached scan-parallelism split). Every hash
+        exchange carries either the K×D partially-aggregated update
+        (cid/dim keys) or a bounded dim-contract relation; the
+        codes relation is cached (T+1 rounds share one quantize
+        pass); no cartesian of data against data, no Python."""
+        plan = plan_of(spark, "q_llm_kmeans")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert "vec_id" not in keys, keys
+        assert keys <= {"cid", "_groupingexpression", "dim", "cluster"}, keys
+        # assignment is the fold over the broadcast centroid array
+        assert "aggregate(cents" in plan
+        assert "InMemoryRelation" in plan  # cached quantized corpus
+        # update shuffles are partially aggregated map-side
+        assert "partial_sum(u" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

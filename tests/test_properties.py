@@ -366,3 +366,26 @@ class TestRound5eInvariants:
             # the imputed sum must then be consistent with raw rows
             assert r.n_imputed == 0
             assert r.n_rows >= 1
+
+
+class TestKMeansInvariants:
+    def test_lloyd_inertia_monotone_nonincreasing(self, spark):
+        """Each Lloyd round may only lower (never raise) the total
+        within-cluster integer SSE: assignment picks the argmin
+        centroid per vector, and the fixed-point mean minimizes the
+        per-cluster SSE up to the ±½-ulp scale-64 rounding — so
+        inertia(T=0) ≥ inertia(T=1) ≥ inertia(T=2) must hold on the
+        real fixture. Guards both the fold's argmin direction and the
+        update's mean arithmetic."""
+        from pyspark.sql import functions as F
+
+        from fact_hive_custom_spark.queries.clustering import _kmeans_parts
+
+        inertias = []
+        for r in range(3):
+            _cent, assigned = _kmeans_parts(spark, "/root/testdata/sf0.01", r)
+            inertias.append(assigned.agg(F.sum("dist")).collect()[0][0])
+        assert inertias[0] >= inertias[1] >= inertias[2], inertias
+        # and the iterations genuinely move: round 1 must improve on
+        # the raw id-selected seeds for this fixture
+        assert inertias[1] < inertias[0], inertias
