@@ -373,6 +373,7 @@ def ivf_topk(
     num_pivots: int = 16,
     nprobe: int = 4,
     seed: int = 7,
+    refine_rounds: int = 0,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) probing — the
     clustering-based counterpart to sign-LSH (`signlsh_topk`):
@@ -392,6 +393,17 @@ def ivf_topk(
     analytically on uniform data. Both ship because the right choice is
     data-dependent; recall vs the exact baseline is asserted in tests
     for each.
+
+    `refine_rounds` > 0 runs that many spherical-k-means Lloyd rounds
+    on the pivot set before building the index (assign by cosine
+    argmax, update to the member MEAN — cosine is scale-invariant so
+    the unnormalized mean ranks identically to the normalized
+    spherical centroid). This is the "train the codebook" upgrade
+    ANN_RECALL.md points at: same per-round shape as the
+    oracle-checked q_llm_kmeans (queries/clustering.py — broadcast
+    fold assignment, K×D partially-aggregated update shuffle, one
+    corpus scan per round), but in float cosine space where the
+    serving path lives. Measured rows in ANN_RECALL.md (refined=N).
     """
     u = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -407,6 +419,38 @@ def ivf_topk(
         num_pivots,
         seed,
     )
+    for _ in range(refine_rounds):
+        rcos = _dot(F.col("corpus_vec"), F.col("pivot_vec")) / (
+            F.col("cnrm") * F.col("pivot_nrm")
+        )
+        memb = (
+            u.crossJoin(F.broadcast(pivots))
+            .withColumn("pcos", rcos)
+            .groupBy("neighbor_id")
+            .agg(
+                F.min_by(
+                    F.col("pivot_id"),
+                    F.struct(
+                        (-F.col("pcos")).alias("npc"),
+                        F.col("pivot_id").alias("pid"),
+                    ),
+                ).alias("cluster"),
+                F.first("corpus_vec").alias("corpus_vec"),
+            )
+        )
+        pivots = (
+            memb.select("cluster", F.posexplode("corpus_vec").alias("pos", "x"))
+            .groupBy(F.col("cluster").alias("pivot_id"), F.col("pos"))
+            .agg(F.avg("x").alias("m"))
+            .groupBy("pivot_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("pivot_vec")
+            )
+            .withColumn("pivot_nrm", _norm(F.col("pivot_vec")))
+        )
 
     pcos_c = _dot(F.col("corpus_vec"), F.col("pivot_vec")) / (
         F.col("cnrm") * F.col("pivot_nrm")

@@ -94,6 +94,37 @@ class TestSimilarity:
         }
         assert full == exact, "nprobe=num_pivots must equal exact brute force"
 
+    def test_ivf_refined_codebook_still_valid_index(self, spark):
+        """refine_rounds>0 (spherical-k-means pivot training) must keep
+        every index invariant: k results per probe, results drawn from
+        real corpus ids, and nprobe=num_pivots still EXACTLY equals
+        brute force (training moves cluster boundaries, never drops
+        candidates when every cluster is probed). Recall itself is a
+        data property — measured, not asserted, in ANN_RECALL.md."""
+        from fact_hive_custom_spark.operators.similarity import cosine_topk, ivf_topk
+        from fact_hive_custom_spark.tables import load_table
+
+        emb = load_table(spark, SF_TINY, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 10)
+        exact = {(r.probe_id, r.neighbor_id) for r in cosine_topk(probes, emb, k=5).collect()}
+
+        rows = ivf_topk(
+            probes, emb, k=5, num_pivots=16, nprobe=4, refine_rounds=2
+        ).collect()
+        per_probe: dict = {}
+        for r in rows:
+            per_probe.setdefault(r.probe_id, set()).add(r.neighbor_id)
+        assert all(len(v) == 5 for v in per_probe.values()), per_probe
+        assert len(per_probe) == 10
+
+        full = {
+            (r.probe_id, r.neighbor_id)
+            for r in ivf_topk(
+                probes, emb, k=5, num_pivots=16, nprobe=16, refine_rounds=2
+            ).collect()
+        }
+        assert full == exact, "refined nprobe=num_pivots must stay exact"
+
     def test_cosine_self_similarity_is_one(self, spark):
         from fact_hive_custom_spark.operators.similarity import cosine
 
