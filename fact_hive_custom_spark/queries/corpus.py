@@ -1396,12 +1396,77 @@ _PQ_CTE_PREFIX = f"""emb AS ({EMB_CONTRACT_SQL}),
     )"""
 
 
-def _pq_parts(emb: DataFrame):
+def _pq_lloyd(sub: DataFrame, csub: DataFrame, rounds: int) -> DataFrame:
+    """Per-subspace integer Lloyd rounds over the PQ codebook: assign
+    every subvector to its nearest centroid (exact integer L2², ties
+    → lowest cid — the same min_by key as the code assignment), then
+    move each centroid to the rounded member mean. The mean rounds
+    through the +127 shift so the arithmetic is floor-division-
+    portable (q_llm_kmeans's (2·Σu + n) DIV 2n discipline, DuckDB //
+    == Spark DIV on non-negative operands), then shifts back to the
+    signed grid — distances are shift-invariant, so both engines walk
+    the identical trajectory.
+
+    Scale shape per round: one broadcast of the ≤M·K-row codebook
+    into the subvector stream, one codes-sized shuffle keyed
+    (vec_id, m) for the argmin (partial min_by map-side), one
+    M·K·SUB-bounded update shuffle — the q_llm_kmeans plan, once per
+    subspace, all subspaces in the same jobs."""
+    l2 = (
+        "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    for _ in range(rounds):
+        asg = (
+            sub.join(F.broadcast(csub), "m")
+            .select(
+                "vec_id", "m", "sv", "cid", F.expr(l2).alias("dist")
+            )
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min_by(
+                    F.col("cid"), F.col("dist") * 10000000 + F.col("cid")
+                ).alias("code"),
+                F.first("sv").alias("sv"),
+            )
+        )
+        csub = (
+            asg.select(
+                "m",
+                F.col("code").alias("cid"),
+                F.posexplode("sv").alias("pos", "x"),
+            )
+            .groupBy("m", "cid", "pos")
+            .agg(
+                (
+                    F.expr(
+                        "CAST((2 * SUM(x + 127) + COUNT(*))"
+                        " DIV (2 * COUNT(*)) AS BIGINT)"
+                    )
+                    - F.lit(127)
+                ).alias("c")
+            )
+            .groupBy("cid", "m")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("cv")
+            )
+        )
+    return csub
+
+
+def _pq_parts(emb: DataFrame, train_rounds: int = 0):
     """Spark-side PQ building blocks shared by q_llm_pq_codes,
     q_llm_ivfpq_topk and q_llm_pq_rerank: returns (q, sub, csub,
     best) — the int8-quantized vector relation, the subvector
     stream, the 128-row codebook, and the per-(vector, subspace)
-    argmin code relation. Mirrors _PQ_CTE_PREFIX stage for stage."""
+    argmin code relation. Mirrors _PQ_CTE_PREFIX stage for stage.
+    `train_rounds` > 0 Lloyd-refines the id-selected codebook per
+    subspace before codes are assigned (_pq_lloyd — the trained-
+    codebook upgrade; q_llm_pq_train oracle-checks the trajectory,
+    ANN_RECALL.md measures the recall lift)."""
     g = emb.agg(
         F.max(
             F.expr(
@@ -1444,6 +1509,8 @@ def _pq_parts(emb: DataFrame):
         F.col("m").cast("bigint").alias("m"),
         F.expr(f"slice(cqs, (m - 1) * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv"),
     )
+    if train_rounds:
+        csub = _pq_lloyd(sub, csub, train_rounds)
     d = sub.join(F.broadcast(csub), "m").select(
         "vec_id",
         "m",
@@ -1468,6 +1535,7 @@ def pq_adc_topk(
     k: int = 5,
     rerank_r: int | None = None,
     nprobe: int | None = None,
+    train_rounds: int = 0,
 ) -> DataFrame:
     """Reusable PQ/ADC serving core (q_llm_ivfpq_topk, q_llm_pq_rerank,
     tools/ann_recall.py): top-k neighbors per probe (vec_id < n_probes)
@@ -1492,8 +1560,12 @@ def pq_adc_topk(
     key as the code pivot, so candidates co-partition), each probe
     opens only its nprobe nearest clusters, and ADC scores only codes
     inside probed clusters — candidate fraction ~nprobe/16 on top of
-    the 32× code compression."""
-    q, sub, csub, best = _pq_parts(emb)
+    the 32× code compression.
+
+    `train_rounds` > 0 Lloyd-refines the subspace codebooks before
+    codes are assigned (_pq_lloyd) — the ADC distance table is built
+    against the TRAINED centroids, everything downstream unchanged."""
+    q, sub, csub, best = _pq_parts(emb, train_rounds=train_rounds)
     probes = sub.filter(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"), "m", F.col("sv").alias("pv")
     )
@@ -1934,3 +2006,96 @@ def q_llm_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-integer dist·1e7 + pid composite (dist ≤ 64·254² < 1e7,
     so the encoding is collision-free)."""
     return pq_adc_topk(load_embeddings(spark, sf_dir), n_probes=10, k=5, nprobe=4)
+
+
+def _pq_train_round_cte(prev: str, tag: str) -> str:
+    """One oracle Lloyd step per subspace: assignment vs `prev`
+    (integer L2² over the shifted grid, ties → lowest cid), then the
+    rounded-mean update — mirrors _pq_lloyd stage for stage. The
+    oracle works entirely on the +127-shifted grid (distances are
+    shift-invariant; the Spark side shifts inside the mean only) so
+    every `//` sees non-negative operands."""
+    return f"""
+    a{tag} AS (
+        SELECT s.vec_id, s.m, c.cid,
+               SUM((s.u - c.c) * (s.u - c.c)) AS dist
+        FROM subl s JOIN {prev} c ON s.m = c.m AND s.dim = c.dim
+        GROUP BY s.vec_id, s.m, c.cid
+    ),
+    asg{tag} AS (
+        SELECT vec_id, m, cid, dist FROM a{tag}
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                   ORDER BY dist, cid) = 1
+    ),
+    c{tag} AS (
+        SELECT a.cid, s.m, s.dim,
+               (2 * SUM(s.u) + COUNT(*)) // (2 * COUNT(*)) AS c
+        FROM asg{tag} a JOIN subl s
+             ON a.vec_id = s.vec_id AND a.m = s.m
+        GROUP BY a.cid, s.m, s.dim
+    )"""
+
+
+@register(
+    "q_llm_pq_train",
+    oracle=f"""
+    WITH {_PQ_CTE_PREFIX},
+    subl AS (
+        SELECT vec_id, m, CAST(d AS BIGINT) AS dim,
+               sv[CAST(d AS INT)] + 127 AS u
+        FROM sub, unnest(generate_series(1, {_PQ_SUB})) AS t(d)
+    ),
+    c0 AS (
+        SELECT cid, m, CAST(d AS BIGINT) AS dim,
+               cv[CAST(d AS INT)] + 127 AS c
+        FROM csub, unnest(generate_series(1, {_PQ_SUB})) AS t(d)
+    ),
+    {_pq_train_round_cte('c0', '1')},
+    {_pq_train_round_cte('c1', '2')},
+    af AS (
+        SELECT s.vec_id, s.m, c.cid,
+               SUM((s.u - c.c) * (s.u - c.c)) AS dist
+        FROM subl s JOIN c2 c ON s.m = c.m AND s.dim = c.dim
+        GROUP BY s.vec_id, s.m, c.cid
+    ),
+    asgf AS (
+        SELECT vec_id, m, cid, dist FROM af
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                   ORDER BY dist, cid) = 1
+    )
+    SELECT m AS subspace, cid AS cluster_id,
+           COUNT(*) AS n_members,
+           CAST(SUM(dist) AS BIGINT) AS inertia
+    FROM asgf GROUP BY m, cid ORDER BY subspace, cluster_id
+    """,
+)
+def q_llm_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook TRAINING: two integer Lloyd rounds per subspace
+    from the id-selected seeds (the FAISS `train()` step the rest of
+    the PQ family documents as its production upgrade), reporting per
+    (subspace, centroid) the member count and exact-integer inertia
+    of the final assignment. ANN_RECALL.md measures what this buys at
+    serving time (pq_adc_topk(train_rounds=2)); THIS query pins that
+    the training trajectory itself is bit-identical across engines —
+    assignment by exact integer L2² with lowest-cid tie-break, means
+    rounded via the shift-portable (2·Σu + n) DIV 2n.
+
+    Plan (pinned): per round the ≤M·K-row codebook broadcasts into
+    the subvector stream, the argmin shuffles codes-sized rows keyed
+    (vec_id, m) with map-side partial min_by, and the update shuffle
+    is bounded by M·K·SUB cells — the q_llm_kmeans shape run for all
+    8 subspaces in the same jobs. At 100 TB: 3 scans of the 8-int
+    subvector stream, no vector ever leaves its executor unreduced."""
+    _q, _sub, _csub, best = _pq_parts(
+        load_embeddings(spark, sf_dir), train_rounds=2
+    )
+    return (
+        best.groupBy(
+            F.col("m").alias("subspace"), F.col("code").alias("cluster_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("min_dist").cast("bigint").alias("inertia"),
+        )
+        .orderBy("subspace", "cluster_id")
+    )

@@ -1115,3 +1115,24 @@ class TestKMeansPlan:
         assert "partial_sum(u" in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestPQTrainPlan:
+    def test_pq_train_shuffles_stay_on_code_keys(self, spark):
+        """PQ codebook training (q_llm_pq_train): every hash exchange
+        is keyed on the code/assignment keys (vec_id, m) or the
+        bounded codebook-update cells (m, cid, pos) or the embedding
+        contract's dim — never a wide-vector reshuffle; the codebook
+        attaches by broadcast each round; argmin and the update are
+        partially aggregated map-side; no cartesian of data against
+        data, no Python."""
+        plan = plan_of(spark, "q_llm_pq_train")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"vec_id", "m", "dim", "cid", "subspace"}, keys
+        assert "BroadcastExchange" in plan
+        assert "partial_min_by" in plan or "partial_min(" in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -389,3 +389,31 @@ class TestKMeansInvariants:
         # and the iterations genuinely move: round 1 must improve on
         # the raw id-selected seeds for this fixture
         assert inertias[1] < inertias[0], inertias
+
+
+class TestPQTrainInvariants:
+    def test_pq_training_lowers_quantization_distortion(self, spark):
+        """Two Lloyd rounds per subspace must not RAISE total PQ
+        quantization distortion (Σ min_dist over all (vector,
+        subspace) cells) vs the id-selected seed codebook — Lloyd's
+        two half-steps each minimize the objective, up to the ±½-ulp
+        integer mean rounding. On the real fixture the drop must also
+        be strict (the seeds are not a fixed point)."""
+        from pyspark.sql import functions as F
+
+        from fact_hive_custom_spark.queries.corpus import _pq_parts
+        from fact_hive_custom_spark.tables import load_embeddings
+
+        emb = load_embeddings(spark, "/root/testdata/sf0.01")
+        d0 = (
+            _pq_parts(emb, train_rounds=0)[3]
+            .agg(F.sum("min_dist"))
+            .collect()[0][0]
+        )
+        d2 = (
+            _pq_parts(emb, train_rounds=2)[3]
+            .agg(F.sum("min_dist"))
+            .collect()[0][0]
+        )
+        assert d2 <= d0, (d0, d2)
+        assert d2 < d0, (d0, d2)
