@@ -46,6 +46,7 @@ _KM_T = 2
 _KM_SCALE = 64
 
 _KMEANS_CACHE: list = []
+_PCA_CACHE: list = []
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,4 +291,200 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").alias("min_member_id"),
         )
         .orderBy("cluster_id")
+    )
+
+
+def _pca_round_cte(prev: str, tag: str) -> str:
+    """One oracle power-iteration step: w = M·v, then the portable
+    integer rescale v' = sign(w)·(|w| DIV (max|w| DIV 127 + 1)) —
+    divisor strictly exceeds max|w|/127 so components stay ≤ 127,
+    and the dividend is non-negative so DuckDB // and Spark DIV
+    agree (they differ on negative operands)."""
+    return f"""
+    w{tag} AS (
+        SELECT m.i, SUM(m.a * v.v) AS w
+        FROM scatter m JOIN {prev} v ON m.j = v.i
+        GROUP BY m.i
+    ),
+    v{tag} AS (
+        SELECT i,
+               (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+               * (abs(w) // ((SELECT max(abs(w)) FROM w{tag}) // 127 + 1))
+               AS v
+        FROM w{tag}
+    )"""
+
+
+@register(
+    "q_llm_pca_power",
+    oracle=f"""
+    WITH emb AS ({EMB_CONTRACT_SQL}),
+    g AS (
+        SELECT max(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))))) AS gscale
+        FROM emb
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor((CAST(x AS DOUBLE) * 127) / gscale + 0.5)
+                        AS BIGINT)) AS qs
+        FROM emb, g WHERE gscale > 0
+    ),
+    ql AS (
+        SELECT vec_id, CAST(d AS BIGINT) AS i, qs[CAST(d AS INT)] AS u
+        FROM q, unnest(generate_series(1, len(qs))) AS t(d)
+    ),
+    s AS (SELECT i, SUM(u) AS s FROM ql GROUP BY i),
+    nn AS (SELECT COUNT(*) AS n FROM q),
+    uu AS (
+        SELECT a.i, b.i AS j, SUM(a.u * b.u) AS p
+        FROM ql a JOIN ql b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ),
+    scatter AS (
+        SELECT uu.i, uu.j, nn.n * uu.p - si.s * sj.s AS a
+        FROM uu, nn
+        JOIN s si ON si.i = uu.i
+        JOIN s sj ON sj.i = uu.j
+    ),
+    v0 AS (SELECT i, CAST(1 AS BIGINT) AS v FROM s),
+    {_pca_round_cte('v0', '1')},
+    {_pca_round_cte('v1', '2')},
+    w3 AS (
+        SELECT m.i, SUM(m.a * v.v) AS w
+        FROM scatter m JOIN v2 v ON m.j = v.i
+        GROUP BY m.i
+    ),
+    v3 AS (
+        SELECT i,
+               (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+               * (abs(w) // ((SELECT max(abs(w)) FROM w3) // 127 + 1))
+               AS v
+        FROM w3
+    )
+    SELECT v3.i AS dim, v3.v AS eigvec_q, w3.w AS mv
+    FROM v3 JOIN w3 ON v3.i = w3.i
+    ORDER BY dim
+    """,
+)
+def q_llm_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by THREE
+    power-iteration rounds on the exact-integer centered scatter
+    matrix M = n·ΣUUᵀ − SSᵀ (n² times the covariance — never divides,
+    so every entry is an exact int64), from the all-ones start. Out:
+    per dimension the scale-127 integer eigvector component after
+    round 3 and the unnormalized M·v component entering it — the
+    whitening/decorrelation primitive of an embedding pipeline
+    (drift detection, dominant-axis removal, PCA-before-PQ).
+
+    Engine-portability is the design: the scatter matrix, every
+    matrix–vector product, and the rescale are integer arithmetic —
+    the rescale divisor (max|w| DIV 127 + 1) keeps dividends
+    non-negative so floor (DuckDB //) and truncation (Spark DIV)
+    coincide; signs multiply back exactly. int64 budget: |M| ≤
+    n²·254² needs n ≲ 3.8e8 vectors — past that the two SUMs widen to
+    DECIMAL(38,0) (the q_stat_ttest_welch discipline).
+
+    Plan (pinned): the per-vector outer product is two back-to-back
+    posexplodes — map-side, NO self-join of the long form on vec_id
+    (that shape shuffles D²·n rows; this one partial-aggregates the
+    same products into ≤ D²-per-task partials before the only
+    corpus-sized exchange, keyed (i, j)); S and n are one-pass
+    map-combined aggregates; the 64×64 scatter and the 64-row vector
+    iterate via broadcast joins — constant-size work independent of
+    corpus, no collect, no Python."""
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    g = emb.agg(
+        F.max(
+            F.expr("array_max(transform(embedding, x -> abs(cast(x as double))))")
+        ).alias("gscale")
+    )
+    q = (
+        emb.crossJoin(F.broadcast(g))
+        .filter(F.col("gscale") > 0)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> cast(floor("
+                "(cast(x as double) * 127) / gscale + 0.5) as bigint))"
+            ).alias("qs"),
+        )
+    )
+    ql = q.select(F.posexplode("qs").alias("pos_i", "ui"), "qs")
+    uu = (
+        ql.select(
+            (F.col("pos_i") + 1).cast("bigint").alias("i"),
+            "ui",
+            F.posexplode("qs").alias("pos_j", "uj"),
+        )
+        .groupBy("i", (F.col("pos_j") + 1).cast("bigint").alias("j"))
+        .agg(F.sum(F.col("ui") * F.col("uj")).alias("p"))
+    )
+    s = (
+        q.select(F.posexplode("qs").alias("pos", "u"))
+        .groupBy((F.col("pos") + 1).cast("bigint").alias("i"))
+        .agg(F.sum("u").alias("s"))
+    )
+    nn = q.agg(F.count(F.lit(1)).alias("n"))
+    scatter = (
+        uu.crossJoin(F.broadcast(nn))
+        .join(F.broadcast(s.select(F.col("i"), F.col("s").alias("si"))), "i")
+        .join(
+            F.broadcast(
+                s.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("p") - F.col("si") * F.col("sj")).alias("a"),
+        )
+    )
+    # PERSIST the D²-row scatter matrix: every power-iteration round
+    # references it, and an unpersisted lineage re-runs the full
+    # corpus aggregation once per reference (measured: the executed
+    # plan repeated the two-Generate outer product ~16× and fell to
+    # SortMergeJoin before this cache was added). One corpus pass
+    # total; the iterations touch only the 4096 cached cells.
+    # Generation cache — previous build released on next call.
+    for h in _PCA_CACHE:
+        h.unpersist()
+    _PCA_CACHE.clear()
+    scatter = scatter.persist()
+    _PCA_CACHE.append(scatter)
+    # all-ones start, dims read from the CACHED matrix (re-deriving
+    # them from `s` would re-scan the corpus just to list 1..D)
+    v = scatter.select("i").distinct().withColumn(
+        "v", F.lit(1).cast("bigint")
+    )
+    w = None
+    for _ in range(3):
+        w = (
+            scatter.join(
+                F.broadcast(v.select(F.col("i").alias("j"), "v")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("a") * F.col("v")).alias("w"))
+        )
+        mx = w.agg((F.max(F.abs(F.col("w")))).alias("mx"))
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                "i",
+                (
+                    F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1))
+                    * F.expr("abs(w) DIV (mx DIV 127 + 1)")
+                ).cast("bigint").alias("v"),
+            )
+        )
+    return (
+        v.join(F.broadcast(w), "i")
+        .select(
+            F.col("i").alias("dim"),
+            F.col("v").alias("eigvec_q"),
+            F.col("w").alias("mv"),
+        )
+        .orderBy("dim")
     )

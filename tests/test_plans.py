@@ -1136,3 +1136,27 @@ class TestPQTrainPlan:
         assert "partial_min_by" in plan or "partial_min(" in plan, plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestPcaPowerPlan:
+    def test_pca_scatter_cached_outer_product_map_side(self, spark):
+        """PCA power iteration (q_llm_pca_power): the D²-row scatter
+        matrix is computed from ONE corpus pass (two back-to-back
+        posexplodes partial-aggregated before the only corpus-sized
+        exchange — never a self-join of the long form on vec_id) and
+        PERSISTED; the three matrix–vector rounds reference the cache
+        (InMemoryTableScan), attach vectors by broadcast, and no join
+        anywhere degrades to SortMergeJoin. No cartesian of data
+        against data, no Python."""
+        plan = plan_of(spark, "q_llm_pca_power")
+        assert "InMemoryTableScan" in plan
+        assert "SortMergeJoin" not in plan, [
+            l for l in plan.splitlines() if "SortMergeJoin" in l
+        ]
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # the iterate side never hashes the corpus: every top-level
+        # hash exchange keys on matrix/vector coordinates
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning(vec_id" in line:
+                raise AssertionError(line)
