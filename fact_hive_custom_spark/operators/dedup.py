@@ -244,3 +244,108 @@ def simhash_64(
         term = F.shiftleft(bit, i)
         fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
     return voted.select("doc_id", fingerprint.alias("simhash"))
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    tau_num: int = 4,
+    tau_den: int = 5,
+    k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard ≥ tau_num/tau_den via PREFIX FILTERING (the
+    PPJoin family, Xiao et al. 2008) — the LOSSLESS scale path for
+    exact-threshold set-similarity join, complementing minhash_lsh
+    (probabilistic recall) and jaccard_pairs (all-pairs oracle):
+
+    1. every doc orders its shingle set by GLOBAL document frequency
+       ascending (rarest first; any total order is correct, frequency
+       order minimizes candidates);
+    2. only the first n − ⌈τ·n⌉ + 1 shingles (the PREFIX) enter the
+       candidate join — two sets with Jaccard ≥ τ MUST share a prefix
+       shingle (pigeonhole: disjoint prefixes leave < τ·n matchable),
+       so no qualifying pair is ever missed;
+    3. candidates additionally pass the length filter
+       τ·max(|A|,|B|) ≤ min(|A|,|B|), then verify with the exact
+       full-set intersection — every emitted score is exact.
+
+    τ is a RATIONAL (tau_num/tau_den): prefix length and threshold
+    compare in exact integer arithmetic (⌈τn⌉ = (τ_num·n + τ_den − 1)
+    DIV τ_den). Float ceil(0.8·n) rounds the WRONG WAY on exact
+    multiples (0.8·5 → 4.000000000000000222 → ceil 5) and silently
+    shortens the prefix — a lossy prefix is a correctness bug, not an
+    approximation.
+
+    Scale shape: one shuffle keyed shingle (the df window), one keyed
+    doc_id (size + prefix rank share the exchange), a candidate join
+    keyed on PREFIX shingles only — candidate volume is bounded by
+    rare-shingle collisions, not |corpus|² — and verification joins
+    keyed (doc, shingle) touch only candidate pairs. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard 6-dp rounded.
+    """
+    sh = shingles(docs, k=k).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+    dfw = Window.partitionBy("shingle")
+    szw = Window.partitionBy("doc_id")
+    rkw = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.withColumn("df", F.count(F.lit(1)).over(dfw))
+        .withColumn("n", F.count(F.lit(1)).over(szw))
+        .withColumn("rk", F.row_number().over(rkw))
+    )
+    pref = ranked.filter(
+        F.col("rk")
+        <= F.col("n")
+        - F.expr(f"({tau_num} * n + {tau_den} - 1) DIV {tau_den}")
+        + 1
+    ).select("doc_id", "shingle", "n")
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        # length filter: Jaccard ≥ τ forces min size ≥ τ·max size
+        .filter(
+            F.lit(tau_den) * F.least("a.n", "b.n")
+            >= F.lit(tau_num) * F.greatest("a.n", "b.n")
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sizes = ranked.select("doc_id", "n").distinct()
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        # exact rational threshold: τ_den·|∩| ≥ τ_num·|∪|
+        .filter(
+            F.lit(tau_den) * F.col("n_inter")
+            >= F.lit(tau_num) * (F.col("na") + F.col("nb") - F.col("n_inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -115,6 +115,29 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_prefix_jaccard", oracle=_exact_jaccard_oracle(max_doc_freq=None))
+def q_llm_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-threshold set-similarity join by PREFIX FILTERING
+    (PPJoin-style, operators/dedup.py:prefix_jaccard_pairs): the
+    LOSSLESS exact-Jaccard scale path — unlike minhash_lsh there is
+    no recall dial to tune and no missed pair to bound; only shingles
+    in each doc's rarest-first prefix enter the candidate join, and
+    the prefix length / threshold are exact rational arithmetic
+    (τ = 4/5; float ceil(0.8·n) shortens prefixes on exact multiples
+    — a silent correctness bug, not an approximation).
+
+    The oracle is the UNCAPPED all-pairs exact Jaccard — prefix
+    filtering must reproduce it bit-for-bit (tests also pin Spark-
+    side equality with jaccard_pairs). At 100 TB the all-pairs twin
+    is impossible; this plan's candidate volume is bounded by
+    rare-shingle collisions and the τ·max ≤ min length filter."""
+    from fact_hive_custom_spark.operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), tau_num=4, tau_den=5, k=3
+    )
+
+
 _COSINE_TOPK_ORACLE = f"""
     WITH emb AS ({EMB_CONTRACT_SQL})
     SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,

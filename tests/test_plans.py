@@ -1160,3 +1160,22 @@ class TestPcaPowerPlan:
         for line in plan.splitlines():
             if "Exchange hashpartitioning(vec_id" in line:
                 raise AssertionError(line)
+
+
+class TestPrefixJaccardPlan:
+    def test_prefix_join_no_cartesian_keys_bounded(self, spark):
+        """Prefix-filter Jaccard (q_llm_prefix_jaccard): the candidate
+        join keys on prefix SHINGLES (hash-partitionable equi-join,
+        never a cartesian), verification joins key on doc ids +
+        shingle, the df/size/rank windows share the shingle and
+        doc_id exchanges, and no Python anywhere."""
+        plan = plan_of(spark, "q_llm_prefix_jaccard")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"shingle", "doc_id", "doc_a", "doc_b"}, keys
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Window" in plan  # df + size + prefix-rank windows

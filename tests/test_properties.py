@@ -417,3 +417,38 @@ class TestPQTrainInvariants:
         )
         assert d2 <= d0, (d0, d2)
         assert d2 < d0, (d0, d2)
+
+
+class TestPrefixJaccardInvariants:
+    def test_prefix_filtering_is_lossless_vs_all_pairs(self, spark):
+        """Prefix filtering is an EXACT method: on the same corpus it
+        must reproduce the all-pairs exact Jaccard join identically —
+        same pairs, same 6-dp scores. A shorter-than-⌈τn⌉-complement
+        prefix (e.g. via float ceil) would drop pairs; this is the
+        Spark-side twin of the oracle equality the parity suite pins."""
+        from fact_hive_custom_spark.operators.dedup import (
+            jaccard_pairs,
+            prefix_jaccard_pairs,
+        )
+        from fact_hive_custom_spark.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+        exact = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in jaccard_pairs(docs, threshold=0.8, k=3, max_doc_freq=None).collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in prefix_jaccard_pairs(docs, tau_num=4, tau_den=5, k=3).collect()
+        }
+        assert pref == exact, (
+            f"missed: {exact - pref}; extra: {pref - exact}"
+        )
+
+    def test_prefix_length_integer_arithmetic(self, spark):
+        """⌈τ·n⌉ must be exact on τ-multiples: for τ=4/5 and n=5 the
+        prefix is 5 − 4 + 1 = 2 shingles, not 1 (the float-ceil bug)."""
+        tau_num, tau_den = 4, 5
+        for n, want in [(5, 2), (10, 3), (4, 1), (6, 2), (11, 3)]:
+            ceil_tn = (tau_num * n + tau_den - 1) // tau_den
+            assert n - ceil_tn + 1 == want, (n, ceil_tn)
