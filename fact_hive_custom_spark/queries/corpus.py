@@ -2099,3 +2099,105 @@ def q_llm_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace", "cluster_id")
     )
+
+
+@register(
+    "q_llm_bigram_ppl",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+        FROM toks
+    ),
+    dbg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM dbg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+    v AS (
+        SELECT COUNT(DISTINCT tok) AS v FROM (
+            SELECT unnest(t) AS tok FROM toks
+        )
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               CAST(floor(-ln((c12.c12 + 1.0) / (c1.c1 + v.v)) * 1000000
+                          + 0.5) AS BIGINT) AS nll_e6
+        FROM dbg d
+        JOIN c12 ON d.w1 = c12.w1 AND d.w2 = c12.w2
+        JOIN c1 ON d.w1 = c1.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(nll_e6) // COUNT(*) AS BIGINT) AS avg_nll_e6
+    FROM scored GROUP BY doc_id
+    ORDER BY avg_nll_e6 DESC, doc_id LIMIT 20
+    """,
+)
+def q_llm_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-quality scoring: per-document average bigram surprisal under
+    the corpus's own add-one-smoothed bigram model — the 20 most
+    surprising (≈ highest-perplexity) documents, the classic
+    train-a-cheap-LM-and-filter-the-tail signal (CCNet's perplexity
+    gate with the n-gram model standing in for KenLM).
+
+    Float discipline: a per-doc SUM of ln-probabilities is
+    order-dependent in float — instead each bigram's surprisal is
+    fixed to an INTEGER at e6 scale (floor(−ln p · 1e6 + ½)) and the
+    document aggregates exact integers, so partition order cannot
+    move the result and the DIV average is engine-exact. The only
+    float is the single per-distinct-bigram ln, rounded at the same
+    width the BM25/tfidf family already pins (SURVEY §7.4).
+
+    Plan: bigrams explode map-side; the count tables aggregate
+    map-combined on (w1, w2) then w1; vocabulary is a 1-row broadcast
+    attach; the doc stream joins counts keyed on the SAME (w1, w2)
+    the counting shuffle produced, re-keys once on w1, and the final
+    per-doc sum shuffles (doc_id, int) pairs. Top-20 is
+    TakeOrderedAndProject. Words move; text never does."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    dbg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                "             element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c12 = dbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = toks.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    scored = (
+        dbg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(floor(-ln((c12 + 1.0) / (c1 + v)) * 1000000 + 0.5)"
+                " AS BIGINT)"
+            ).alias("nll_e6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("CAST(SUM(nll_e6) DIV COUNT(*) AS BIGINT)").alias(
+                "avg_nll_e6"
+            ),
+        )
+        .orderBy(F.desc("avg_nll_e6"), "doc_id")
+        .limit(20)
+    )

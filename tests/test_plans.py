@@ -1179,3 +1179,24 @@ class TestPrefixJaccardPlan:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "Window" in plan  # df + size + prefix-rank windows
+
+
+class TestBigramPplPlan:
+    def test_bigram_ppl_text_never_shuffles(self, spark):
+        """Perplexity scoring (q_llm_bigram_ppl): every hash exchange
+        carries words/counts ((w1, w2), w1) or the per-doc integer
+        partial sums (doc_id) — the raw text column never enters an
+        exchange; the vocab size attaches as a 1-row broadcast; the
+        final top-20 is TakeOrderedAndProject, not a global sort; no
+        cartesian of data against data, no Python."""
+        plan = plan_of(spark, "q_llm_bigram_ppl")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                key = line.split("hashpartitioning(")[1]
+                keys.add(key.split("#")[0])
+                assert "text#" not in line, line
+        assert keys <= {"w1", "w2", "doc_id", "tok"}, keys
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
