@@ -75,6 +75,16 @@ HEADLINE = [
     # quadratically with corpus size)
     "q_llm_ivfpq_topk",
     "q_llm_media_dedup",
+    # round-9b: the iterative exact-integer training family (Lloyd
+    # k-means over the cached codes relation, per-subspace PQ
+    # codebook training) — lineage-recompute regressions across
+    # rounds show here as multiples, not percents — plus the
+    # lossless prefix-filter Jaccard join (candidate volume is the
+    # watched quantity) and the integer-surprisal perplexity gate
+    "q_llm_kmeans",
+    "q_llm_pq_train",
+    "q_llm_prefix_jaccard",
+    "q_llm_bigram_ppl",
 ]
 
 

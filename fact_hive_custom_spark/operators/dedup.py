@@ -349,3 +349,88 @@ def prefix_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def prefix_containment_pairs(
+    docs: DataFrame,
+    tau_num: int = 9,
+    tau_den: int = 10,
+    k: int = 3,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT join: pairs where |A∩B| / |A| ≥
+    tau_num/tau_den and |A| ≤ |B| (ties by id) — the sub-document
+    duplication detector (quotes, wholesale inclusion, page-in-page)
+    that symmetric Jaccard structurally misses when |B| ≫ |A|:
+    containment 1.0 pairs can have Jaccard → 0.
+
+    Lossless one-sided prefix filter: only the CONTAINED side is
+    prefix-pruned — if A shares none of its n − ⌈τ·n⌉ + 1 rarest
+    shingles with B, fewer than τ·n of A's shingles can match
+    (pigeonhole), so A is not τ-contained in B. The container side
+    joins with its FULL shingle set (no symmetric prefix exists for
+    containment). Same exact rational arithmetic as
+    prefix_jaccard_pairs; candidates verify with the exact
+    intersection. Returns (doc_a, doc_b, containment): doc_a the
+    contained doc, doc_b the container, score = |A∩B|/|A| 6-dp.
+
+    Size order: requires |A| < |B|, or |A| = |B| with doc_a < doc_b —
+    each unordered pair is tested exactly once in its only possible
+    containment direction ≥ τ > ½... (both directions pass only for
+    equal sets, where the id order picks one canonical row).
+    """
+    sh = shingles(docs, k=k).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+    dfw = Window.partitionBy("shingle")
+    szw = Window.partitionBy("doc_id")
+    rkw = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.withColumn("df", F.count(F.lit(1)).over(dfw))
+        .withColumn("n", F.count(F.lit(1)).over(szw))
+        .withColumn("rk", F.row_number().over(rkw))
+    )
+    pref_a = ranked.filter(
+        F.col("rk")
+        <= F.col("n")
+        - F.expr(f"({tau_num} * n + {tau_den} - 1) DIV {tau_den}")
+        + 1
+    ).select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("na")
+    )
+    full_b = ranked.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n").alias("nb")
+    )
+    cand = (
+        pref_a.join(full_b, "shingle")
+        .filter(
+            (F.col("na") < F.col("nb"))
+            | ((F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b")))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = ranked.select("doc_id", "n").distinct()
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .filter(
+            F.lit(tau_den) * F.col("n_inter") >= F.lit(tau_num) * F.col("na")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_inter") / F.col("na"), 6).alias("containment"),
+        )
+    )

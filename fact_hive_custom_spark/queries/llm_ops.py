@@ -138,6 +138,50 @@ def q_llm_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_containment",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                     i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(n_inter * 1.0 / sa.n, 6) AS containment
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE (sa.n < sb.n OR (sa.n = sb.n AND doc_a < doc_b))
+      AND 10 * n_inter >= 9 * sa.n
+    """,
+)
+def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (|A∩B| / |A| ≥ 9/10 with A the
+    smaller set): detects sub-document duplication — a short doc
+    quoted wholesale inside a long one has containment ~1.0 while its
+    Jaccard tends to 0, so the symmetric dedup family is
+    structurally blind to it. The one-sided lossless prefix filter
+    (operators/dedup.py:prefix_containment_pairs) prunes only the
+    CONTAINED side — pigeonhole on its n − ⌈τn⌉ + 1 rarest shingles —
+    and the threshold compares in exact rational arithmetic
+    (10·|∩| ≥ 9·|A|) in BOTH engines. Oracle = the all-pairs
+    containment join this plan must reproduce exactly."""
+    from fact_hive_custom_spark.operators.dedup import prefix_containment_pairs
+
+    return prefix_containment_pairs(
+        load_table(spark, sf_dir, "documents"), tau_num=9, tau_den=10, k=3
+    )
+
+
 _COSINE_TOPK_ORACLE = f"""
     WITH emb AS ({EMB_CONTRACT_SQL})
     SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,

@@ -1200,3 +1200,20 @@ class TestBigramPplPlan:
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestContainmentPlan:
+    def test_containment_one_sided_prefix_equi_join(self, spark):
+        """Containment join (q_llm_containment): candidate generation
+        is an equi-join on prefix shingles (hash-partitionable —
+        never cartesian), all other exchanges carry doc ids; the
+        contained side alone is prefix-pruned, no Python anywhere."""
+        plan = plan_of(spark, "q_llm_containment")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"shingle", "doc_id", "doc_a", "doc_b"}, keys
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
