@@ -1486,6 +1486,15 @@ def _pq_parts(emb: DataFrame, train_rounds: int = 0):
             ).alias("qs"),
         )
     )
+    # Deliberately NOT cached across Lloyd rounds: measured at sf0.1
+    # (3 passes), persisting the quantized relation made training
+    # SLOWER — median 5.3 s vs 3.7 s — because materializing
+    # deserialized 64-int arrays costs more than re-running the
+    # column-pruned parquet scan + quantize this lineage needs
+    # (T+1 = 3 times). The break-even flips when the corpus scan
+    # dominates (production embedding volumes): there, persist `q`
+    # here — the q_llm_kmeans generation-cache pattern
+    # (clustering.py) is the template. SCALING.md §round-9.
     cent = (
         q.orderBy("vec_id")
         .limit(_PQ_K)
