@@ -795,3 +795,179 @@ def q_stat_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("signif_5pct"),
     ).orderBy("type_a", "type_b")
+
+
+@register(
+    "q_stat_kruskal",
+    oracle="""
+    WITH p AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    vx AS (SELECT x, COUNT(*) AS t FROM p GROUP BY x),
+    vr AS (
+        SELECT x, t,
+               2 * (SUM(t) OVER (ORDER BY x
+                    ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS dr
+        FROM vx
+    ),
+    gx AS (SELECT event_type, x, COUNT(*) AS c FROM p GROUP BY event_type, x),
+    gr AS (
+        SELECT gx.event_type,
+               CAST(SUM(gx.c) AS HUGEINT) AS ng,
+               CAST(SUM(gx.c * vr.dr) AS HUGEINT) AS drg
+        FROM gx JOIN vr ON gx.x = vr.x
+        GROUP BY gx.event_type
+    ),
+    tot AS (
+        SELECT CAST(SUM(ng) AS HUGEINT) AS n,
+               COUNT(*) AS k,
+               CAST(SUM((drg * drg) // ng) AS HUGEINT) AS a
+        FROM gr
+    ),
+    ties AS (
+        SELECT CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tt,
+               COUNT(*) AS n_vals
+        FROM vx
+    ),
+    h AS (
+        SELECT n, k, tt, n_vals,
+               greatest(CAST((3000000 * a) // (n * (n + 1))
+                        - 3000000 * (n + 1) AS BIGINT), 0) AS h_e6
+        FROM tot, ties
+    )
+    SELECT CAST(n AS BIGINT) AS n_total,
+           CAST(k AS BIGINT) AS n_groups,
+           CAST(n_vals AS BIGINT) AS n_distinct_vals,
+           CAST(tt AS BIGINT) AS tie_t,
+           h_e6,
+           CAST(CASE WHEN n * n * n - n - tt > 0
+                THEN (CAST(h_e6 AS HUGEINT) * (n * n * n - n))
+                     // (n * n * n - n - tt)
+                ELSE NULL END AS BIGINT) AS h_corr_e6,
+           CAST(CASE WHEN n * n * n - n - tt > 0
+                     AND (CAST(h_e6 AS HUGEINT) * (n * n * n - n))
+                         // (n * n * n - n - tt)
+                         > CASE k - 1
+                               WHEN 1 THEN 3841459 WHEN 2 THEN 5991465
+                               WHEN 3 THEN 7814728 WHEN 4 THEN 9487729
+                               WHEN 5 THEN 11070498 WHEN 6 THEN 12591587
+                               WHEN 7 THEN 14067140 WHEN 8 THEN 15507313
+                               WHEN 9 THEN 16918978 WHEN 10 THEN 18307038
+                               ELSE NULL END
+                THEN 1 ELSE 0 END AS BIGINT) AS signif_5pct
+    FROM h
+    """,
+)
+def q_stat_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H over the K event-type groups — the
+    nonparametric k-group location test that partners the pairwise
+    Welch t² (q_stat_ttest_welch): does ANY event type's value
+    distribution sit apart, without assuming normality? Emitted as
+    exact-integer H·1e6 with the standard tie correction and a 5%
+    χ²(df = K−1) flag (critical table for df ≤ 10, NULL past it —
+    the same table-constant discipline as ttest's 3841459).
+
+    Exact-integer rank arithmetic: ranks live DOUBLED (average rank
+    of a tie run of t at cumulative offset cb is cb + (t+1)/2 —
+    doubled: 2·cb + t + 1 — an integer always), group rank-sums DRg
+    are exact int64, and H = 3·Σ(DRg²/ng)/(N(N+1)) − 3(N+1) runs in
+    DECIMAL(38,0)/HUGEINT with per-group floor division. Overflow
+    budget (the ttest discipline): DRg² ≤ ng²(2N+1)² needs DECIMAL38;
+    the per-group DIV result DRg² // ng ≤ ng(2N+1)² must fit int64 —
+    valid to N ≈ 1.5e6 rows; past that, pre-divide DRg by 10 (the
+    knob, shaving <1e-2 relative) before squaring.
+
+    Plan: ONE map-combined count per (event_type, x) and per x; the
+    rank window runs over the DISTINCT-VALUE distribution (|V| rows —
+    bounded by the cents-rounded value domain, NOT by N; at an
+    unbounded domain you'd bucket first), then two tiny aggregates
+    and a broadcast attach. At 100 TB the corpus contributes two
+    count shuffles; no raw row ever reaches the window."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    vx = p.groupBy("x").agg(F.count(F.lit(1)).alias("t"))
+    vr = vx.select(
+        "x",
+        "t",
+        (
+            2
+            * (
+                F.sum("t").over(
+                    Window.orderBy("x").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                - F.col("t")
+            )
+            + F.col("t")
+            + 1
+        ).alias("dr"),
+    )
+    gx = p.groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("c"))
+    d38 = "decimal(38,0)"
+    gr = (
+        gx.join(vr, "x")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast(d38).alias("ng"),
+            F.sum(F.col("c") * F.col("dr")).cast(d38).alias("drg"),
+        )
+    )
+    tot = gr.agg(
+        F.sum("ng").cast(d38).alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.expr("(drg * drg) DIV ng").cast(d38)).cast(d38).alias("a"),
+    )
+    ties = vx.agg(
+        F.sum(
+            F.col("t").cast(d38) * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast(d38)
+        .alias("tt"),
+        F.count(F.lit(1)).alias("n_vals"),
+    )
+    h = tot.crossJoin(F.broadcast(ties)).select(
+        "n",
+        "k",
+        "tt",
+        "n_vals",
+        F.expr(
+            "greatest(CAST((3000000 * a) DIV (n * (n + 1))"
+            " - 3000000 * (n + 1) AS BIGINT), 0)"
+        ).alias("h_e6"),
+    )
+    crit = (
+        "CASE k - 1"
+        " WHEN 1 THEN 3841459 WHEN 2 THEN 5991465"
+        " WHEN 3 THEN 7814728 WHEN 4 THEN 9487729"
+        " WHEN 5 THEN 11070498 WHEN 6 THEN 12591587"
+        " WHEN 7 THEN 14067140 WHEN 8 THEN 15507313"
+        " WHEN 9 THEN 16918978 WHEN 10 THEN 18307038"
+        " ELSE NULL END"
+    )
+    hc = (
+        "(CAST(h_e6 AS decimal(38,0)) * (n * n * n - n))"
+        " DIV (n * n * n - n - tt)"
+    )
+    return h.select(
+        F.col("n").cast("bigint").alias("n_total"),
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.col("n_vals").cast("bigint").alias("n_distinct_vals"),
+        F.col("tt").cast("bigint").alias("tie_t"),
+        "h_e6",
+        F.expr(
+            f"CAST(CASE WHEN n * n * n - n - tt > 0 THEN {hc}"
+            " ELSE NULL END AS BIGINT)"
+        ).alias("h_corr_e6"),
+        F.expr(
+            f"CAST(CASE WHEN n * n * n - n - tt > 0 AND {hc} > {crit}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("signif_5pct"),
+    )

@@ -1217,3 +1217,23 @@ class TestContainmentPlan:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestKruskalPlan:
+    def test_kruskal_corpus_contributes_two_count_shuffles(self, spark):
+        """Kruskal–Wallis (q_stat_kruskal): the raw events stream is
+        reduced by map-combined counts before its only exchanges
+        (per-x and per-(event_type, x)); the unpartitioned rank
+        window runs over the DISTINCT-VALUE distribution, never raw
+        rows; everything after is 1-to-5-row aggregates. No Python,
+        no data×data cartesian."""
+        plan = plan_of(spark, "q_stat_kruskal")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"x", "event_type"}, keys
+        # partial aggregation precedes every corpus-sized exchange
+        assert "partial_count" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
