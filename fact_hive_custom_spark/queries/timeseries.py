@@ -940,3 +940,113 @@ def q_ts_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_ts_changepoint",
+    oracle=f"""
+    WITH b AS (
+        SELECT epoch_us(ts) // {_US_PER_HOUR} AS h, COUNT(*) AS c
+        FROM events WHERE ts IS NOT NULL GROUP BY h
+    ),
+    w AS (
+        SELECT h, c,
+               ROW_NUMBER() OVER (ORDER BY h) AS i,
+               SUM(c) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS sl,
+               SUM(c) OVER () AS tot,
+               COUNT(*) OVER () AS nb
+        FROM b
+    ),
+    g AS (
+        SELECT h, i, nb, sl, tot - sl AS sr, tot,
+               CAST((1000000 * (CAST(sl AS HUGEINT) * sl * (nb - i)
+                                + CAST(tot - sl AS HUGEINT) * (tot - sl) * i))
+                    // (CAST(i AS HUGEINT) * (nb - i)) AS BIGINT) AS g_e6
+        FROM w WHERE i < nb
+    )
+    SELECT CAST(h AS BIGINT) AS split_hour,
+           CAST(i AS BIGINT) AS split_idx,
+           CAST(nb AS BIGINT) AS n_buckets,
+           CAST(sl AS BIGINT) AS left_events,
+           CAST(sr AS BIGINT) AS right_events,
+           g_e6,
+           CAST((1000000 * CAST(tot AS HUGEINT) * tot) // nb AS BIGINT)
+               AS g_null_e6
+    FROM g
+    ORDER BY g_e6 DESC, i LIMIT 1
+    """,
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection, binary-segmentation step 1: the single
+    split of the hourly event-count series that best explains the
+    data as two level segments — argmax over k of
+    Sl²/nl + Sr²/nr (the split maximizing between-segment SSE
+    reduction; CUSUM q_ts_cusum flags WHEN drift accumulates, this
+    finds WHERE to cut). Emitted: the winning split hour, segment
+    sizes/volumes, its gain G·1e6, and the no-split baseline
+    S²/n·1e6 — gain ≫ baseline means a real level shift.
+
+    The argmax compares EXACT integers: G(k) is put over the common
+    denominator k·(n−k) and floored at e6 scale in HUGEINT/DECIMAL38
+    (both engines floor identically; ties → lowest k), so the chosen
+    split is engine-exact — a float argmax over near-equal G values
+    is not. Overflow: Sl²·nr ≤ N²·n_buckets needs the wide type;
+    the DIV result ≤ 1e6·N²/nb... ≤ int64 for N ≤ 1e6·√nb (ttest-
+    style budget, the e6 scale is the knob).
+
+    Plan: ONE map-combined count collapses the corpus to its hourly
+    buckets (720 rows at any fixture scale — bucket granularity
+    bounds the series, the q_graph_triangles granularity lesson);
+    the prefix-sum window and argmax run on that bounded series
+    (TakeOrdered top-1, no global sort of raw data). At 100 TB the
+    corpus contributes exactly one narrow count shuffle."""
+    b = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.expr(f"unix_micros(ts) DIV {_US_PER_HOUR}").alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wo = Window.orderBy("h")
+    wall = Window.partitionBy()
+    d38 = "decimal(38,0)"
+    w = b.select(
+        "h",
+        "c",
+        F.row_number().over(wo).alias("i"),
+        F.sum("c")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sl"),
+        F.sum("c").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("nb"),
+    )
+    g = w.filter(F.col("i") < F.col("nb")).select(
+        "h",
+        "i",
+        "nb",
+        "sl",
+        (F.col("tot") - F.col("sl")).alias("sr"),
+        "tot",
+        F.expr(
+            f"CAST((1000000 * (CAST(sl AS {d38}) * sl * (nb - i)"
+            f" + CAST(tot - sl AS {d38}) * (tot - sl) * i))"
+            f" DIV (CAST(i AS {d38}) * (nb - i)) AS BIGINT)"
+        ).alias("g_e6"),
+    )
+    return (
+        g.select(
+            F.col("h").cast("bigint").alias("split_hour"),
+            F.col("i").cast("bigint").alias("split_idx"),
+            F.col("nb").cast("bigint").alias("n_buckets"),
+            F.col("sl").cast("bigint").alias("left_events"),
+            F.col("sr").cast("bigint").alias("right_events"),
+            "g_e6",
+            F.expr(
+                f"CAST((1000000 * CAST(tot AS {d38}) * tot) DIV nb"
+                " AS BIGINT)"
+            ).alias("g_null_e6"),
+        )
+        .orderBy(F.desc("g_e6"), "split_idx")
+        .limit(1)
+    )

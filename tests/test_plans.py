@@ -1237,3 +1237,23 @@ class TestKruskalPlan:
         assert "partial_count" in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestChangepointPlan:
+    def test_changepoint_corpus_one_count_shuffle_topk_heap(self, spark):
+        """Changepoint (q_ts_changepoint): the corpus collapses to its
+        hourly buckets in one map-combined count before the only
+        corpus-sized exchange (keyed h); the prefix-sum window and
+        argmax run over the bounded bucket series; top-1 is
+        TakeOrderedAndProject, never a global sort of raw rows."""
+        plan = plan_of(spark, "q_ts_changepoint")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        # the bucket key appears as the groupBy expression alias
+        assert keys <= {"h", "_groupingexpression"}, keys
+        assert "partial_count" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
