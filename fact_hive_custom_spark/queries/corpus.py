@@ -2210,3 +2210,89 @@ def q_llm_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_nll_e6"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "q_llm_pq_trained_topk",
+    oracle=f"""
+    WITH {_PQ_CTE_PREFIX},
+    subl AS (
+        SELECT vec_id, m, CAST(d AS BIGINT) AS dim,
+               sv[CAST(d AS INT)] + 127 AS u
+        FROM sub, unnest(generate_series(1, {_PQ_SUB})) AS t(d)
+    ),
+    c0 AS (
+        SELECT cid, m, CAST(d AS BIGINT) AS dim,
+               cv[CAST(d AS INT)] + 127 AS c
+        FROM csub, unnest(generate_series(1, {_PQ_SUB})) AS t(d)
+    ),
+    {_pq_train_round_cte('c0', '1')},
+    {_pq_train_round_cte('c1', '2')},
+    csub2 AS (
+        SELECT cid, m, list(c - 127 ORDER BY dim) AS cv
+        FROM c2 GROUP BY cid, m
+    ),
+    d2 AS (
+        SELECT s.vec_id, s.m, c.cid,
+               CAST(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                   i -> (list_extract(s.sv, CAST(i AS INT))
+                         - list_extract(c.cv, CAST(i AS INT)))
+                        * (list_extract(s.sv, CAST(i AS INT))
+                           - list_extract(c.cv, CAST(i AS INT)))))
+                    AS BIGINT) AS dist
+        FROM sub s JOIN csub2 c USING (m)
+    ),
+    best2 AS (
+        SELECT vec_id, m,
+               arg_min(cid, dist * 10000000 + cid) AS code,
+               MIN(dist) AS min_dist
+        FROM d2 GROUP BY vec_id, m
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, m, sv AS pv
+        FROM sub WHERE vec_id < 10
+    ),
+    dt AS (
+        SELECT p.probe_id, p.m, c.cid,
+               CAST(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                   i -> (list_extract(p.pv, CAST(i AS INT))
+                         - list_extract(c.cv, CAST(i AS INT)))
+                        * (list_extract(p.pv, CAST(i AS INT))
+                           - list_extract(c.cv, CAST(i AS INT)))))
+                    AS BIGINT) AS pdist
+        FROM probes p JOIN csub2 c USING (m)
+    ),
+    adc AS (
+        SELECT t.probe_id, b.vec_id AS neighbor_id,
+               CAST(SUM(t.pdist) AS BIGINT) AS adc_dist
+        FROM best2 b JOIN dt t ON b.m = t.m AND b.code = t.cid
+        WHERE b.vec_id <> t.probe_id
+        GROUP BY 1, 2
+    )
+    SELECT probe_id, neighbor_id, adc_dist,
+           CAST(row_number() OVER (
+               PARTITION BY probe_id
+               ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rnk
+    FROM adc
+    QUALIFY rnk <= 5
+    """,
+)
+def q_llm_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END trained-codebook ADC serving: the full
+    train-then-serve PQ loop — two integer Lloyd rounds per subspace
+    (q_llm_pq_train's trajectory), codes re-assigned against the
+    TRAINED codebook, ADC top-5 per probe — oracle-checked as one
+    query, so the handoff from training to serving (codebook layout,
+    code re-assignment, distance-table build) is exact across
+    engines, not just recall-measured (ANN_RECALL.md rows show the
+    lift: codes-only recall 0.18 → 0.28 at sf0.01).
+
+    Plan: identical to q_llm_ivfpq_topk's pinned shape downstream of
+    the codebook (broadcast ADC table, codes-only streaming, salted
+    two-stage top-k) with the training rounds prepended — the
+    codebook stays ≤ M·K rows throughout, so training adds
+    broadcast-join rounds plus codes-sized argmin shuffles keyed
+    (vec_id, m), never a new wide shape (see q_llm_pq_train's pin)."""
+    return pq_adc_topk(
+        load_embeddings(spark, sf_dir), n_probes=10, k=5, train_rounds=2
+    )
