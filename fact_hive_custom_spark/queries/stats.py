@@ -971,3 +971,465 @@ def q_stat_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("signif_5pct"),
     )
+
+
+@register(
+    "q_stat_mannwhitney",
+    oracle="""
+    WITH p AS (
+        SELECT event_type AS ty, CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    cnt AS (SELECT ty, x, COUNT(*) AS c FROM p GROUP BY ty, x),
+    vx AS (SELECT DISTINCT x FROM p),
+    tys AS (SELECT DISTINCT ty FROM p),
+    g AS (
+        SELECT t.ty, v.x, COALESCE(c.c, 0) AS c,
+               COALESCE(SUM(COALESCE(c.c, 0)) OVER (
+                   PARTITION BY t.ty ORDER BY v.x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cume
+        FROM tys t CROSS JOIN vx v
+        LEFT JOIN cnt c ON c.ty = t.ty AND c.x = v.x
+    ),
+    pr AS (
+        SELECT a.ty AS type_a, b.ty AS type_b,
+               CAST(SUM(a.c) AS HUGEINT) AS na,
+               CAST(SUM(b.c) AS HUGEINT) AS nb,
+               CAST(SUM(CAST(a.c AS HUGEINT)
+                        * (2 * b.cume + b.c)) AS HUGEINT) AS u2a,
+               CAST(SUM(CAST(a.c + b.c AS HUGEINT) * (a.c + b.c)
+                        * (a.c + b.c) - (a.c + b.c)) AS HUGEINT) AS tt
+        FROM g a JOIN g b ON a.x = b.x AND a.ty < b.ty
+        GROUP BY a.ty, b.ty
+    ),
+    z AS (
+        SELECT type_a, type_b, na, nb, u2a, tt,
+               na + nb AS n,
+               (3000000 * (u2a - na * nb) * (u2a - na * nb))
+                   // (na * nb) AS t1,
+               (na + nb) * (na + nb - 1) * (na + nb + 1) - tt AS bden
+        FROM pr
+    )
+    SELECT type_a, type_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(u2a AS BIGINT) AS u2_a, CAST(tt AS BIGINT) AS tie_t,
+           CAST(CASE WHEN bden > 0
+                THEN (t1 * n * (n - 1)) // bden
+                ELSE NULL END AS BIGINT) AS z2_e6,
+           CAST(CASE WHEN bden > 0
+                     AND (t1 * n * (n - 1)) // bden > 3841459
+                THEN 1 ELSE 0 END AS BIGINT) AS signif_5pct
+    FROM z
+    ORDER BY type_a, type_b
+    """,
+)
+def q_stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U over every event-type pair — the rank-based
+    two-sample partner to q_stat_ttest_welch (location shift without
+    normality) and the pairwise drill-down of q_stat_kruskal's k-group
+    H: WHICH pair differs, not just whether any does. Emitted as the
+    exact doubled U statistic plus tie-corrected z² in integer e6 and
+    the 5% normal flag (z² > 1.959964²·1e6 = 3841459, the ttest
+    constant — valid for the n ≥ 1000 groups here).
+
+    Exact rank arithmetic without ranking any row: over the per-
+    (type, value) count grid (the kruskal trick), the doubled U is
+        2·U_a = Σ_x c_a(x)·(2·C_b(<x) + c_b(x))
+    — each a-observation beats everything of b strictly below it and
+    half-ties the b's at its own value; doubling makes the half-tie an
+    integer always. The grid densifies (type × distinct-value cross
+    join) so one per-type running sum serves every pair; pooled tie
+    term T = Σ(t³−t) falls out of the same join. z² is computed in two
+    sequential floor divisions (t1 = 3e6·(2U−na·nb)² DIV na·nb, then
+    ·n(n−1) DIV (n(n−1)(n+1)−T)) so no intermediate exceeds
+    DECIMAL(38,0)/HUGEINT — exact to ±1e-6 in z², identically floored
+    on both engines. Overflow budget: 3e6·(na·nb)² ≤ 1e38 needs
+    na·nb ≤ 1.8e15, and t1 ≤ 3e6·na·nb must fit the BIGINT that
+    Spark's DECIMAL DIV returns — na·nb ≤ 3e12 is the binding knob
+    (pre-divide 2U−na·nb by 1e3 past ~1.7e6 rows/group).
+
+    Plan: ONE map-combined count per (type, x) plus a distinct-value
+    relation bounded by the cents domain |V|, a |V|·k densified grid
+    with a per-type running-sum window (partition key = type, k ways
+    parallel), then the k²/2 pair join keyed on x — every relation
+    after the first count is O(|V|·k²), independent of row count N.
+    At 100 TB the corpus contributes exactly one count shuffle; no
+    raw row ever reaches a window or a join."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("ty"),
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    cnt = p.groupBy("ty", "x").agg(F.count(F.lit(1)).alias("c"))
+    vx = p.select("x").distinct()
+    tys = p.select("ty").distinct()
+    grid = (
+        vx.crossJoin(F.broadcast(tys))
+        .join(cnt, ["ty", "x"], "left")
+        .select("ty", "x", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    g = grid.select(
+        "ty",
+        "x",
+        "c",
+        F.coalesce(
+            F.sum("c").over(
+                Window.partitionBy("ty")
+                .orderBy("x")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cume"),
+    )
+    d38 = "decimal(38,0)"
+    a = g.select(
+        F.col("ty").alias("type_a"),
+        F.col("x").alias("xa"),
+        F.col("c").alias("ca"),
+    )
+    b = g.select(
+        F.col("ty").alias("type_b"),
+        F.col("x").alias("xb"),
+        F.col("c").alias("cb"),
+        F.col("cume").alias("cbe"),
+    )
+    pr = (
+        a.join(
+            b,
+            (F.col("xa") == F.col("xb"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum("ca").cast(d38).alias("na"),
+            F.sum("cb").cast(d38).alias("nb"),
+            F.sum(
+                F.col("ca").cast(d38) * (2 * F.col("cbe") + F.col("cb"))
+            )
+            .cast(d38)
+            .alias("u2a"),
+            F.sum(
+                (F.col("ca") + F.col("cb")).cast(d38)
+                * (F.col("ca") + F.col("cb"))
+                * (F.col("ca") + F.col("cb"))
+                - (F.col("ca") + F.col("cb"))
+            )
+            .cast(d38)
+            .alias("tt"),
+        )
+    )
+    z = pr.select(
+        "type_a",
+        "type_b",
+        "na",
+        "nb",
+        "u2a",
+        "tt",
+        (F.col("na") + F.col("nb")).alias("n"),
+        F.expr(
+            "(3000000 * (u2a - na * nb) * (u2a - na * nb)) DIV (na * nb)"
+        )
+        .cast(d38)
+        .alias("t1"),
+        F.expr(
+            "(na + nb) * (na + nb - 1) * (na + nb + 1) - tt"
+        ).alias("bden"),
+    )
+    zexpr = "(t1 * n * (n - 1)) DIV bden"
+    return z.select(
+        "type_a",
+        "type_b",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("u2a").cast("bigint").alias("u2_a"),
+        F.col("tt").cast("bigint").alias("tie_t"),
+        F.expr(
+            f"CAST(CASE WHEN bden > 0 THEN {zexpr}"
+            " ELSE NULL END AS BIGINT)"
+        ).alias("z2_e6"),
+        F.expr(
+            f"CAST(CASE WHEN bden > 0 AND {zexpr} > 3841459"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("signif_5pct"),
+    ).orderBy("type_a", "type_b")
+
+
+@register(
+    "q_stat_ks2",
+    oracle="""
+    WITH p AS (
+        SELECT event_type AS ty, CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    cnt AS (SELECT ty, x, COUNT(*) AS c FROM p GROUP BY ty, x),
+    vx AS (SELECT DISTINCT x FROM p),
+    tys AS (SELECT DISTINCT ty FROM p),
+    g AS (
+        SELECT t.ty, v.x,
+               SUM(COALESCE(c.c, 0)) OVER (
+                   PARTITION BY t.ty ORDER BY v.x
+                   ROWS UNBOUNDED PRECEDING) AS cumi
+        FROM tys t CROSS JOIN vx v
+        LEFT JOIN cnt c ON c.ty = t.ty AND c.x = v.x
+    ),
+    tot AS (SELECT ty, CAST(COUNT(*) AS HUGEINT) AS n FROM p GROUP BY ty),
+    pr AS (
+        SELECT a.ty AS type_a, b.ty AS type_b, ta.n AS na, tb.n AS nb,
+               MAX(ABS(tb.n * a.cumi - ta.n * b.cumi)) AS d_num
+        FROM g a
+        JOIN g b ON a.x = b.x AND a.ty < b.ty
+        JOIN tot ta ON ta.ty = a.ty
+        JOIN tot tb ON tb.ty = b.ty
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT type_a, type_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(d_num AS BIGINT) AS d_num,
+           CAST((1000000 * d_num) // (na * nb) AS BIGINT) AS d_ppm,
+           CAST(CASE WHEN ((1000000 * d_num) // (na * nb))
+                          * ((1000000 * d_num) // (na * nb))
+                          * na * nb
+                          > CAST(1844164 AS HUGEINT) * 1000000 * (na + nb)
+                THEN 1 ELSE 0 END AS BIGINT) AS signif_5pct
+    FROM pr
+    ORDER BY type_a, type_b
+    """,
+)
+def q_stat_ks2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov over every event-type pair — the
+    distribution-drift detector (train/serve skew, A/B sanity, feed
+    corruption): the largest ECDF gap D, exact, with the 5% asymptotic
+    flag. Completes the nonparametric family: kruskal asks "any group
+    apart?", mannwhitney asks "which pair shifted in location?", KS
+    asks "does the SHAPE differ anywhere?".
+
+    Exact rational ECDF: over the densified (type × distinct-value)
+    grid (shared construction with q_stat_mannwhitney), the gap at x
+    is |F_a(x) − F_b(x)| = |nb·C_a(x) − na·C_b(x)| / (na·nb), so
+    D's numerator is an exact integer MAX; the reported d_ppm floors
+    1e6·D identically on both engines. The 5% flag squares the FLOORED
+    d_ppm (conservative by < 1e-6·D, identical floors both sides) so
+    the comparison product d_ppm²·na·nb ≤ 1e12·na·nb stays inside
+    DECIMAL(38,0)/HUGEINT to na·nb ≤ 1e26 — no rescale knob needed at
+    any realistic scale; the critical constant is c(0.05)² = 1.358² =
+    1.844164 scaled e6 in Kα·√((na+nb)/(na·nb)).
+
+    Plan: identical skeleton to mannwhitney — one map-combined count
+    per (type, x), a |V|·k grid with per-type running sums, a tiny
+    per-type total broadcast onto the k²/2 pair join, and a MAX
+    aggregate. Everything after the first count is O(|V|·k²) whatever
+    N is; the value domain |V| (cents-bounded) is the dial — bucket x
+    first if the domain were unbounded."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("ty"),
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    cnt = p.groupBy("ty", "x").agg(F.count(F.lit(1)).alias("c"))
+    vx = p.select("x").distinct()
+    tys = p.select("ty").distinct()
+    d38 = "decimal(38,0)"
+    g = (
+        vx.crossJoin(F.broadcast(tys))
+        .join(cnt, ["ty", "x"], "left")
+        .select(
+            "ty",
+            "x",
+            F.sum(F.coalesce(F.col("c"), F.lit(0)))
+            .over(
+                Window.partitionBy("ty")
+                .orderBy("x")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("cumi"),
+        )
+    )
+    tot = p.groupBy("ty").agg(F.count(F.lit(1)).cast(d38).alias("n"))
+    a = g.select(
+        F.col("ty").alias("type_a"),
+        F.col("x").alias("xa"),
+        F.col("cumi").alias("cia"),
+    )
+    b = g.select(
+        F.col("ty").alias("type_b"),
+        F.col("x").alias("xb"),
+        F.col("cumi").alias("cib"),
+    )
+    pr = (
+        a.join(
+            b,
+            (F.col("xa") == F.col("xb"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .join(
+            F.broadcast(tot.select(F.col("ty").alias("type_a"),
+                                   F.col("n").alias("na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(tot.select(F.col("ty").alias("type_b"),
+                                   F.col("n").alias("nb"))),
+            "type_b",
+        )
+        .groupBy("type_a", "type_b", "na", "nb")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("nb") * F.col("cia") - F.col("na") * F.col("cib")
+                )
+            )
+            .cast(d38)
+            .alias("d_num")
+        )
+    )
+    dppm = "(1000000 * d_num) DIV (na * nb)"
+    return pr.select(
+        "type_a",
+        "type_b",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("d_num").cast("bigint").alias("d_num"),
+        F.expr(f"CAST({dppm} AS BIGINT)").alias("d_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN CAST({dppm} AS decimal(38,0))"
+            f" * CAST({dppm} AS decimal(38,0)) * na * nb"
+            " > CAST(1844164 AS decimal(38,0)) * 1000000 * (na + nb)"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("signif_5pct"),
+    ).orderBy("type_a", "type_b")
+
+
+_BENFORD_PPM = (
+    "CASE d WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939"
+    " WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947"
+    " WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757 END"
+)  # round(1e6*log10(1+1/d)); sums to exactly 1,000,000
+
+
+@register(
+    "q_stat_benford",
+    oracle=f"""
+    WITH p AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    ),
+    obs AS (SELECT d, CAST(COUNT(*) AS HUGEINT) AS o FROM p GROUP BY d),
+    dig AS (SELECT CAST(range AS BIGINT) AS d FROM range(1, 10)),
+    n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM p),
+    r AS (
+        SELECT d, o, n, CAST({_BENFORD_PPM} AS HUGEINT) AS exp_ppm
+        FROM (
+            SELECT dig.d AS d, COALESCE(obs.o, 0) AS o, n.n AS n
+            FROM dig LEFT JOIN obs ON obs.d = dig.d CROSS JOIN n
+        )
+    ),
+    c AS (
+        SELECT d, o, n, exp_ppm,
+               ((1000000 * o - n * exp_ppm) * (1000000 * o - n * exp_ppm))
+                   // (n * exp_ppm) AS contrib_e6
+        FROM r
+    )
+    SELECT CAST(d AS BIGINT) AS digit,
+           CAST(o AS BIGINT) AS n_obs,
+           CAST(exp_ppm AS BIGINT) AS exp_ppm,
+           CAST((1000000 * o) // n AS BIGINT) AS obs_ppm,
+           CAST(contrib_e6 AS BIGINT) AS contrib_e6,
+           CAST(SUM(contrib_e6) OVER () AS BIGINT) AS chi2_e6,
+           CAST(CASE WHEN SUM(contrib_e6) OVER () > 15507313
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+    FROM c
+    ORDER BY digit
+    """,
+)
+def q_stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the fraud /
+    synthetic-data / unit-mixup detector: natural multi-magnitude
+    amounts follow P(d) = log10(1+1/d); a flat or spiked first-digit
+    histogram flags fabricated or truncated feeds. Emits the 9-row
+    digit distribution with per-digit χ² contributions and the
+    χ²(8 df) 5% rejection flag.
+
+    No float log anywhere: the expected distribution is the standard
+    constant table round(1e6·log10(1+1/d)) — nine literals summing to
+    exactly 1e6, identical in both engines — and the first digit is
+    taken from the STRING form of the integer cents (substr of a
+    BIGINT cast), because floor(log10(x))/pow(10,·) float round-trips
+    straddle exact powers of ten differently per libm. χ²·1e6 =
+    Σ (1e6·O − n·exp_ppm)² DIV (n·exp_ppm) with per-digit floors,
+    DECIMAL(38,0)/HUGEINT throughout — (1e6·n)² ≤ 1e38 holds to
+    n = 1e16 rows. Digits densify against a constant 9-row relation so
+    a digit with zero mass still reports (and still contributes
+    n·p_d to χ²). The rejection constant 15507313 is χ²(8)·1e6 at 5%
+    (the q_stat_kruskal critical table, df = 8).
+
+    Plan: one map-combined 9-group count; everything downstream lives
+    on ≤ 9 rows (constant-relation left join, global window over 9
+    rows — SCALING.md §global-windows). At 100 TB the scan's digit
+    extraction is fused into the parquet read and the single exchange
+    carries nine (digit, count) pairs."""
+    p = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull()
+                & (F.col("o_totalprice") > 0))
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+    )
+    d38 = "decimal(38,0)"
+    obs = p.groupBy("d").agg(F.count(F.lit(1)).cast(d38).alias("o"))
+    dig = spark.range(1, 10).select(F.col("id").alias("d"))
+    n = p.agg(F.count(F.lit(1)).cast(d38).alias("n"))
+    r = (
+        dig.join(obs, "d", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "d",
+            F.coalesce(F.col("o"), F.lit(0).cast(d38)).alias("o"),
+            "n",
+            F.expr(f"CAST({_BENFORD_PPM} AS {d38})").alias("exp_ppm"),
+        )
+    )
+    c = r.select(
+        "d",
+        "o",
+        "n",
+        "exp_ppm",
+        F.expr(
+            "((1000000 * o - n * exp_ppm) * (1000000 * o - n * exp_ppm))"
+            " DIV (n * exp_ppm)"
+        )
+        .cast(d38)
+        .alias("contrib_e6"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return c.select(
+        F.col("d").cast("bigint").alias("digit"),
+        F.col("o").cast("bigint").alias("n_obs"),
+        F.col("exp_ppm").cast("bigint").alias("exp_ppm"),
+        F.expr("CAST((1000000 * o) DIV n AS BIGINT)").alias("obs_ppm"),
+        F.col("contrib_e6").cast("bigint").alias("contrib_e6"),
+        F.sum("contrib_e6").over(w).cast("bigint").alias("chi2_e6"),
+        F.when(F.sum("contrib_e6").over(w) > 15507313, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("reject_5pct"),
+    ).orderBy("digit")

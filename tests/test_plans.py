@@ -1257,3 +1257,54 @@ class TestChangepointPlan:
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestRankTestPlans:
+    def test_mannwhitney_exchanges_stay_on_grid_keys(self, spark):
+        """Mann-Whitney (q_stat_mannwhitney): the raw events stream is
+        map-combined into per-(type, x) counts before its only
+        corpus-sized exchange; the densified grid, per-type running
+        sums, and the k²/2 pair join all key on the bounded value
+        domain — no exchange keys on anything row-scaled, no Python,
+        no data×data cartesian (the grid cross join broadcasts the
+        k-row type list)."""
+        plan = plan_of(spark, "q_stat_mannwhitney")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"ty", "x", "xa", "xb", "type_a", "type_b"}, keys
+        assert "partial_count" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_ks2_exchanges_stay_on_grid_keys(self, spark):
+        """Two-sample KS (q_stat_ks2): same skeleton as mannwhitney —
+        one map-combined count per (type, x), grid windows on the
+        bounded domain, per-type totals broadcast onto the pair join
+        (never shuffled), MAX aggregate on pair keys."""
+        plan = plan_of(spark, "q_stat_ks2")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"ty", "x", "xa", "xb", "type_a", "type_b"}, keys
+        assert "partial_count" in plan
+        assert "BroadcastHashJoin" in plan  # per-type totals attach
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_benford_single_digit_count_exchange(self, spark):
+        """Benford (q_stat_benford): the scan collapses to nine
+        (digit, count) pairs in one map-combined aggregation; the
+        constant digit relation, total attach, and global window all
+        live on ≤ 9 rows. No Python, no cartesian."""
+        plan = plan_of(spark, "q_stat_benford")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"d"}, keys
+        assert "partial_count" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
