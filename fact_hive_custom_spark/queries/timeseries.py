@@ -1050,3 +1050,128 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("g_e6"), "split_idx")
         .limit(1)
     )
+
+
+@register(
+    "q_ts_theil_sen",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS d,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, d, CAST(SUM(v) AS BIGINT) AS y
+        FROM e GROUP BY 1, 2
+    ),
+    nd AS (SELECT event_type, COUNT(*) AS n_days FROM s GROUP BY 1),
+    pr AS (
+        SELECT a.event_type AS event_type,
+               ((b.y - a.y) * 1000000) // (b.d - a.d) AS slope_e6
+        FROM s a JOIN s b
+          ON b.event_type = a.event_type AND b.d > a.d
+    ),
+    r AS (
+        SELECT event_type, slope_e6,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY slope_e6) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS np
+        FROM pr
+    )
+    SELECT r.event_type AS event_type,
+           CAST(nd.n_days AS BIGINT) AS n_days,
+           CAST(r.np AS BIGINT) AS n_pairs,
+           CAST(r.slope_e6 AS BIGINT) AS slope_med_e6
+    FROM r JOIN nd ON nd.event_type = r.event_type
+    WHERE r.rn = (r.np + 1) // 2
+    ORDER BY event_type
+    """,
+)
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the median of all
+    pairwise slopes of the daily-revenue series — the estimator that
+    shrugs off the outlier days that wreck the OLS slope
+    (q_agg_linreg's exact-moment fit): up to ~29% of the days can be
+    corrupt before the trend moves.
+
+    Exact integer end-to-end: daily totals are exact cent sums, each
+    pairwise slope is (Δcents·1e6) DIV Δdays — both engines truncate
+    integer division toward zero, so negative slopes floor
+    identically — and the median is the LOWER median (element at
+    rank ⌈n/2⌉ of the slope multiset), picked by rank rather than
+    averaged, so no fractional midpoint ever exists. Ties in
+    slope_e6 are interchangeable for a rank-picked VALUE, so the
+    rank window needs no tiebreak chain.
+
+    Plan: the corpus collapses to one map-combined (type, day) sum —
+    the only corpus-sized exchange — and that day series is PERSISTED
+    because three consumers read it (both pair-join sides and the
+    n_days count): without the cache the lineage re-scans the corpus
+    three times; the O(days²/2) pair self-join and
+    the median rank window run on the tiny per-type day series
+    (bounded by the calendar, NOT by row count: 10 years ≈ 3.65 k
+    points → ≤ 6.7 M pairs per type, still executor-local). At 100 TB
+    the scan dominates; everything after the first aggregate is
+    day-bounded. For minute-grain series, pre-bucket to days first —
+    the pair set grows with the SQUARE of the series length."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+    )
+    # The day series is consumed three times (both pair-join sides and
+    # the n_days count); persisting it means ONE corpus scan instead of
+    # three — the series itself is calendar-bounded, so the cache is
+    # tiny regardless of corpus size.
+    s = (
+        e.groupBy("event_type", "d")
+        .agg(F.sum("v").cast("bigint").alias("y"))
+        .persist()
+    )
+    nd = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    a = s.select(
+        F.col("event_type").alias("ta"),
+        F.col("d").alias("da"),
+        F.col("y").alias("ya"),
+    )
+    b = s.select(
+        F.col("event_type").alias("tb"),
+        F.col("d").alias("db"),
+        F.col("y").alias("yb"),
+    )
+    pr = a.join(
+        b, (F.col("tb") == F.col("ta")) & (F.col("db") > F.col("da"))
+    ).select(
+        F.col("ta").alias("event_type"),
+        F.expr("((yb - ya) * 1000000) DIV (db - da)").alias("slope_e6"),
+    )
+    r = pr.select(
+        "event_type",
+        "slope_e6",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("slope_e6"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("np"),
+    )
+    return (
+        r.filter(F.expr("rn = (np + 1) DIV 2"))
+        .join(nd, "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("np").cast("bigint").alias("n_pairs"),
+            F.col("slope_e6").cast("bigint").alias("slope_med_e6"),
+        )
+        .orderBy("event_type")
+    )

@@ -1294,6 +1294,27 @@ class TestRankTestPlans:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_theil_sen_pairs_on_cached_day_series(self, spark):
+        """Theil-Sen (q_ts_theil_sen): the corpus collapses to the
+        cached (type, day) sum — exchanges key only on event_type
+        (+day); the O(days²) pair join builds on the calendar-bounded
+        cached series (InMemoryTableScan), never re-scanning the
+        corpus, and broadcasts one side. No Python, no cartesian."""
+        plan = plan_of(spark, "q_ts_theil_sen")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"event_type"}, keys
+        # all three consumers read the cache, not the corpus (explain
+        # text repeats the cache's lineage under each InMemoryTableScan,
+        # so count cache hits rather than counting Scan parquet lines)
+        assert plan.count("InMemoryTableScan") >= 3, plan.count(
+            "InMemoryTableScan"
+        )
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
     def test_benford_single_digit_count_exchange(self, spark):
         """Benford (q_stat_benford): the scan collapses to nine
         (digit, count) pairs in one map-combined aggregation; the
