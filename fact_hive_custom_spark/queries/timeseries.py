@@ -1175,3 +1175,184 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_ts_mann_kendall",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS d,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, d, CAST(SUM(v) AS BIGINT) AS y
+        FROM e GROUP BY 1, 2
+    ),
+    nd AS (SELECT event_type, COUNT(*) AS n FROM s GROUP BY 1),
+    pr AS (
+        SELECT a.event_type AS event_type,
+               CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM s a JOIN s b
+          ON b.event_type = a.event_type AND b.d > a.d
+        GROUP BY 1
+    ),
+    ti AS (
+        SELECT event_type,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+        FROM (SELECT event_type, y, COUNT(*) AS t FROM s GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    v AS (
+        SELECT nd.event_type AS event_type,
+               CAST(nd.n AS BIGINT) AS n_days,
+               COALESCE(pr.s_stat, 0) AS s_stat,
+               nd.n * (nd.n - 1) * (2 * nd.n + 5) - ti.tt AS var18
+        FROM nd
+        LEFT JOIN pr ON pr.event_type = nd.event_type
+        JOIN ti ON ti.event_type = nd.event_type
+    ),
+    z AS (
+        SELECT event_type, n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+               CASE WHEN var18 = 0 THEN NULL ELSE CAST(
+                   (CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+                              WHEN s_stat < 0 THEN s_stat + 1
+                              ELSE 0 END AS HUGEINT)
+                    * (CASE WHEN s_stat > 0 THEN s_stat - 1
+                            WHEN s_stat < 0 THEN s_stat + 1
+                            ELSE 0 END)
+                    * 18000000) // var18 AS BIGINT) END AS z2_e6
+        FROM v
+    )
+    SELECT event_type, n_days, s_stat, var18, z2_e6,
+           CASE WHEN z2_e6 IS NOT NULL AND z2_e6 >= 3841459 AND s_stat > 0
+                THEN 'increasing'
+                WHEN z2_e6 IS NOT NULL AND z2_e6 >= 3841459 AND s_stat < 0
+                THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM z
+    ORDER BY event_type
+    """,
+)
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type — the
+    significance half of the Sen's-slope pair (q_ts_theil_sen gives
+    the magnitude, this says whether the trend is real): S = Σ
+    sign(y_j − y_i) over all day pairs, tie-corrected variance, and a
+    continuity-corrected z² at the 5% χ²(1) gate (the ttest constant
+    3841459).
+
+    Exact integer end-to-end: S is a sum of {-1, 0, 1}; 18·var =
+    n(n−1)(2n+5) − Σ t(t−1)(2t+5) stays int64 to n ≈ 7.8e5 days
+    (centuries of minutes — any real series is day-bucketed long
+    before); z² = (|S|−1)²·18e6 DIV var18 runs in DECIMAL(38,0)/
+    HUGEINT because S² ≈ n⁴/4 · 18e6 passes int64 already at n ≈ 5e3.
+    Both engines floor the single division identically; the
+    continuity correction (|S|−1, the normal-approximation standard)
+    is applied via CASE so S = 0 maps to exactly 0.
+
+    Plan: identical skeleton to q_ts_theil_sen — ONE persisted
+    map-combined (type, day) sum feeds the pair join, the tie counts,
+    and the day counts; everything after the first aggregate is
+    calendar-bounded. The pair join broadcasts the tiny day series;
+    no corpus-sized exchange keys on anything but (type, day)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+    )
+    s = (
+        e.groupBy("event_type", "d")
+        .agg(F.sum("v").cast("bigint").alias("y"))
+        .persist()
+    )
+    nd = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = s.select(
+        F.col("event_type").alias("ta"),
+        F.col("d").alias("da"),
+        F.col("y").alias("ya"),
+    )
+    b = s.select(
+        F.col("event_type").alias("tb"),
+        F.col("d").alias("db"),
+        F.col("y").alias("yb"),
+    )
+    pr = (
+        a.join(b, (F.col("tb") == F.col("ta")) & (F.col("db") > F.col("da")))
+        .groupBy(F.col("ta").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ti = (
+        s.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tt")
+        )
+    )
+    v = (
+        nd.join(pr, "event_type", "left")
+        .join(ti, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.coalesce(F.col("s_stat"), F.lit(0).cast("bigint")).alias(
+                "s_stat"
+            ),
+            F.expr("n * (n - 1) * (2 * n + 5) - tt")
+            .cast("bigint")
+            .alias("var18"),
+        )
+    )
+    z = v.withColumn(
+        "z2_e6",
+        F.expr(
+            "CASE WHEN var18 = 0 THEN NULL ELSE CAST("
+            " (CAST(CASE WHEN s_stat > 0 THEN s_stat - 1"
+            "            WHEN s_stat < 0 THEN s_stat + 1"
+            "            ELSE 0 END AS DECIMAL(38,0))"
+            "  * (CASE WHEN s_stat > 0 THEN s_stat - 1"
+            "          WHEN s_stat < 0 THEN s_stat + 1"
+            "          ELSE 0 END)"
+            "  * 18000000) DIV var18 AS BIGINT) END"
+        ),
+    )
+    return z.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        "var18",
+        "z2_e6",
+        F.expr(
+            "CASE WHEN z2_e6 IS NOT NULL AND z2_e6 >= 3841459"
+            " AND s_stat > 0 THEN 'increasing'"
+            " WHEN z2_e6 IS NOT NULL AND z2_e6 >= 3841459"
+            " AND s_stat < 0 THEN 'decreasing'"
+            " ELSE 'none' END"
+        ).alias("trend"),
+    ).orderBy("event_type")

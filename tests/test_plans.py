@@ -1315,6 +1315,24 @@ class TestRankTestPlans:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_mann_kendall_pairs_on_cached_day_series(self, spark):
+        """Mann-Kendall (q_ts_mann_kendall): same skeleton as
+        theil_sen — the persisted (type, day) sum feeds the pair
+        join, tie counts, and day counts (three-plus cache reads, no
+        corpus re-scan); exchanges key only on event_type (+day/y).
+        No Python, no cartesian."""
+        plan = plan_of(spark, "q_ts_mann_kendall")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"event_type", "ta"}, keys
+        assert plan.count("InMemoryTableScan") >= 3, plan.count(
+            "InMemoryTableScan"
+        )
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
     def test_benford_single_digit_count_exchange(self, spark):
         """Benford (q_stat_benford): the scan collapses to nine
         (digit, count) pairs in one map-combined aggregation; the
