@@ -1433,3 +1433,138 @@ def q_stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("reject_5pct"),
     ).orderBy("digit")
+
+
+@register(
+    "q_stat_spearman",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, d,
+               CAST(SUM(v) AS BIGINT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM e GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type,
+               2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+                 + COUNT(*) OVER (PARTITION BY event_type, y) - 1 AS u,
+               2 * rank() OVER (PARTITION BY event_type ORDER BY c)
+                 + COUNT(*) OVER (PARTITION BY event_type, c) - 1 AS w
+        FROM s
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(u) AS HUGEINT) AS su,
+               CAST(SUM(w) AS HUGEINT) AS sw,
+               CAST(SUM(u * w) AS HUGEINT) AS suw,
+               CAST(SUM(u * u) AS HUGEINT) AS suu,
+               CAST(SUM(w * w) AS HUGEINT) AS sww
+        FROM r GROUP BY 1
+    ),
+    q AS (
+        SELECT event_type, n,
+               n * suw - su * sw AS num,
+               n * suu - su * su AS da,
+               n * sww - sw * sw AS db
+        FROM m
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+                ELSE 0 END AS INTEGER) AS rho_sign,
+           CASE WHEN da = 0 OR db = 0 THEN NULL
+                ELSE CAST((num * num * 1000000) // (da * db) AS BIGINT)
+           END AS rho2_e6
+    FROM q
+    ORDER BY event_type
+    """,
+)
+def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per event type between the two daily
+    series a pipeline monitor actually compares — revenue (sum of
+    cents) and volume (event count): does value move MONOTONICALLY
+    with traffic, robust to the heavy-tailed amounts that make the
+    Pearson estimate (q_agg_corr_exact's moment machinery) chase
+    outliers?
+
+    Exact integers throughout: average ranks live DOUBLED (tie run at
+    min-rank p of size t → 2p + t − 1, always integer — the kruskal
+    discipline via rank() + a per-(type,value) count window, no
+    groupBy/join-back needed), the five moment sums are exact, and
+    ρ² is reported e6-floored as num²·1e6 DIV (da·db) with the sign
+    carried separately — no square root ever computed. Overflow
+    budget: doubled ranks ≤ 2n, so num ≤ n·(2n)² and num²·1e6 needs
+    DECIMAL(38,0)/HUGEINT, which holds to n ≈ 2e5 days per type
+    (centuries); past that pre-divide the doubled ranks by 10.
+    Constant series (da or db = 0) → NULL, engine-identical.
+
+    Plan: the corpus collapses to ONE map-combined (type, day)
+    aggregate; the four rank/count windows share a single exchange on
+    event_type and run over the calendar-bounded day series; the
+    final moment aggregate is per-type. One corpus-sized exchange
+    end to end."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+    )
+    s = e.groupBy("event_type", "d").agg(
+        F.sum("v").cast("bigint").alias("y"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    wy = Window.partitionBy("event_type").orderBy("y")
+    wyt = Window.partitionBy("event_type", "y")
+    wc = Window.partitionBy("event_type").orderBy("c")
+    wct = Window.partitionBy("event_type", "c")
+    r = s.select(
+        "event_type",
+        (
+            2 * F.rank().over(wy) + F.count(F.lit(1)).over(wyt) - 1
+        ).alias("u"),
+        (
+            2 * F.rank().over(wc) + F.count(F.lit(1)).over(wct) - 1
+        ).alias("w"),
+    )
+    d38 = "decimal(38,0)"
+    m = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("u").cast(d38).alias("su"),
+        F.sum("w").cast(d38).alias("sw"),
+        F.sum(F.col("u") * F.col("w")).cast(d38).alias("suw"),
+        F.sum(F.col("u") * F.col("u")).cast(d38).alias("suu"),
+        F.sum(F.col("w") * F.col("w")).cast(d38).alias("sww"),
+    )
+    q = m.select(
+        "event_type",
+        "n",
+        F.expr("n * suw - su * sw").alias("num"),
+        F.expr("n * suu - su * su").alias("da"),
+        F.expr("n * sww - sw * sw").alias("db"),
+    )
+    return q.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(
+            "CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1"
+            " ELSE 0 END AS INT)"
+        ).alias("rho_sign"),
+        F.expr(
+            "CASE WHEN da = 0 OR db = 0 THEN NULL"
+            " ELSE CAST((num * num * 1000000) DIV (da * db) AS BIGINT) END"
+        ).alias("rho2_e6"),
+    ).orderBy("event_type")

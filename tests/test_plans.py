@@ -1333,6 +1333,23 @@ class TestRankTestPlans:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_spearman_windows_share_type_exchange(self, spark):
+        """Spearman (q_stat_spearman): one map-combined (type, day)
+        aggregate is the only corpus-sized exchange; the four
+        rank/count windows all partition by event_type (re-sorts, not
+        re-exchanges) and the moment aggregate reuses the same
+        partitioning. No Python, no cartesian, no join anywhere."""
+        plan = plan_of(spark, "q_stat_spearman")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"event_type"}, keys
+        assert "partial_sum" in plan or "partial_count" in plan
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
     def test_benford_single_digit_count_exchange(self, spark):
         """Benford (q_stat_benford): the scan collapses to nine
         (digit, count) pairs in one map-combined aggregation; the
