@@ -1038,3 +1038,88 @@ def q_llm_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_rank"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_llm_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(list_slice(t, i, i + 4), ' ')) AS h
+        FROM toks, unnest(range(1, greatest(len(t) - 3, 1))) AS u(i)
+        WHERE len(t) >= 5
+    ),
+    df AS (
+        SELECT h, COUNT(*) AS n_docs FROM sh GROUP BY h
+    )
+    SELECT sh.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unique,
+           CAST((1000000 * SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM sh JOIN df ON df.h = sh.h
+    GROUP BY sh.doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    5-gram shingles that occur in no other document — the cheap
+    memorization/boilerplate dial a curation pipeline reads before
+    up-weighting 'novel' text (low novelty = template/duplicated
+    content even when no doc-level dup fires; the complement of the
+    span-dedup signal, scored per doc instead of per block).
+
+    Shuffle discipline: shingle TEXT never enters an exchange — each
+    5-gram is md5'd at the map side (the span_dedup block-hash rule),
+    so the document-frequency groupBy and the count join move 16-byte
+    keys regardless of shingle length. novelty_ppm is an exact
+    integer floor (1e6·n_unique DIV n_shingles), no float ratio.
+
+    Plan at 100 TB: explode-distinct, ONE groupBy on the hash for
+    document frequency, hash-keyed join back (co-partitioned by AQE),
+    and a per-doc aggregate — every exchange keys on h or doc_id;
+    nothing is all-pairs, and hot shingles cost one skewed reduce key
+    (AQE skew split handles it) rather than a candidate explosion."""
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.size("toks") >= 5)
+    )
+    sh = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 5),"
+                    " s -> md5(array_join(slice(toks, s + 1, 5), ' ')))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    df = sh.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.expr("CAST((1000000 * n_unique) DIV n_shingles AS BIGINT)")
+            .alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1364,3 +1364,20 @@ class TestRankTestPlans:
         assert "partial_count" in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestNgramNoveltyPlan:
+    def test_novelty_exchanges_on_hash_and_doc_only(self, spark):
+        """n-gram novelty (q_llm_ngram_novelty): shingles are md5'd
+        map-side so no exchange ever carries shingle text — every
+        hash exchange keys on h or doc_id; the df join back is
+        hash-keyed (broadcast at fixture scale, co-partitioned SMJ at
+        scale), never all-pairs. No Python."""
+        plan = plan_of(spark, "q_llm_ngram_novelty")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"h", "doc_id"}, keys
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
