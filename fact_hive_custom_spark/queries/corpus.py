@@ -2296,3 +2296,134 @@ def q_llm_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         load_embeddings(spark, sf_dir), n_probes=10, k=5, train_rounds=2
     )
+
+
+@register(
+    "q_llm_zipf_fit",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    f AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS fr FROM tok GROUP BY t),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(fr) AS BIGINT) AS total_tokens
+        FROM f
+    ),
+    top AS (SELECT t, fr FROM f ORDER BY fr DESC, t LIMIT 1000),
+    r AS (
+        SELECT fr, row_number() OVER (ORDER BY fr DESC, t) AS rnk
+        FROM top
+    ),
+    l AS (
+        SELECT CAST(floor(ln(rnk) * 1000000 + 0.5) AS BIGINT) AS x,
+               CAST(floor(ln(fr) * 1000000 + 0.5) AS BIGINT) AS y
+        FROM r
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(y * y) AS HUGEINT) AS syy
+        FROM l
+    ),
+    q AS (
+        SELECT n,
+               n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS den,
+               n * syy - sy * sy AS deny,
+               sx, sy
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranked,
+           tot.vocab_size, tot.total_tokens,
+           CAST((num * 1000000) // den AS BIGINT) AS slope_e6,
+           CAST((sy * den - num * sx) // (n * den) AS BIGINT)
+               AS intercept_e6,
+           CASE WHEN den = 0 OR deny = 0 THEN NULL ELSE CAST(
+               ((num // 1000000) * (num // 1000000) * 1000000)
+               // ((den // 1000000) * (deny // 1000000)) AS BIGINT)
+           END AS r2_e6
+    FROM q, tot
+    """,
+)
+def q_llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: the
+    log-log regression slope of frequency vs rank for the top-1000
+    tokens — natural text sits near slope ≈ −1; a corpus whose
+    exponent drifts (synthetic spam, boilerplate floods, tokenizer
+    damage) flags itself in one number, with r² saying how Zipfian
+    the fit actually is.
+
+    Float discipline: the ONLY floats are the per-row ln(rank) and
+    ln(freq) of exact integers, pinned to e6 half-up
+    (floor(ln·1e6 + 0.5) — the bigram_ppl rule) before any sum, so
+    accumulation is exact-integer in both engines. The regression is
+    the exact-moment form: slope_e6 = (nΣxy − ΣxΣy)·1e6 DIV
+    (nΣx² − (Σx)²) in DECIMAL(38,0)/HUGEINT; intercept via the same
+    rational; r² pre-divides num/den/deny by 1e6 (engine-identical
+    floors, rel. error ~1e-14) because num² alone would pass 1e38.
+
+    Plan at 100 TB: wordcount groupBy (map-combined, the only
+    corpus-sized exchange), TakeOrderedAndProject heap for the
+    top-1000 (never a global sort), a row_number window over the
+    1000-row relation (bounded global window, SCALING.md
+    §global-windows), one single-row moment aggregate, and the tiny
+    vocab-stats aggregate attached by broadcast."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+    )
+    f = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("fr"))
+    tot = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("fr").cast("bigint").alias("total_tokens"),
+    )
+    top = f.orderBy(F.desc("fr"), "t").limit(1000)
+    r = top.select(
+        "fr",
+        F.row_number()
+        .over(Window.orderBy(F.desc("fr"), "t"))
+        .alias("rnk"),
+    )
+    l = r.select(
+        F.expr("CAST(floor(ln(rnk) * 1000000 + 0.5) AS BIGINT)").alias("x"),
+        F.expr("CAST(floor(ln(fr) * 1000000 + 0.5) AS BIGINT)").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    m = l.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(d38).alias("syy"),
+    )
+    q = m.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr("n * sxy - sx * sy").alias("num"),
+        F.expr("n * sxx - sx * sx").alias("den"),
+        F.expr("n * syy - sy * sy").alias("deny"),
+    )
+    return q.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("bigint").alias("n_ranked"),
+        "vocab_size",
+        "total_tokens",
+        F.expr("CAST((num * 1000000) DIV den AS BIGINT)").alias("slope_e6"),
+        F.expr(
+            "CAST((sy * den - num * sx) DIV (n * den) AS BIGINT)"
+        ).alias("intercept_e6"),
+        F.expr(
+            "CASE WHEN den = 0 OR deny = 0 THEN NULL ELSE CAST("
+            " (CAST(num DIV 1000000 AS DECIMAL(38,0))"
+            "  * CAST(num DIV 1000000 AS DECIMAL(38,0)) * 1000000)"
+            " DIV (CAST(den DIV 1000000 AS DECIMAL(38,0))"
+            "      * CAST(deny DIV 1000000 AS DECIMAL(38,0))) AS BIGINT) END"
+        ).alias("r2_e6"),
+    )

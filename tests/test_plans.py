@@ -1381,3 +1381,23 @@ class TestNgramNoveltyPlan:
         assert keys <= {"h", "doc_id"}, keys
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestZipfFitPlan:
+    def test_zipf_wordcount_heap_then_bounded_window(self, spark):
+        """Zipf fit (q_llm_zipf_fit): the only corpus-sized exchange
+        is the wordcount groupBy on t (map-combined); the top-1000 is
+        a TakeOrderedAndProject heap, never a global sort; the
+        single-partition exchange feeds the row_number window over the
+        ≤1000-row relation (bounded global window); the vocab-stats
+        attach is a broadcast. No Python."""
+        plan = plan_of(spark, "q_llm_zipf_fit")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"t"}, keys
+        assert "TakeOrderedAndProject" in plan
+        assert "partial_count" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
