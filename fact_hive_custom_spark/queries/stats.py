@@ -1568,3 +1568,176 @@ def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE CAST((num * num * 1000000) DIV (da * db) AS BIGINT) END"
         ).alias("rho2_e6"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_stat_levene",
+    oracle="""
+    WITH p AS (
+        SELECT event_type AS g,
+               CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    gx AS (
+        SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT g, x, c,
+               CAST(SUM(c) OVER (
+                   PARTITION BY g ORDER BY x) AS BIGINT) AS cm,
+               CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS ng
+        FROM gx
+    ),
+    med AS (
+        SELECT g, MIN(x) AS med, MIN(ng) AS ng
+        FROM cum WHERE 2 * cm >= ng GROUP BY g
+    ),
+    z AS (
+        SELECT gx.g AS g, med.ng AS ng,
+               CAST(SUM(gx.c * abs(gx.x - med.med)) AS HUGEINT) AS sz,
+               CAST(SUM(gx.c * (gx.x - med.med) * (gx.x - med.med))
+                    AS HUGEINT) AS qz
+        FROM gx JOIN med ON med.g = gx.g
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(SUM(ng) AS HUGEINT) AS n,
+               CAST(COUNT(*) AS HUGEINT) AS k,
+               CAST(SUM(sz) AS HUGEINT) AS s,
+               CAST(SUM((sz * sz * 1000000) // ng) AS HUGEINT) AS a,
+               CAST(SUM(qz) AS HUGEINT) AS q
+        FROM z
+    ),
+    ss AS (
+        SELECT n, k,
+               greatest(a - (s * s * 1000000) // n, 0) AS ssb_e6,
+               q * 1000000 - a AS ssw_e6
+        FROM tot
+    )
+    SELECT CAST(n AS BIGINT) AS n_total,
+           CAST(k AS BIGINT) AS k_groups,
+           CASE WHEN ssw_e6 <= 0 OR k < 2 THEN NULL
+                ELSE CAST(((n - k) * ssb_e6 * 1000000)
+                          // ((k - 1) * ssw_e6) AS BIGINT)
+           END AS f_e6,
+           CASE WHEN ssw_e6 <= 0 OR k < 2 THEN NULL
+                ELSE (k - 1) * (((n - k) * ssb_e6 * 1000000)
+                                // ((k - 1) * ssw_e6))
+                     >= (CASE k - 1
+                         WHEN 1 THEN 3841459 WHEN 2 THEN 5991465
+                         WHEN 3 THEN 7814728 WHEN 4 THEN 9487729
+                         WHEN 5 THEN 11070498 WHEN 6 THEN 12591587
+                         WHEN 7 THEN 14067140 WHEN 8 THEN 15507313
+                         WHEN 9 THEN 16918978 WHEN 10 THEN 18307038
+                         ELSE NULL END)
+           END AS unequal_variance
+    FROM ss
+    """,
+)
+def q_stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test across the K event
+    types (Levene's test with group MEDIANS — the robust form): are
+    the SPREADS equal, the assumption behind pooled-variance
+    comparisons that kruskal/ttest sidestep for LOCATION but nothing
+    yet checked for SCALE? One-way ANOVA F on the absolute deviations
+    z = |x − med_g|.
+
+    Exact integer: the group median is the weighted-median rule
+    (smallest x with 2·cum ≥ n — q_agg_weighted_median's exact pick),
+    deviations are integer cents, and every mean-square is carried as
+    an e6-scaled floor: a_g = S_g²·1e6 DIV n_g, SSB = Σa_g −
+    S²·1e6 DIV N (greatest 0 — floors may cross), SSW = Σz²·1e6 −
+    Σa_g, F_e6 = (N−k)·SSB·1e6 DIV ((k−1)·SSW) — identical floor
+    sequence both engines, DECIMAL(38,0)/HUGEINT throughout. Budget:
+    with cents ≤ 1e5, (N−k)·SSB·1e6 stays under 1e38 to N ≈ 1e7
+    rows; past that pre-divide z by 10 per decade (the kruskal knob).
+    The 5% flag compares (k−1)·F against the χ²(k−1) table — the
+    large-N asymptotic, honest because N ≫ k here.
+
+    Plan (the kruskal skeleton): ONE map-combined count per (type,
+    value) is the only corpus-sized exchange; the median windows, the
+    broadcast median attach, and both moment aggregates run over the
+    bounded distinct-value relation. No raw row ever reaches a
+    window; at an unbounded value domain, bucket first."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    gx = p.groupBy("g", "x").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = Window.partitionBy("g").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wg = Window.partitionBy("g")
+    cum = gx.select(
+        "g",
+        "x",
+        "c",
+        F.sum("c").over(wcum).alias("cm"),
+        F.sum("c").over(wg).alias("ng"),
+    )
+    med = (
+        cum.filter(2 * F.col("cm") >= F.col("ng"))
+        .groupBy("g")
+        .agg(F.min("x").alias("med"), F.min("ng").alias("ng"))
+    )
+    d38 = "decimal(38,0)"
+    z = (
+        gx.join(F.broadcast(med), "g")
+        .groupBy("g", "ng")
+        .agg(
+            F.sum(F.col("c") * F.abs(F.col("x") - F.col("med")))
+            .cast(d38)
+            .alias("sz"),
+            F.sum(
+                F.col("c")
+                * (F.col("x") - F.col("med"))
+                * (F.col("x") - F.col("med"))
+            )
+            .cast(d38)
+            .alias("qz"),
+        )
+    )
+    tot = z.agg(
+        F.sum("ng").cast(d38).alias("n"),
+        F.count(F.lit(1)).cast(d38).alias("k"),
+        F.sum("sz").cast(d38).alias("s"),
+        F.sum(F.expr("CAST((sz * sz * 1000000) DIV ng AS DECIMAL(38,0))"))
+        .cast(d38)
+        .alias("a"),
+        F.sum("qz").cast(d38).alias("q"),
+    )
+    ss = tot.select(
+        "n",
+        "k",
+        F.expr(
+            "greatest(a - CAST((s * s * 1000000) DIV n AS DECIMAL(38,0)),"
+            " CAST(0 AS DECIMAL(38,0)))"
+        ).alias("ssb_e6"),
+        F.expr("q * 1000000 - a").alias("ssw_e6"),
+    )
+    crit = (
+        "CASE CAST(k - 1 AS INT)"
+        " WHEN 1 THEN 3841459 WHEN 2 THEN 5991465"
+        " WHEN 3 THEN 7814728 WHEN 4 THEN 9487729"
+        " WHEN 5 THEN 11070498 WHEN 6 THEN 12591587"
+        " WHEN 7 THEN 14067140 WHEN 8 THEN 15507313"
+        " WHEN 9 THEN 16918978 WHEN 10 THEN 18307038"
+        " ELSE NULL END"
+    )
+    f_e6 = "((n - k) * ssb_e6 * 1000000) DIV ((k - 1) * ssw_e6)"
+    return ss.select(
+        F.col("n").cast("bigint").alias("n_total"),
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.expr(
+            f"CASE WHEN ssw_e6 <= 0 OR k < 2 THEN NULL"
+            f" ELSE CAST({f_e6} AS BIGINT) END"
+        ).alias("f_e6"),
+        F.expr(
+            f"CASE WHEN ssw_e6 <= 0 OR k < 2 THEN NULL"
+            f" ELSE (k - 1) * ({f_e6}) >= {crit} END"
+        ).alias("unequal_variance"),
+    )

@@ -1401,3 +1401,23 @@ class TestZipfFitPlan:
         assert "partial_count" in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestLevenePlan:
+    def test_levene_kruskal_skeleton_one_count_exchange(self, spark):
+        """Brown-Forsythe (q_stat_levene): one map-combined count per
+        (type, value) is the only corpus-sized exchange; the median
+        windows and both moment aggregates run on the bounded
+        distinct-value relation, the median attaches by broadcast.
+        No SMJ, no cartesian, no Python."""
+        plan = plan_of(spark, "q_stat_levene")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"g"}, keys
+        assert "partial_count" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
