@@ -1356,3 +1356,118 @@ def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'none' END"
         ).alias("trend"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_ts_drawdown",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS d,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, d, CAST(SUM(v) AS BIGINT) AS y
+        FROM e GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, d,
+               CAST(SUM(y) OVER (
+                   PARTITION BY event_type ORDER BY d) AS BIGINT) AS cum
+        FROM s
+    ),
+    pk AS (
+        SELECT event_type, d, cum,
+               CAST(MAX(cum) OVER (
+                   PARTITION BY event_type ORDER BY d) AS BIGINT) AS peak
+        FROM c
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents,
+           CAST(MAX(CASE WHEN peak > 0
+                    THEN ((peak - cum) * 1000000) // peak
+                    ELSE 0 END) AS BIGINT) AS max_drawdown_ppm,
+           CAST(MAX(peak) AS BIGINT) AS peak_cents
+    FROM pk
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily-revenue curve per
+    event type — the risk metric behind 'how far below its best has
+    this stream fallen': running peak minus running cumulative sum,
+    maximized over days, absolute (cents) and relative (ppm of the
+    peak at that day).
+
+    Exact integers: cents sums, running max of exact cums, and the
+    relative drawdown is (peak − cum)·1e6 DIV peak per day BEFORE the
+    max — both engines floor each day identically, so the max picks
+    the same day's value (a float divide then max could disagree on
+    near-ties at the 17th digit). Negative daily revenue is handled
+    by construction (peak ≥ cum always once peak starts at the first
+    cum; first day's drawdown is 0).
+
+    Plan: one map-combined (type, day) sum is the only corpus-sized
+    exchange; both prefix windows (cumsum, running max) share the
+    single event_type partitioning over the calendar-bounded series;
+    one per-type aggregate ends it. Nothing beyond the first
+    aggregate scales with row count."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+    )
+    s = e.groupBy("event_type", "d").agg(
+        F.sum("v").cast("bigint").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pk = s.select(
+        "event_type",
+        "d",
+        F.sum("y").over(w).cast("bigint").alias("cum"),
+    ).select(
+        "event_type",
+        "d",
+        "cum",
+        F.max("cum")
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("bigint")
+        .alias("peak"),
+    )
+    return (
+        pk.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max(F.col("peak") - F.col("cum"))
+            .cast("bigint")
+            .alias("max_drawdown_cents"),
+            F.max(
+                F.expr(
+                    "CASE WHEN peak > 0"
+                    " THEN ((peak - cum) * 1000000) DIV peak"
+                    " ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("max_drawdown_ppm"),
+            F.max("peak").cast("bigint").alias("peak_cents"),
+        )
+        .orderBy("event_type")
+    )

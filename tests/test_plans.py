@@ -1421,3 +1421,21 @@ class TestLevenePlan:
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestDrawdownPlan:
+    def test_drawdown_single_type_partitioning_for_windows(self, spark):
+        """Max drawdown (q_ts_drawdown): one map-combined (type, day)
+        sum is the only corpus-sized exchange; both prefix windows and
+        the final aggregate share the event_type partitioning. No
+        join, no cartesian, no Python."""
+        plan = plan_of(spark, "q_ts_drawdown")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"event_type"}, keys
+        assert "partial_sum" in plan
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
