@@ -1741,3 +1741,127 @@ def q_stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE (k - 1) * ({f_e6}) >= {crit} END"
         ).alias("unequal_variance"),
     )
+
+
+@register(
+    "q_orders_abc_class",
+    oracle="""
+    WITH r AS (
+        SELECT l_partkey AS partkey,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(rev) AS HUGEINT) AS tot FROM r),
+    c AS (
+        SELECT partkey, rev,
+               CAST(SUM(rev) OVER (
+                   ORDER BY rev DESC, partkey) AS HUGEINT) AS cum
+        FROM r
+    ),
+    k AS (
+        SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                    WHEN cum * 20 <= tot * 19 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               rev
+        FROM c, t
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS BIGINT) AS class_rev_e4,
+           CAST((1000000 * CAST(SUM(rev) AS HUGEINT))
+                // (SELECT tot FROM t) AS BIGINT) AS share_ppm
+    FROM k GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+)
+def q_orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of parts by discounted revenue:
+    A = parts inside the first 80% of cumulative revenue (ranked
+    desc), B = to 95%, C = the tail — the warehouse slotting /
+    procurement-attention split. Boundary rule: a part whose
+    cumulative INCLUDING itself crosses the threshold falls into the
+    next class (cum·5 ≤ tot·4 etc. — pure integer comparisons on
+    exact e4 revenue, no float share anywhere; comparisons run in
+    DECIMAL(38,0)/HUGEINT so they survive totals past int64/20).
+
+    The interesting part is the GLOBAL cumulative sum, which Spark's
+    window-without-partition would run single-partition. Here it is
+    DECOMPOSED: parts bucket into fixed-width revenue bins (rev DIV
+    1e8 — $10k steps), a tiny bins-level prefix window (bounded
+    domain) computes each bin's offset, and the per-part running sum
+    is a window PARTITIONED BY bin (offset + within-bin prefix) —
+    identical value to the single-partition form (bins are revenue-
+    ordered by construction; ties can't cross bins since equal rev =
+    equal bin), but the heavy window is now parallel across bins. The
+    per-part ranking at 100 TB runs over the part DIMENSION (~n_facts
+    /30), so even that is dimension-scaled, and each bin partition is
+    a fraction of it. The oracle computes the same cum with the plain
+    global window — same value, fixture scale.
+
+    Tie discipline: (rev DESC, partkey) total order in BOTH the
+    within-bin window and the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    r = (
+        li.select(F.col("l_partkey").alias("partkey"), rev.alias("lrev"))
+        .groupBy("partkey")
+        .agg(F.sum("lrev").cast("bigint").alias("rev"))
+        .withColumn("bin", F.expr("rev DIV 100000000"))
+    )
+    bins = r.groupBy("bin").agg(F.sum("rev").cast("bigint").alias("bsum"))
+    # bins are few (revenue-range/width) — this global prefix window is
+    # over the bounded bin domain, not over parts
+    wb = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    binoff = bins.select(
+        "bin",
+        (F.sum("bsum").over(wb) - F.col("bsum")).alias("off"),
+    )
+    tot = bins.agg(F.sum("bsum").cast("decimal(38,0)").alias("tot"))
+    win = (
+        Window.partitionBy("bin")
+        .orderBy(F.desc("rev"), "partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        r.join(F.broadcast(binoff), "bin")
+        .select(
+            "partkey",
+            "rev",
+            (F.col("off") + F.sum("rev").over(win))
+            .cast("decimal(38,0)")
+            .alias("cum"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    k = c.select(
+        F.expr(
+            "CASE WHEN cum * 5 <= tot * 4 THEN 'A'"
+            " WHEN cum * 20 <= tot * 19 THEN 'B'"
+            " ELSE 'C' END"
+        ).alias("abc_class"),
+        "rev",
+        "tot",
+    )
+    return (
+        k.groupBy("abc_class", "tot")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("bigint").alias("class_rev_e4"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            "class_rev_e4",
+            F.expr(
+                "CAST((1000000 * CAST(class_rev_e4 AS DECIMAL(38,0)))"
+                " DIV tot AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("abc_class")
+    )

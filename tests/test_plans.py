@@ -1439,3 +1439,24 @@ class TestDrawdownPlan:
         assert "Join" not in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestAbcClassPlan:
+    def test_abc_global_cumsum_decomposed_over_bins(self, spark):
+        """ABC classification (q_orders_abc_class): the global
+        cumulative sum is decomposed — the parts-level prefix window
+        partitions by the revenue bin (hashpartitioning on bin), so
+        no part-dimension relation ever moves to a single partition;
+        the only SinglePartition exchanges feed the bounded bins
+        prefix and the final tiny aggregate. Bin offsets and the
+        total attach by broadcast. No cartesian, no Python."""
+        plan = plan_of(spark, "q_orders_abc_class")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert "bin" in keys, keys
+        assert keys <= {"partkey", "bin", "abc_class"}, keys
+        assert plan.count("Exchange SinglePartition") <= 2
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
