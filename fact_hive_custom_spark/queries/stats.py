@@ -1865,3 +1865,184 @@ def q_orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "q_stat_runs",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, d, CAST(SUM(v) AS BIGINT) AS y
+        FROM e GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, y,
+               CAST(SUM(1) OVER (
+                   PARTITION BY event_type ORDER BY y) AS BIGINT) AS cm,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n
+        FROM s
+    ),
+    med AS (
+        SELECT event_type, MIN(y) AS med
+        FROM cum WHERE 2 * cm >= n GROUP BY event_type
+    ),
+    sg AS (
+        SELECT s.event_type AS event_type, s.d AS d,
+               CASE WHEN s.y > med.med THEN 1 ELSE -1 END AS sgn
+        FROM s JOIN med ON med.event_type = s.event_type
+        WHERE s.y <> med.med
+    ),
+    r AS (
+        SELECT event_type, sgn,
+               lag(sgn) OVER (
+                   PARTITION BY event_type ORDER BY d) AS prev
+        FROM sg
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN prev IS NULL OR sgn <> prev
+                        THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+               CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2
+        FROM r GROUP BY 1
+    ),
+    z AS (
+        SELECT event_type, n1, n2, runs,
+               n1 + n2 AS n,
+               2 * n1 * n2 AS p
+        FROM agg
+    )
+    SELECT event_type, n1, n2, runs,
+           CASE WHEN n1 = 0 OR n2 = 0 OR p = n THEN NULL
+                ELSE CAST(
+                    (CAST(runs * n - p - n AS HUGEINT)
+                     * (runs * n - p - n) * (n - 1) * 1000000)
+                    // (CAST(p AS HUGEINT) * (p - n)) AS BIGINT)
+           END AS z2_e6,
+           CASE WHEN n1 = 0 OR n2 = 0 OR p = n THEN NULL
+                ELSE (CAST(runs * n - p - n AS HUGEINT)
+                      * (runs * n - p - n) * (n - 1) * 1000000)
+                     // (CAST(p AS HUGEINT) * (p - n)) >= 3841459
+           END AS nonrandom
+    FROM z
+    ORDER BY event_type
+    """,
+)
+def q_stat_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per event type: is the daily-revenue
+    series RANDOM around its median, or does it clump (trend /
+    regime-switch) or oscillate (over-correction)? Counts runs of
+    above/below-median days (median ties excluded, the standard
+    treatment; median = the weighted-median exact pick) and scores
+    z² = (R − μ)²/σ² against the 5% χ²(1) gate.
+
+    Exact rational algebra, no float: with n = n1+n2, p = 2·n1·n2,
+    μ = p/n + 1 and σ² = p(p−n)/(n²(n−1)), so z² multiplies through
+    to (Rn − p − n)²·(n−1)·1e6 DIV (p·(p−n)) — one floor division,
+    identical both engines, in DECIMAL(38,0)/HUGEINT ((Rn)² ≈ n⁴
+    passes int64 near n ≈ 5e4 days). Degenerate splits (n1 or n2 = 0,
+    or p = n i.e. n1 = n2 = 1) → NULL.
+
+    Plan: the (type, day) sum is the only corpus-sized exchange; the
+    median rank window, the sign sequence, the lag window, and the
+    final aggregate all run on the calendar-bounded day series under
+    one event_type partitioning; the median attaches by broadcast."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+    )
+    s = (
+        e.groupBy("event_type", "d")
+        .agg(F.sum("v").cast("bigint").alias("y"))
+        .persist()
+    )
+    wcum = Window.partitionBy("event_type").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy("event_type")
+    cum = s.select(
+        "event_type",
+        "y",
+        F.sum(F.lit(1)).over(wcum).cast("bigint").alias("cm"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    med = (
+        cum.filter(2 * F.col("cm") >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("y").alias("med"))
+    )
+    sg = (
+        s.join(F.broadcast(med), "event_type")
+        .filter(F.col("y") != F.col("med"))
+        .select(
+            "event_type",
+            "d",
+            F.when(F.col("y") > F.col("med"), 1).otherwise(-1).alias("sgn"),
+        )
+    )
+    r = sg.select(
+        "event_type",
+        "sgn",
+        F.lag("sgn").over(
+            Window.partitionBy("event_type").orderBy("d")
+        ).alias("prev"),
+    )
+    agg = r.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("sgn") != F.col("prev")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("runs"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    z = agg.select(
+        "event_type",
+        "n1",
+        "n2",
+        "runs",
+        (F.col("n1") + F.col("n2")).alias("n"),
+        (2 * F.col("n1") * F.col("n2")).alias("p"),
+    )
+    z2 = (
+        "(CAST(runs * n - p - n AS DECIMAL(38,0))"
+        " * (runs * n - p - n) * (n - 1) * 1000000)"
+        " DIV (CAST(p AS DECIMAL(38,0)) * (p - n))"
+    )
+    return z.select(
+        "event_type",
+        "n1",
+        "n2",
+        "runs",
+        F.expr(
+            f"CASE WHEN n1 = 0 OR n2 = 0 OR p = n THEN NULL"
+            f" ELSE CAST({z2} AS BIGINT) END"
+        ).alias("z2_e6"),
+        F.expr(
+            f"CASE WHEN n1 = 0 OR n2 = 0 OR p = n THEN NULL"
+            f" ELSE {z2} >= 3841459 END"
+        ).alias("nonrandom"),
+    ).orderBy("event_type")

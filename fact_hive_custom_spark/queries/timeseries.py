@@ -1471,3 +1471,128 @@ def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_ts_bollinger",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS d,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, d, CAST(SUM(v) AS BIGINT) AS y
+        FROM e GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, d, y,
+               CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS HUGEINT) AS ws,
+               CAST(SUM(y * y) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS HUGEINT) AS wq,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS wn
+        FROM s
+    ),
+    b AS (
+        SELECT event_type,
+               CASE WHEN (7 * y - ws) > 0
+                     AND (7 * CAST(y AS HUGEINT) - ws)
+                         * (7 * CAST(y AS HUGEINT) - ws)
+                         > 4 * (7 * wq - ws * ws) THEN 1 ELSE 0
+               END AS up,
+               CASE WHEN (7 * y - ws) < 0
+                     AND (7 * CAST(y AS HUGEINT) - ws)
+                         * (7 * CAST(y AS HUGEINT) - ws)
+                         > 4 * (7 * wq - ws * ws) THEN 1 ELSE 0
+               END AS dn
+        FROM w WHERE wn = 7
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(up) AS BIGINT) AS n_breach_up,
+           CAST(SUM(dn) AS BIGINT) AS n_breach_down,
+           CAST((1000000 * (SUM(up) + SUM(dn))) // COUNT(*) AS BIGINT)
+               AS breach_ppm
+    FROM b GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breach audit on the daily-revenue series: days
+    whose value leaves the rolling 7-day mean ± 2σ envelope, counted
+    per direction — the volatility-aware anomaly dial next to the
+    fixed-threshold q_ts_anomaly and the MAD-robust q_ts_mad_outliers.
+
+    The 2σ test runs WITHOUT a square root or any float: |y − m| > 2σ
+    with m = S/7 and σ² = (7Σx² − S²)/49 is multiplied through by 49
+    into (7y − S)² > 4·(7Σx² − S²) — an exact integer inequality,
+    evaluated in DECIMAL(38,0)/HUGEINT so daily sums past ~1.3e9
+    cents (int64's square-root) still compare exactly. Only full
+    7-day windows are evaluated (wn = 7), so both engines agree at
+    series edges by construction.
+
+    Plan: the one corpus-sized exchange is the (type, day) sum; the
+    three rolling windows share one event_type partitioning over the
+    calendar-bounded series; one per-type aggregate ends it."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+    )
+    s = e.groupBy("event_type", "d").agg(
+        F.sum("v").cast("bigint").alias("y")
+    )
+    w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    d38 = "decimal(38,0)"
+    w = s.select(
+        "event_type",
+        "y",
+        F.sum("y").over(w7).cast(d38).alias("ws"),
+        F.sum(F.col("y") * F.col("y")).over(w7).cast(d38).alias("wq"),
+        F.count(F.lit(1)).over(w7).alias("wn"),
+    ).filter(F.col("wn") == 7)
+    dev = "(7 * CAST(y AS DECIMAL(38,0)) - ws)"
+    band = "4 * (7 * wq - ws * ws)"
+    b = w.select(
+        "event_type",
+        F.expr(
+            f"CASE WHEN {dev} > 0 AND {dev} * {dev} > {band}"
+            " THEN 1 ELSE 0 END"
+        ).alias("up"),
+        F.expr(
+            f"CASE WHEN {dev} < 0 AND {dev} * {dev} > {band}"
+            " THEN 1 ELSE 0 END"
+        ).alias("dn"),
+    )
+    return (
+        b.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum("up").cast("bigint").alias("n_breach_up"),
+            F.sum("dn").cast("bigint").alias("n_breach_down"),
+        )
+        .select(
+            "event_type",
+            "n_eval",
+            "n_breach_up",
+            "n_breach_down",
+            F.expr(
+                "CAST((1000000 * (n_breach_up + n_breach_down))"
+                " DIV n_eval AS BIGINT)"
+            ).alias("breach_ppm"),
+        )
+        .orderBy("event_type")
+    )

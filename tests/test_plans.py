@@ -1460,3 +1460,39 @@ class TestAbcClassPlan:
         assert plan.count("Exchange SinglePartition") <= 2
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestBollingerPlan:
+    def test_bollinger_rolling_windows_share_type_exchange(self, spark):
+        """Bollinger (q_ts_bollinger): one (type, day) sum exchange;
+        the three rolling windows and the final aggregate share the
+        event_type partitioning; the 2σ test is a squared-integer
+        inequality — no sqrt, no Python, no join."""
+        plan = plan_of(spark, "q_ts_bollinger")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"event_type"}, keys
+        assert "partial_sum" in plan
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestRunsTestPlan:
+    def test_runs_cached_day_series_median_broadcast(self, spark):
+        """Runs test (q_stat_runs): the persisted (type, day) sum is
+        read by the median path and the sign path (InMemoryTableScan);
+        the median attaches by broadcast; every exchange keys on
+        event_type. No cartesian, no Python."""
+        plan = plan_of(spark, "q_stat_runs")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"event_type"}, keys
+        assert "InMemoryTableScan" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
