@@ -1596,3 +1596,114 @@ def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_ts_forecast_naive",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS d,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, d, CAST(SUM(v) AS BIGINT) AS y
+        FROM e GROUP BY 1, 2
+    ),
+    f AS (
+        SELECT event_type, d, y,
+               lag(y, 7) OVER (
+                   PARTITION BY event_type ORDER BY d) AS yhat,
+               lag(d, 7) OVER (
+                   PARTITION BY event_type ORDER BY d) AS dlag
+        FROM s
+    ),
+    v AS (
+        SELECT event_type, y, yhat
+        FROM f WHERE yhat IS NOT NULL AND d - dlag = 7 AND y <> 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(abs(y - yhat)) AS BIGINT) AS sum_abs_err_cents,
+           CAST(SUM((1000000 * abs(y - yhat)) // abs(y)) // COUNT(*)
+                AS BIGINT) AS mape_ppm,
+           CAST((1000000 * SUM(abs(y - yhat))) // SUM(abs(y))
+                AS BIGINT) AS wape_ppm
+    FROM v GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_ts_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per event type: predict each
+    day's revenue with the value 7 days earlier (the weekly-naive
+    baseline every forecasting benchmark starts from — M-competition
+    practice) and score it with MAPE and WAPE — the floor any real
+    model must beat before it earns a deploy.
+
+    Exactness: per-day percentage errors are e6-floored BEFORE the
+    mean ((1e6·|err|) DIV |y|, then DIV n — engine-identical double
+    floor); WAPE is a single floor over exact sums, immune to the
+    tiny-denominator blowups that make MAPE lie (both reported so the
+    divergence itself is diagnostic). Scoring requires the lag to be
+    EXACTLY 7 calendar days (d − dlag = 7 guards series gaps — lag()
+    counts rows, not days) and y ≠ 0.
+
+    Plan: one map-combined (type, day) sum, two lag windows sharing
+    the event_type partitioning over the calendar-bounded series, one
+    per-type aggregate. Nothing after the first exchange scales with
+    row count."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+    )
+    s = e.groupBy("event_type", "d").agg(
+        F.sum("v").cast("bigint").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    f = s.select(
+        "event_type",
+        "d",
+        "y",
+        F.lag("y", 7).over(w).alias("yhat"),
+        F.lag("d", 7).over(w).alias("dlag"),
+    )
+    v = f.filter(
+        F.col("yhat").isNotNull()
+        & (F.col("d") - F.col("dlag") == 7)
+        & (F.col("y") != 0)
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum(F.abs(F.col("y") - F.col("yhat")))
+            .cast("bigint")
+            .alias("sum_abs_err_cents"),
+            F.sum(F.expr("(1000000 * abs(y - yhat)) DIV abs(y)")).alias(
+                "_pe_sum"
+            ),
+            F.sum(F.abs(F.col("y"))).alias("_ay_sum"),
+        )
+        .select(
+            "event_type",
+            "n_scored",
+            "sum_abs_err_cents",
+            F.expr("CAST(_pe_sum DIV n_scored AS BIGINT)").alias(
+                "mape_ppm"
+            ),
+            F.expr(
+                "CAST((1000000 * sum_abs_err_cents) DIV _ay_sum AS BIGINT)"
+            ).alias("wape_ppm"),
+        )
+        .orderBy("event_type")
+    )

@@ -1496,3 +1496,21 @@ class TestRunsTestPlan:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestForecastNaivePlan:
+    def test_forecast_lag_windows_on_day_series(self, spark):
+        """Seasonal-naive backtest (q_ts_forecast_naive): one
+        (type, day) sum exchange; the two lag windows and the scoring
+        aggregate share the event_type partitioning. No join, no
+        cartesian, no Python."""
+        plan = plan_of(spark, "q_ts_forecast_naive")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"event_type"}, keys
+        assert "partial_sum" in plan
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
