@@ -1707,3 +1707,108 @@ def q_ts_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_orders_backlog",
+    oracle=f"""
+    WITH sp AS (
+        SELECT l_orderkey AS orderkey,
+               MAX(epoch_us(l_shipdate)) // {_US_PER_DAY} AS ship_d
+        FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
+    ),
+    o AS (
+        SELECT epoch_us(o.o_orderdate) // {_US_PER_DAY} AS start_d,
+               sp.ship_d + 1 AS end_d
+        FROM orders o JOIN sp ON sp.orderkey = o.o_orderkey
+        WHERE o.o_orderdate IS NOT NULL
+          AND sp.ship_d >= epoch_us(o.o_orderdate) // {_US_PER_DAY}
+    ),
+    diffs AS (
+        SELECT start_d AS d, 1 AS delta FROM o
+        UNION ALL
+        SELECT end_d AS d, -1 AS delta FROM o
+    ),
+    daily AS (
+        SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM diffs GROUP BY d
+    )
+    SELECT d AS day_id, net AS net_change,
+           CAST(SUM(net) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS open_orders
+    FROM daily
+    ORDER BY day_id
+    """,
+)
+def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog curve: for every day on which the fleet of
+    in-flight orders changes, how many orders are placed but not yet
+    fully shipped — the warehouse-load series behind staffing and SLA
+    questions. An order is open from its order date through its LAST
+    lineitem ship date inclusive (orders whose ship history predates
+    the order date — impossible intervals — are excluded identically
+    in both engines).
+
+    This is the DIFFERENCE-ARRAY pattern for interval accounting: no
+    day×order expansion ever exists — each order contributes exactly
+    two (+1 at start, −1 at end+1) events, one groupBy collapses them
+    to per-day nets, and a prefix sum over the CALENDAR-BOUNDED day
+    domain rebuilds the level. At 100 TB the per-order ship aggregate
+    and the order join are the only fact-sized steps (both key on
+    orderkey, co-partitioned); the window runs over ≤ a few thousand
+    day rows (SCALING.md §global-windows) no matter how many orders.
+    Exact integers end to end: day ids and counts.
+
+    The output emits only CHANGE days (net ≠ 0 rows exist by
+    construction of diffs; a day with balanced +/- still appears with
+    net 0 — same in both engines)."""
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            F.expr(
+                f"MAX(unix_micros(CAST(l_shipdate AS TIMESTAMP)))"
+                f" DIV {_US_PER_DAY}"
+            ).alias(
+                "ship_d"
+            )
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_orderkey",
+            F.expr(
+                f"unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                f" DIV {_US_PER_DAY}"
+            ).alias("start_d"),
+        )
+        .join(sp, F.col("orderkey") == F.col("o_orderkey"))
+        .filter(F.col("ship_d") >= F.col("start_d"))
+        .select("start_d", (F.col("ship_d") + 1).alias("end_d"))
+    )
+    diffs = o.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_d").alias("d"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("end_d").alias("d"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("ev")
+    ).select("ev.d", "ev.delta")
+    daily = diffs.groupBy("d").agg(
+        F.sum("delta").cast("bigint").alias("net")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.col("d").alias("day_id"),
+        F.col("net").alias("net_change"),
+        F.sum("net").over(w).cast("bigint").alias("open_orders"),
+    ).orderBy("day_id")

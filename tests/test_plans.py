@@ -1514,3 +1514,22 @@ class TestForecastNaivePlan:
         assert "Join" not in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestBacklogPlan:
+    def test_backlog_difference_array_no_day_expansion(self, spark):
+        """Backlog (q_orders_backlog): the difference-array pattern —
+        fact-sized steps are the per-order ship aggregate and the
+        orderkey join only; every hash exchange keys on orderkey or
+        the day id; the prefix window runs on the bounded day domain
+        (one SinglePartition exchange). No day×order explode of
+        intervals, no Python, no cartesian."""
+        plan = plan_of(spark, "q_orders_backlog")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"orderkey", "o_orderkey", "d", "l_orderkey"}, keys
+        assert plan.count("Exchange SinglePartition") <= 1
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
