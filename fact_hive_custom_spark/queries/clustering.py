@@ -488,3 +488,118 @@ def q_llm_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "q_llm_kmeans_purity",
+    oracle=f"""
+    WITH emb AS ({EMB_CONTRACT_SQL}),
+    g AS (
+        SELECT max(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))))) AS gscale
+        FROM emb
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor((CAST(x AS DOUBLE) * 127) / gscale + 0.5)
+                        AS BIGINT) + 127) AS us
+        FROM emb, g WHERE gscale > 0
+    ),
+    ql AS (
+        SELECT vec_id, CAST(d AS BIGINT) AS dim, us[CAST(d AS INT)] AS u
+        FROM q, unnest(generate_series(1, len(us))) AS t(d)
+    ),
+    c0 AS (
+        SELECT vec_id AS cid, dim, {_KM_SCALE} * u AS c FROM ql
+        WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    {_km_assign_cte('c0', '1')},
+    {_km_assign_cte('c1', '2')},
+    af AS (
+        SELECT l.vec_id, c.cid,
+               SUM(({_KM_SCALE} * l.u - c.c) * ({_KM_SCALE} * l.u - c.c)) AS dist
+        FROM ql l JOIN c2 c ON l.dim = c.dim
+        GROUP BY l.vec_id, c.cid
+    ),
+    asgf AS (
+        SELECT vec_id, cid FROM af
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) = 1
+    ),
+    lab AS (
+        SELECT a.cid, e.label, COUNT(*) AS n
+        FROM asgf a JOIN emb e ON e.vec_id = a.vec_id
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT cid, label, n,
+               CAST(SUM(n) OVER (PARTITION BY cid) AS BIGINT) AS n_members
+        FROM lab
+        QUALIFY row_number() OVER (PARTITION BY cid
+                                   ORDER BY n DESC, label) = 1
+    )
+    SELECT cid AS cluster_id,
+           n_members,
+           label AS top_label,
+           CAST(n AS BIGINT) AS top_label_n,
+           CAST((1000000 * n) // n_members AS BIGINT) AS purity_ppm
+    FROM top
+    ORDER BY cluster_id
+    """,
+)
+def q_llm_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation: PURITY of the trained k-means
+    clusters (q_llm_kmeans's exact 2-round Lloyd trajectory) against
+    the embeddings' ground-truth labels — the external-validity check
+    that tells a curation pipeline whether its unsupervised clusters
+    track real categories before it uses them for stratified
+    sampling, semdedup cluster bounds, or mixture weights.
+
+    Per cluster: majority label (ties broken label-ASC both engines),
+    its count, and purity_ppm = 1e6·top_n DIV n_members — exact
+    integers on top of the exact-integer Lloyd assignment, so the
+    whole train→assign→evaluate chain is oracle-checked end to end
+    (the same discipline as q_llm_pq_trained_topk for the PQ family).
+
+    Plan: reuses the kmeans fold (codes cached, corpus never shuffles
+    on vec_id during assignment); the label attach joins the
+    assignment to the embeddings scan on vec_id (co-partitioned), the
+    per-(cluster, label) count is map-combined, and the majority pick
+    is a window over ≤ K·|labels| rows."""
+    _, assigned = _kmeans_parts(spark, sf_dir)
+    labels = load_embeddings(spark, sf_dir).select("vec_id", "label")
+    lab = (
+        assigned.select("vec_id", F.col("cluster").alias("cid"))
+        .join(labels, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    top = (
+        lab.select(
+            "cid",
+            "label",
+            "n",
+            F.sum("n")
+            .over(Window.partitionBy("cid"))
+            .cast("bigint")
+            .alias("n_members"),
+            F.row_number()
+            .over(
+                Window.partitionBy("cid").orderBy(F.desc("n"), "label")
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return top.select(
+        F.col("cid").alias("cluster_id"),
+        "n_members",
+        F.col("label").alias("top_label"),
+        F.col("n").cast("bigint").alias("top_label_n"),
+        F.expr("CAST((1000000 * n) DIV n_members AS BIGINT)").alias(
+            "purity_ppm"
+        ),
+    ).orderBy("cluster_id")

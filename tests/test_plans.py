@@ -1533,3 +1533,21 @@ class TestBacklogPlan:
         assert plan.count("Exchange SinglePartition") <= 1
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestKmeansPurityPlan:
+    def test_purity_label_attach_on_vec_id_no_wide_reshuffle(self, spark):
+        """Purity (q_llm_kmeans_purity): inherits the kmeans fold (no
+        exchange keys on vec_id inside assignment — the pinned kmeans
+        property); the label attach joins on vec_id, the
+        (cluster, label) count is map-combined, the majority pick is
+        a window over the bounded label matrix. No cartesian of data
+        against data, no Python."""
+        plan = plan_of(spark, "q_llm_kmeans_purity")
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # assignment argmax is a fold, not a per-centroid shuffle:
+        # no exchange may key on the assignment's dist column
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning(dist" in line:
+                raise AssertionError(line)
