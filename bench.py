@@ -85,6 +85,14 @@ HEADLINE = [
     "q_llm_pq_train",
     "q_llm_prefix_jaccard",
     "q_llm_bigram_ppl",
+    # round-9c: the corpus-sized shingle→df join behind the novelty
+    # score (hash-keyed, never all-pairs — a regression re-shuffling
+    # shingle TEXT would show as bytes, a candidate explosion as
+    # time) and the bin-decomposed distributed global cumsum (a
+    # regression to the single-partition window serializes the whole
+    # part dimension through one task)
+    "q_llm_ngram_novelty",
+    "q_orders_abc_class",
 ]
 
 
