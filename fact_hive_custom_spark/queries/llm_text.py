@@ -1123,3 +1123,72 @@ def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_llm_hapax_ttr",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tc AS (
+        SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST((1000000 * COUNT(*)) // SUM(c) AS BIGINT) AS ttr_ppm,
+           CAST((1000000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS hapax_ppm
+    FROM tc
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_llm_hapax_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical richness: type-token ratio and the
+    hapax-legomenon fraction (types occurring exactly once IN the
+    doc) — the vocabulary-diversity dial a curation pipeline reads
+    per document (q_llm_text_stats reports TTR per (lang, source)
+    cohort; boilerplate and template text score low here even when
+    cohort numbers look healthy, and token-repetition spam scores
+    near zero). Exact integer ppm floors for both ratios.
+
+    Plan: one map-combined (doc, token) count is the only corpus-
+    sized exchange (keys: doc_id + token — the zipf wordcount shape,
+    co-keyed by doc), then a per-doc aggregate reusing the same
+    doc_id prefix. No window, no join; at 100 TB this is two
+    exchanges of count rows, both shrinking with distinctness."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    )
+    tc = tok.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        tc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("CAST((1000000 * n_types) DIV n_tokens AS BIGINT)")
+            .alias("ttr_ppm"),
+            F.expr("CAST((1000000 * n_hapax) DIV n_types AS BIGINT)")
+            .alias("hapax_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2046,3 +2046,149 @@ def q_stat_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE {z2} >= 3841459 END"
         ).alias("nonrandom"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_stat_cohens_d",
+    oracle="""
+    WITH p AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx
+        FROM p GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.n AS na, b.n AS nb,
+               a.sx * b.n - b.sx * a.n AS diff,
+               a.n * b.n AS nn,
+               b.n * (a.n * a.sxx - a.sx * a.sx)
+                 + a.n * (b.n * b.sxx - b.sx * b.sx) AS pv
+        FROM m a JOIN m b ON a.event_type < b.event_type
+        WHERE a.n >= 2 AND b.n >= 2
+    ),
+    r AS (
+        SELECT type_a, type_b, na, nb,
+               CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1
+                    ELSE 0 END AS d_sign,
+               CASE WHEN nn * pv >= 1000000 THEN
+                   ((diff // 1000) * (diff // 1000)
+                    * (na + nb - 2) * 1000000)
+                   // ((nn * pv) // 1000000)
+               ELSE NULL END AS d2_e6
+        FROM pairs
+    )
+    SELECT type_a, type_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(d2_e6 AS BIGINT) AS d2_e6,
+           CAST(d_sign AS INTEGER) AS d_sign,
+           CASE WHEN d2_e6 IS NULL THEN NULL
+                WHEN d2_e6 >= 640000 THEN 'large'
+                WHEN d2_e6 >= 250000 THEN 'medium'
+                WHEN d2_e6 >= 40000 THEN 'small'
+                ELSE 'negligible' END AS effect
+    FROM r
+    ORDER BY type_a, type_b
+    """,
+)
+def q_stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size for every event-type pair — the
+    magnitude half of the inference pair: q_stat_ttest_welch says a
+    value gap is STATISTICALLY real (which any gap is at large N);
+    this says whether it is PRACTICALLY large, via the standard
+    0.2/0.5/0.8 bands on |d| (compared as d² ≥ 0.04/0.25/0.64, so the
+    banding needs no square root).
+
+    Exact rational: d² = (Sa·nb − Sb·na)²·(na+nb−2) / (na·nb·P) with
+    P = nb(na·Qa − Sa²) + na(nb·Qb − Sb²) — pooled-variance algebra
+    multiplied through, evaluated in DECIMAL(38,0)/HUGEINT. The
+    num/den pre-divides (diff DIV 1e3 squared; na·nb·P DIV 1e6 — the
+    zipf_fit r² discipline) keep both sides under 1e38 to N ≈ 1e6
+    rows per group at cents ≤ 1e5; the floors are engine-identical
+    and cost ≤ 1e-3 relative where |diff| ≥ 1e6 (below that d ≈ 0
+    anyway). Zero pooled variance → NULL.
+
+    Plan: the ttest skeleton — ONE map-combined moment aggregate per
+    type is the only corpus-sized exchange; the K²/2 pair join runs
+    on the K-row moment relation."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    m = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+    )
+    a = m.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("sx").alias("sxa"),
+        F.col("sxx").alias("sxxa"),
+    )
+    b = m.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("sx").alias("sxb"),
+        F.col("sxx").alias("sxxb"),
+    )
+    pairs = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+        .select(
+            "type_a",
+            "type_b",
+            "na",
+            "nb",
+            F.expr("sxa * nb - sxb * na").alias("diff"),
+            F.expr("na * nb").alias("nn"),
+            F.expr(
+                "nb * (na * sxxa - sxa * sxa)"
+                " + na * (nb * sxxb - sxb * sxb)"
+            ).alias("pv"),
+        )
+    )
+    r = pairs.select(
+        "type_a",
+        "type_b",
+        "na",
+        "nb",
+        F.expr(
+            "CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1"
+            " ELSE 0 END"
+        ).alias("d_sign"),
+        F.expr(
+            "CASE WHEN nn * pv >= 1000000 THEN"
+            " (CAST(diff DIV 1000 AS DECIMAL(38,0))"
+            "  * CAST(diff DIV 1000 AS DECIMAL(38,0))"
+            "  * (na + nb - 2) * 1000000)"
+            " DIV CAST((nn * pv) DIV 1000000 AS DECIMAL(38,0))"
+            " ELSE NULL END"
+        ).alias("d2_e6"),
+    )
+    return r.select(
+        "type_a",
+        "type_b",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("d2_e6").cast("bigint").alias("d2_e6"),
+        F.col("d_sign").cast("int").alias("d_sign"),
+        F.expr(
+            "CASE WHEN d2_e6 IS NULL THEN NULL"
+            " WHEN d2_e6 >= 640000 THEN 'large'"
+            " WHEN d2_e6 >= 250000 THEN 'medium'"
+            " WHEN d2_e6 >= 40000 THEN 'small'"
+            " ELSE 'negligible' END"
+        ).alias("effect"),
+    ).orderBy("type_a", "type_b")

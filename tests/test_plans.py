@@ -1551,3 +1551,37 @@ class TestKmeansPurityPlan:
         for line in plan.splitlines():
             if "Exchange hashpartitioning(dist" in line:
                 raise AssertionError(line)
+
+
+class TestCohensDPlan:
+    def test_cohens_d_one_moment_exchange_tiny_pair_join(self, spark):
+        """Cohen's d (q_stat_cohens_d): the ttest skeleton — one
+        map-combined moment aggregate per type is the only
+        corpus-sized exchange; the K²/2 pair join runs on the K-row
+        moment relation (broadcast). No cartesian of data against
+        data, no Python."""
+        plan = plan_of(spark, "q_stat_cohens_d")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"event_type"}, keys
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestHapaxTtrPlan:
+    def test_hapax_two_shrinking_count_exchanges(self, spark):
+        """Hapax/TTR (q_llm_hapax_ttr): one (doc, token) count
+        exchange then a per-doc aggregate — no window, no join, no
+        Python anywhere."""
+        plan = plan_of(spark, "q_llm_hapax_ttr")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"doc_id"}, keys
+        assert "partial_count" in plan
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
