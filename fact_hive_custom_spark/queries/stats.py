@@ -2192,3 +2192,408 @@ def q_stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'negligible' END"
         ).alias("effect"),
     ).orderBy("type_a", "type_b")
+
+
+# chi-square 0.05 critical values (e6-scaled) for df 1..8 — the same
+# large-N convention as q_stat_ttest_welch's 3.841459 single-df pin:
+# df1·F is compared against chi2(df1), exact for df2 → infinity.
+_CHI2_CRIT_E6 = (
+    3841459, 5991465, 7814728, 9487729,
+    11070498, 12591587, 14067140, 15507313,
+)
+_CHI2_CASE = " ".join(
+    f"WHEN {df} THEN {c}" for df, c in enumerate(_CHI2_CRIT_E6, start=1)
+)
+
+
+@register(
+    "q_stat_anova_f",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS s,
+               CAST(SUM(x * x) AS HUGEINT) AS q
+        FROM p GROUP BY event_type
+    ),
+    t AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+               SUM(n) AS n, SUM(s) AS s, SUM(q) AS q,
+               SUM((s * s * 1000000) // n) AS a_e6
+        FROM g
+    ),
+    f AS (
+        SELECT k, n,
+               a_e6 - (s * s * 1000000) // n AS ssb_e6,
+               q * 1000000 - a_e6 AS ssw_e6
+        FROM t
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(n AS BIGINT) AS n,
+           CAST(k - 1 AS BIGINT) AS df1,
+           CAST(n - k AS BIGINT) AS df2,
+           CAST(CASE WHEN ssw_e6 >= 1000000 THEN
+               (ssb_e6 * (n - k))
+                   // ((ssw_e6 // 1000000) * (k - 1))
+           END AS BIGINT) AS f_e6,
+           CASE WHEN ssw_e6 >= 1000000 THEN
+               (ssb_e6 * (n - k))
+                   // ((ssw_e6 // 1000000) * (k - 1))
+               * (k - 1)
+               >= CASE k - 1 {_CHI2_CASE} ELSE NULL END
+           END AS significant
+    FROM f
+    """,
+)
+def q_stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F over event-type value groups — the k-group
+    parametric companion to q_stat_kruskal (rank-based) and
+    q_stat_ttest_welch (two-group): does MEAN value differ across the
+    k event types?
+
+    Exact rational: SSB and SSW come from the same three power sums
+    the ttest uses (n, Σx, Σx² per group at cents scale), combined as
+    A_e6 = Σ_g (S_g²·1e6 DIV n_g); SSB_e6 = A_e6 − T²·1e6 DIV N;
+    SSW_e6 = Q·1e6 − A_e6. Every floor (DIV) is engine-identical
+    (all numerators non-negative by Cauchy–Schwarz), and the final
+    F_e6 pre-divides SSW back to unit scale so the product chain
+    stays under DECIMAL(38,0)/HUGEINT to N ≈ 1e8 rows per group at
+    cents ≤ 1e5. Significance is the df2→∞ convention pinned across
+    this module: df1·F vs chi2(df1) 0.05 criticals (_CHI2_CRIT_E6).
+
+    Plan: ONE map-combined moment aggregate over the corpus (k rows
+    out), then a single-row reduction — the ttest/cohens_d skeleton
+    minus the pair join; nothing after the first exchange touches
+    more than k rows."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.round(F.col("value") * 100).cast("bigint").alias("x"),
+                "event_type")
+    )
+    d38 = "decimal(38,0)"
+    g = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("q"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast(d38).alias("k"),
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("q").alias("q"),
+        F.sum(F.expr("(s * s * 1000000) DIV n")).alias("a_e6"),
+    )
+    f = t.select(
+        "k",
+        "n",
+        F.expr("a_e6 - (s * s * 1000000) DIV n").alias("ssb_e6"),
+        F.expr("q * 1000000 - a_e6").alias("ssw_e6"),
+    )
+    f_e6 = (
+        "(ssb_e6 * (n - k)) DIV ((ssw_e6 DIV 1000000) * (k - 1))"
+    )
+    return f.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
+        F.expr(
+            f"CAST(CASE WHEN ssw_e6 >= 1000000 THEN {f_e6} END AS BIGINT)"
+        ).alias("f_e6"),
+        F.expr(
+            f"CASE WHEN ssw_e6 >= 1000000 THEN"
+            f" {f_e6} * (k - 1)"
+            f" >= CASE CAST(k - 1 AS INT) {_CHI2_CASE} ELSE NULL END"
+            f" END"
+        ).alias("significant"),
+    )
+
+
+@register(
+    "q_stat_jarque_bera",
+    oracle="""
+    WITH p AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    mu AS (
+        SELECT event_type,
+               CAST(SUM(x) AS HUGEINT) // COUNT(*) AS mu
+        FROM p GROUP BY event_type
+    ),
+    c AS (
+        SELECT p.event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM((x - mu) * (x - mu)) AS HUGEINT) AS sd2,
+               CAST(SUM(CAST(x - mu AS HUGEINT)
+                        * (x - mu) * (x - mu)) AS HUGEINT) AS sd3,
+               CAST(SUM(CAST(x - mu AS HUGEINT) * (x - mu)
+                        * (x - mu) * (x - mu)) AS HUGEINT) AS sd4
+        FROM p JOIN mu USING (event_type)
+        GROUP BY p.event_type
+    ),
+    r AS (
+        SELECT event_type, n, sd2,
+               CASE WHEN sd3 > 0 THEN 1 WHEN sd3 < 0 THEN -1
+                    ELSE 0 END AS skew_sign,
+               (abs(sd3) * 1000000) // sd2 AS a3,
+               (sd4 * 1000000) // sd2 AS a4
+        FROM c WHERE n >= 4 AND sd2 > 0
+    ),
+    jb AS (
+        SELECT event_type, n, skew_sign,
+               (a3 * a3 * n) // (sd2 * 1000000) AS skew2_e6,
+               (n * a4) // sd2 AS kurt_e6
+        FROM r
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(skew_sign AS INTEGER) AS skew_sign,
+           CAST(skew2_e6 AS BIGINT) AS skew2_e6,
+           CAST(kurt_e6 AS BIGINT) AS kurt_e6,
+           CAST((n * (skew2_e6 * 1000000
+                      + ((kurt_e6 - 3000000)
+                         * (kurt_e6 - 3000000)) // 4))
+                // 6000000 AS BIGINT) AS jb_e6,
+           (n * (skew2_e6 * 1000000
+                 + ((kurt_e6 - 3000000) * (kurt_e6 - 3000000)) // 4))
+               // 6000000 >= 5991465 AS nonnormal
+    FROM jb
+    ORDER BY event_type
+    """,
+)
+def q_stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test per event type — skewness² and
+    kurtosis from CENTRAL power sums, JB = n/6·(S² + (K−3)²/4),
+    rejected against chi2(2) at 0.05 (5.991465, the df-2 entry of
+    _CHI2_CRIT_E6). Completes the distribution-shape shelf next to
+    q_agg_moments (which reports Spark's float skewness/kurtosis,
+    rounded) with a bit-identical integer twin.
+
+    TWO-PASS by design: raw power sums Σx⁴ overflow DECIMAL(38,0)
+    once n·x⁴ ≳ 1e38 (n = 1e8 at x ≤ 1e5 cents is 1e28 — fine, but
+    the M4 = n³Q4 − ... EXPANSION the one-pass algebra needs is n⁴·m4
+    ≈ 1e48 at sf100). Pass 1 computes the floored integer group mean
+    (S DIV n, engine-identical); pass 2 re-reads with the k-row mean
+    relation broadcast and sums (x−μ)^{2,3,4} directly — centered
+    deltas keep every accumulator under n·(2e5)⁴ ≈ 1e30. The floored
+    μ (≤1 cent off the true mean) is part of the pinned semantics,
+    identical on both engines.
+
+    Negative-DIV guard: Spark DIV truncates toward zero, DuckDB //
+    floors toward −∞ — they disagree on negatives, so the one signed
+    sum (Σd³) is split into |Σd³| DIV and a separate sign column;
+    every other numerator is a square or fourth power, non-negative
+    by construction.
+
+    Plan: two corpus scans (pass-1 moment agg + pass-2 centered agg),
+    the μ relation joined BROADCAST — no corpus-sized exchange beyond
+    the two map-combined aggregates; at 100 TB the second pass rides
+    the same partition layout as the first."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    mu = p.groupBy("event_type").agg(
+        F.expr("CAST(SUM(x) AS DECIMAL(38,0)) DIV COUNT(*)")
+        .cast("bigint")
+        .alias("mu")
+    )
+    c = (
+        p.join(F.broadcast(mu), "event_type")
+        .withColumn("d", (F.col("x") - F.col("mu")).cast(d38))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum(F.expr("d * d")).cast(d38).alias("sd2"),
+            F.sum(F.expr("d * d * d")).cast(d38).alias("sd3"),
+            F.sum(F.expr("d * d * d * d")).cast(d38).alias("sd4"),
+        )
+    )
+    r = c.filter((F.col("n") >= 4) & (F.col("sd2") > 0)).select(
+        "event_type",
+        "n",
+        "sd2",
+        F.expr(
+            "CASE WHEN sd3 > 0 THEN 1 WHEN sd3 < 0 THEN -1 ELSE 0 END"
+        ).alias("skew_sign"),
+        F.expr(
+            "CAST((abs(sd3) * 1000000) DIV sd2 AS DECIMAL(38,0))"
+        ).alias("a3"),
+        F.expr(
+            "CAST((sd4 * 1000000) DIV sd2 AS DECIMAL(38,0))"
+        ).alias("a4"),
+    )
+    jb = r.select(
+        "event_type",
+        "n",
+        "skew_sign",
+        F.expr("(a3 * a3 * n) DIV (sd2 * 1000000)").alias("skew2_e6"),
+        F.expr("(n * a4) DIV sd2").alias("kurt_e6"),
+    )
+    jb_expr = (
+        "(n * (skew2_e6 * 1000000"
+        " + ((kurt_e6 - 3000000) * (kurt_e6 - 3000000)) DIV 4))"
+        " DIV 6000000"
+    )
+    return jb.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("skew_sign").cast("int").alias("skew_sign"),
+        F.col("skew2_e6").cast("bigint").alias("skew2_e6"),
+        F.col("kurt_e6").cast("bigint").alias("kurt_e6"),
+        F.expr(f"CAST({jb_expr} AS BIGINT)").alias("jb_e6"),
+        F.expr(f"{jb_expr} >= 5991465").alias("nonnormal"),
+    ).orderBy("event_type")
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "q_stat_survival_km",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey,
+               epoch_us(o_orderdate) // {_US_PER_DAY} AS dayn,
+               o_orderkey,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ),
+    maxd AS (SELECT MAX(dayn) AS maxd FROM o),
+    per AS (
+        SELECT f.o_custkey,
+               CASE WHEN s.dayn IS NOT NULL THEN s.dayn - f.dayn
+                    ELSE maxd.maxd - f.dayn END AS dur,
+               CASE WHEN s.dayn IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM (SELECT * FROM o WHERE rn = 1) f
+        LEFT JOIN (SELECT * FROM o WHERE rn = 2) s USING (o_custkey)
+        CROSS JOIN maxd
+    ),
+    t AS (
+        SELECT dur,
+               CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM per GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d, c,
+               (SELECT COUNT(*) FROM per)
+                 - COALESCE(SUM(d + c) OVER (
+                       ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS n_risk
+        FROM t
+    ),
+    km AS (
+        SELECT dur, d, c, n_risk,
+               CASE WHEN n_risk > d THEN
+                   CAST(floor(ln(n_risk - d) * 1000000 + 0.5) AS BIGINT)
+                   - CAST(floor(ln(n_risk) * 1000000 + 0.5) AS BIGINT)
+               END AS l
+        FROM risk WHERE d > 0
+    )
+    SELECT CAST(dur AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events,
+           c AS n_censored,
+           CASE WHEN n_risk > d THEN
+               CAST(SUM(l) OVER (ORDER BY dur) AS BIGINT)
+           END AS log_surv_e6
+    FROM km
+    ORDER BY t_days
+    """,
+)
+def q_stat_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of time-to-second-order: for each
+    customer, the event is the SECOND order (repeat purchase), timed
+    in whole days from the first; customers who never reorder are
+    right-censored at the global last order date. The product-limit
+    estimator S(t) = Π_{{t_i ≤ t}} (1 − d_i/n_i) is reported in LOG
+    form: log_surv_e6 = Σ [L(n_i−d_i) − L(n_i)] with
+    L(z) = floor(ln(z)·1e6 + ½) — each ln is of an EXACT integer and
+    pinned to e6 before any sum (the bigram_ppl/zipf_fit float rule),
+    so the cumulative sum is pure integer arithmetic. If survival
+    reaches zero (n_risk == d at the last event time) the log is NULL
+    from that row on, by construction only the final row.
+
+    Censored-at-t rows stay in the risk set AT t (removed after the
+    deaths), the standard KM tie convention — encoded identically in
+    both engines as a 1-PRECEDING window over (deaths+censored).
+    Durations use epoch-day integers (epoch_us DIV 86.4e9), not
+    date_diff, per this module's dialect-trap rule.
+
+    Plan: one window over orders partitioned by custkey (rank 1st/2nd
+    order), the global max date attached as a broadcast 1×1 staple,
+    then the KM table lives on |distinct durations| rows — the final
+    ordered window is a few thousand rows at any corpus scale, the
+    classic giant-input/tiny-state survival shape."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV {_US_PER_DAY}"
+        ).alias("dayn"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("dayn", "o_orderkey")
+    r = o.withColumn("rn", F.row_number().over(w))
+    f = r.filter(F.col("rn") == 1).select("o_custkey", F.col("dayn").alias("d1"))
+    s = r.filter(F.col("rn") == 2).select("o_custkey", F.col("dayn").alias("d2"))
+    maxd = o.agg(F.max("dayn").alias("maxd"))
+    per = (
+        f.join(s, "o_custkey", "left")
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.when(F.col("d2").isNotNull(), F.col("d2") - F.col("d1"))
+            .otherwise(F.col("maxd") - F.col("d1"))
+            .alias("dur"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    t = per.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c"),
+    )
+    n_total = per.agg(F.count(F.lit(1)).alias("n_total"))
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        t.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wcum), F.lit(0)),
+        )
+    )
+    km = risk.filter(F.col("d") > 0).withColumn(
+        "l",
+        F.expr(
+            "CASE WHEN n_risk > d THEN"
+            " CAST(floor(ln(n_risk - d) * 1000000 + 0.5) AS BIGINT)"
+            " - CAST(floor(ln(n_risk) * 1000000 + 0.5) AS BIGINT) END"
+        ),
+    )
+    wlog = Window.orderBy("dur")
+    return km.select(
+        F.col("dur").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(
+            F.col("n_risk") > F.col("d"),
+            F.sum("l").over(wlog).cast("bigint"),
+        ).alias("log_surv_e6"),
+    ).orderBy("t_days")
