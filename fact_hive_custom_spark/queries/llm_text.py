@@ -1192,3 +1192,91 @@ def q_llm_hapax_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_llm_token_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY doc_id, token
+    ),
+    d AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(cnt * CAST(floor(ln(cnt) * 1000000 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS swl
+        FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           CAST(floor(ln(n_tokens) * 1000000 + 0.5) AS BIGINT)
+               - swl // n_tokens AS entropy_e6,
+           CASE WHEN n_types > 1 THEN
+               ((CAST(floor(ln(n_tokens) * 1000000 + 0.5) AS BIGINT)
+                 - swl // n_tokens) * 1000000)
+               // CAST(floor(ln(n_types) * 1000000 + 0.5) AS BIGINT)
+           END AS norm_entropy_ppm
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def q_llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon token entropy H = ln n − (Σ c·ln c)/n —
+    the repetition/diversity quality signal at DOCUMENT granularity
+    (q_llm_diversity's Gini–Simpson is per-source; boilerplate and
+    keyword-stuffed docs sit at the low end of H, natural prose near
+    ln(n_types)). norm_entropy_ppm = H/ln(n_types) rescales to [0,1]
+    so docs of different lengths rank on one axis.
+
+    Float discipline: the ONLY floats are ln of exact integers (cnt,
+    n_tokens, n_types), each pinned to e6 half-up BEFORE any sum or
+    division (the bigram_ppl rule) — the per-doc Σ c·L(c), the DIV n,
+    and the ppm normalization are pure integer arithmetic, so both
+    engines agree bit-for-bit.
+
+    Plan: explode → ONE (doc_id, token) map-combined count (the
+    diversity/hapax skeleton, keyed on doc_id so token hot-keys don't
+    skew — every shuffle key carries the doc), then a per-doc
+    re-aggregation over distinct types. Two exchanges total, both
+    keyed on doc_id; nothing global."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+    )
+    c = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    d = c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(
+            F.expr(
+                "cnt * CAST(floor(ln(cnt) * 1000000 + 0.5) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("swl"),
+    )
+    h = (
+        "CAST(floor(ln(n_tokens) * 1000000 + 0.5) AS BIGINT)"
+        " - swl DIV n_tokens"
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.expr(h).alias("entropy_e6"),
+        F.expr(
+            f"CASE WHEN n_types > 1 THEN (({h}) * 1000000)"
+            f" DIV CAST(floor(ln(n_types) * 1000000 + 0.5) AS BIGINT)"
+            f" END"
+        ).alias("norm_entropy_ppm"),
+    ).orderBy("doc_id")

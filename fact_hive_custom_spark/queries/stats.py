@@ -2597,3 +2597,145 @@ def q_stat_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l").over(wlog).cast("bigint"),
         ).alias("log_surv_e6"),
     ).orderBy("t_days")
+
+
+# Poisson(1) inverse-CDF thresholds at 2^60 scale for the portable
+# 60-bit md5 hash: multiplicity m is the first k whose cumulative
+# probability exceeds u = h/2^60. Precomputed in Python so both
+# engines compare against the SAME integer constants (no libm call
+# at query time at all).
+_POIS1_T60 = (
+    424136118829305344,     # P(X<=0)
+    848272237658610688,     # P(X<=1)
+    1060340297073263360,    # P(X<=2)
+    1131029650211480960,    # P(X<=3)
+    1148701988496035328,    # P(X<=4)
+    1152236456152946176,    # P(X<=5)
+    1152825534095764608,    # P(X<=6)
+)
+_BOOT_B = 48  # bootstrap replicates
+_BOOT_LO_RN = 2   # floor(0.025 * 48) + 1  -> 2.5% order statistic
+_BOOT_HI_RN = 47  # ceil(0.975 * 48)       -> 97.5% order statistic
+
+
+def _pois_case(h: str) -> str:
+    """CASE expression mapping a 60-bit hash to a Poisson(1) draw."""
+    arms = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS1_T60)
+    )
+    return f"CASE {arms} ELSE 7 END"
+
+
+@register(
+    "q_stat_bootstrap_ci",
+    oracle=f"""
+    WITH x AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    rep AS (
+        SELECT b.range AS b, x.cents,
+               {_pois_case("(('0x' || substr(md5(CAST(x.o_orderkey AS VARCHAR) || ':' || CAST(b.range AS VARCHAR)), 1, 15))::BIGINT)")} AS m
+        FROM x CROSS JOIN range({_BOOT_B}) b
+    ),
+    means AS (
+        SELECT b,
+               CAST(SUM(m * cents) AS HUGEINT)
+                   // NULLIF(SUM(m), 0) AS mean_cents
+        FROM rep GROUP BY b
+    ),
+    ranked AS (
+        SELECT mean_cents,
+               row_number() OVER (ORDER BY mean_cents, b) AS rn
+        FROM means
+    ),
+    point AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(CAST(SUM(cents) AS HUGEINT)
+                    // COUNT(*) AS BIGINT) AS point_mean_cents
+        FROM x
+    )
+    SELECT point.n_orders,
+           CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+           point.point_mean_cents,
+           CAST(MIN(CASE WHEN rn = {_BOOT_LO_RN} THEN mean_cents END)
+                AS BIGINT) AS ci_lo_cents,
+           CAST(MIN(CASE WHEN rn = {_BOOT_HI_RN} THEN mean_cents END)
+                AS BIGINT) AS ci_hi_cents
+    FROM ranked CROSS JOIN point
+    GROUP BY point.n_orders, point.point_mean_cents
+    """,
+)
+def q_stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for mean order value — the
+    distributed-bootstrap construction (Chamandy et al., Google 2012,
+    'Estimating Uncertainty for Massive Data Streams'): instead of
+    resampling n rows WITH replacement (which needs global
+    coordination), each row independently draws its multiplicity in
+    replicate b as Poisson(1) — at large n the replicate is
+    distribution-identical to a classical bootstrap resample.
+
+    Fully deterministic and engine-portable: the draw is the 60-bit
+    md5 prefix of 'orderkey:b' (the q_llm_simhash portable-hash
+    family) compared against PRECOMPUTED integer thresholds
+    floor(CDF_Poisson(1)·2^60) (_POIS1_T60) — no RNG, no libm at
+    query time, bit-identical across engines. Replicate means are
+    floored integer cents; the CI is the 2nd/47th order statistic of
+    the 48 replicate means (2.5%/97.5% at B=48).
+
+    Plan: the B-fold expansion is a PROJECTION (explode of a constant
+    sequence) fused into the scan — it never shuffles; the only
+    exchange carries B×parts partial (Σm·x, Σm) pairs, so at 100 TB
+    the cost is B extra map-side multiply-adds per row, not B corpus
+    copies. The 48-row means table then sorts in one task —
+    giant-input/tiny-state, like q_stat_survival_km."""
+    x = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    h = (
+        "CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), ':',"
+        " CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    rep = x.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"),
+    ).select("b", "cents", F.expr(_pois_case(h)).alias("m"))
+    means = rep.groupBy("b").agg(
+        F.expr(
+            "CAST(CAST(SUM(m * cents) AS DECIMAL(38,0))"
+            " DIV NULLIF(SUM(m), 0) AS BIGINT)"
+        ).alias("mean_cents")
+    )
+    ranked = means.select(
+        "mean_cents",
+        F.row_number().over(Window.orderBy("mean_cents", "b")).alias("rn"),
+    )
+    point = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr(
+            "CAST(CAST(SUM(cents) AS DECIMAL(38,0))"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("point_mean_cents"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(point))
+        .groupBy("n_orders", "point_mean_cents")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == _BOOT_LO_RN, F.col("mean_cents"))
+            ).cast("bigint").alias("ci_lo_cents"),
+            F.min(
+                F.when(F.col("rn") == _BOOT_HI_RN, F.col("mean_cents"))
+            ).cast("bigint").alias("ci_hi_cents"),
+        )
+        .select(
+            "n_orders",
+            F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+            "point_mean_cents",
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
+    )

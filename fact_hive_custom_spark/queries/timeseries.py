@@ -1812,3 +1812,138 @@ def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("net").alias("net_change"),
         F.sum("net").over(w).cast("bigint").alias("open_orders"),
     ).orderBy("day_id")
+
+
+_XCORR_A = "click"
+_XCORR_B = "purchase"
+_XCORR_MAXLAG = 3
+
+
+@register(
+    "q_ts_xcorr",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type,
+               epoch_us(ts) // {{us_day}} AS d
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IN ('{_XCORR_A}', '{_XCORR_B}')
+    ),
+    s AS (
+        SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e GROUP BY 1, 2
+    ),
+    a AS (SELECT d, c FROM s WHERE event_type = '{_XCORR_A}'),
+    b AS (SELECT d, c FROM s WHERE event_type = '{_XCORR_B}'),
+    lags AS (SELECT range - {_XCORR_MAXLAG} AS lag
+             FROM range({2 * _XCORR_MAXLAG + 1})),
+    j AS (
+        SELECT lags.lag,
+               CAST(a.c AS HUGEINT) AS x, CAST(b.c AS HUGEINT) AS y
+        FROM lags
+        JOIN a ON TRUE
+        JOIN b ON b.d = a.d + lags.lag
+    ),
+    m AS (
+        SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM j GROUP BY lag
+    ),
+    r AS (
+        SELECT lag, n,
+               n * sxy - sx * sy AS cov,
+               n * sxx - sx * sx AS vx,
+               n * syy - sy * sy AS vy
+        FROM m WHERE n >= 3
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1
+                     ELSE 0 END AS INTEGER) AS sign,
+           CAST(CASE WHEN vx > 0 AND vy > 0 THEN
+               (cov * cov * 1000000) // (vx * vy)
+           END AS BIGINT) AS corr2_e6
+    FROM r
+    ORDER BY lag
+    """.replace("{us_day}", str(_US_PER_DAY)),
+)
+def q_ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of the click and purchase daily-count series
+    at lags −3..+3 days — the lead/lag diagnostic behind campaign
+    attribution windows ("do purchases follow clicks by k days?").
+    Reported as sign + squared correlation so the whole statistic is
+    one exact rational in the integer day counts (the cohens_d
+    convention): corr²_e6 = cov²·1e6 DIV (vx·vy) with cov, vx, vy the
+    n-scaled co-moments — no square root, no float, the numerator a
+    square so the single DIV is non-negative on both engines.
+
+    Per-lag n differs (the overlap shrinks at the window edges) and
+    is reported; lags with fewer than 3 overlapping days are dropped.
+
+    Plan: ONE map-combined (type, day) count over the filtered corpus
+    is the only corpus-sized exchange; the 7-lag replication happens
+    on the |days|-row series via an exploded constant sequence, and
+    the shifted self-join keys on integer day — calendar-bounded
+    work end-to-end after the first aggregate (the mann_kendall
+    skeleton)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isin(_XCORR_A, _XCORR_B)
+        )
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}").alias("d"),
+        )
+    )
+    s = e.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = s.filter(F.col("event_type") == _XCORR_A).select(
+        F.col("d").alias("da"), F.col("c").alias("x")
+    )
+    b = s.filter(F.col("event_type") == _XCORR_B).select(
+        F.col("d").alias("db"), F.col("c").alias("y")
+    )
+    al = a.select(
+        "da",
+        "x",
+        F.explode(
+            F.expr(f"sequence({-_XCORR_MAXLAG}, {_XCORR_MAXLAG})")
+        ).alias("lag"),
+    )
+    d38 = "decimal(38,0)"
+    j = al.join(b, F.col("db") == F.col("da") + F.col("lag")).select(
+        "lag",
+        F.col("x").cast(d38).alias("x"),
+        F.col("y").cast(d38).alias("y"),
+    )
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    r = m.filter(F.col("n") >= 3).select(
+        "lag",
+        "n",
+        F.expr("n * sxy - sx * sy").alias("cov"),
+        F.expr("n * sxx - sx * sx").alias("vx"),
+        F.expr("n * syy - sy * sy").alias("vy"),
+    )
+    return r.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(
+            "CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1"
+            " ELSE 0 END AS INT)"
+        ).alias("sign"),
+        F.expr(
+            "CAST(CASE WHEN vx > 0 AND vy > 0 THEN"
+            " (cov * cov * 1000000) DIV (vx * vy)"
+            " END AS BIGINT)"
+        ).alias("corr2_e6"),
+    ).orderBy("lag")
