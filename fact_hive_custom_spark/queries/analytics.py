@@ -587,11 +587,11 @@ def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND event_type IS NOT NULL
         GROUP BY 1, 2, 3
     ),
-    ok AS (
+    ok AS MATERIALIZED (
         SELECT event_type, bucket FROM b
         GROUP BY 1, 2 HAVING COUNT(*) <= {_TRI_CAP}
     ),
-    e AS (
+    e AS MATERIALIZED (
         SELECT DISTINCT a.user_id AS u, c.user_id AS v
         FROM b a
         JOIN ok USING (event_type, bucket)
@@ -932,11 +932,11 @@ def q_event_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND event_type IS NOT NULL
         GROUP BY 1, 2, 3
     ),
-    ok AS (
+    ok AS MATERIALIZED (
         SELECT event_type, bucket FROM b
         GROUP BY 1, 2 HAVING COUNT(*) <= {_TRI_CAP}
     ),
-    e AS (
+    e AS MATERIALIZED (
         SELECT DISTINCT a.user_id AS u, c.user_id AS v
         FROM b a
         JOIN ok USING (event_type, bucket)
@@ -1348,11 +1348,11 @@ def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND event_type IS NOT NULL
         GROUP BY 1, 2, 3
     ),
-    ok AS (
+    ok AS MATERIALIZED (
         SELECT event_type, bucket FROM b
         GROUP BY 1, 2 HAVING COUNT(*) <= {_TRI_CAP}
     ),
-    e AS (
+    e AS MATERIALIZED (
         SELECT DISTINCT a.user_id AS u, c.user_id AS v
         FROM b a
         JOIN ok USING (event_type, bucket)
@@ -1653,3 +1653,260 @@ def q_orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month")
     )
+
+
+# Shared DuckDB CTE block producing the canonical co-occurrence edge
+# list `e(u, v)` — the SQL twin of _cooccurrence_edges (same minute
+# buckets, same _TRI_CAP hot-bucket guard, same u < v canonical form).
+_COOC_EDGE_CTES = f"""
+    b AS MATERIALIZED (
+        SELECT event_type, epoch_us(ts) // {_US_PER_MIN} AS bucket,
+               user_id
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    ok AS MATERIALIZED (
+        SELECT event_type, bucket FROM b
+        GROUP BY 1, 2 HAVING COUNT(*) <= {_TRI_CAP}
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT a.user_id AS u, c.user_id AS v
+        FROM b a
+        JOIN ok USING (event_type, bucket)
+        JOIN b c ON c.event_type = a.event_type
+               AND c.bucket = a.bucket AND a.user_id < c.user_id
+    )
+"""
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Chained-CTE peel: each round recomputes degrees on the
+    surviving edge set and drops nodes below _KCORE_K (both
+    endpoints must survive for the edge to survive)."""
+    ctes = [_COOC_EDGE_CTES.strip(), "e0 AS MATERIALIZED (SELECT u, v FROM e)"]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p}
+        ) t GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"""k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {_KCORE_K})"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+        SELECT u, v FROM e{p}
+        WHERE u IN (SELECT node FROM k{r})
+          AND v IN (SELECT node FROM k{r})
+    )"""
+        )
+    selects = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        selects.append(
+            f"""SELECT CAST({r} AS BIGINT) AS round,
+           CAST((SELECT COUNT(DISTINCT node) FROM (
+               SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r}
+           ) t) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e{r}) AS BIGINT) AS n_edges"""
+        )
+    body = "\n    UNION ALL\n    ".join(selects)
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    " + body
+        + "\n    ORDER BY round"
+    )
+
+
+@register("q_graph_kcore", oracle=_kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=3) on the user co-occurrence graph — the
+    community-density primitive behind spam-ring and bot-cohort
+    detection: repeatedly delete nodes of degree < k until the
+    residual graph (the k-core) is stable. Emits the survivor counts
+    after each of 4 peel rounds so the peel trajectory itself is in
+    the output — equal consecutive rows certify the fixpoint; still-
+    shrinking rows (the sparse sf0.01 graph peels 115→78→58→39 edges
+    across rounds 1–4) show exactly how far 4 rounds got.
+
+    Bounded iteration BY DESIGN, like q_graph_pagerank's 3 power
+    steps: the peel count is a pinned constant in BOTH engines
+    (Spark loop / chained SQL CTEs, generated from the same
+    _KCORE_ROUNDS), so the oracle stays pure ANSI SQL. Production
+    runs loop to fixpoint with the same per-round body — each round
+    is degree-count + two semi-joins, all keyed on node id.
+
+    Scale: each round's edge frame is localCheckpoint-ed (the
+    pagerank/connected-components lineage cap) so round r+1's plan
+    roots at materialized edges, not a 4×-replayed window over the
+    raw corpus; degrees are map-combined counts and survivors join
+    back as semi-joins on the edge's own hash layout. The raw events
+    are scanned exactly ONCE (edge build); every later pass is
+    |edges|-sized."""
+    edges = _cooccurrence_edges(spark, sf_dir).localCheckpoint()
+    outs = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(
+                keep.withColumnRenamed("node", "u"), "u", "left_semi"
+            )
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_nodes = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .agg(F.countDistinct("node").cast("bigint").alias("n_nodes"))
+        )
+        n_edges = edges.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges")
+        )
+        outs.append(
+            n_nodes.crossJoin(n_edges).select(
+                F.lit(r).cast("bigint").alias("round"),
+                "n_nodes",
+                "n_edges",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("round")
+
+
+_BFS_ROUNDS = 3
+
+
+def _bfs_oracle() -> str:
+    """Chained-CTE breadth-first expansion from the lowest-id node:
+    frontier f{r} = neighbors(f{r-1}) − visited, r = 1..3."""
+    ctes = [
+        _COOC_EDGE_CTES.strip(),
+        "v0 AS MATERIALIZED (SELECT MIN(u) AS node FROM e)",
+        "f0 AS MATERIALIZED (SELECT node FROM v0)",
+    ]
+    for r in range(1, _BFS_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""f{r} AS MATERIALIZED (
+        SELECT DISTINCT n AS node FROM (
+            SELECT e.v AS n FROM e JOIN f{p} ON e.u = f{p}.node
+            UNION ALL
+            SELECT e.u AS n FROM e JOIN f{p} ON e.v = f{p}.node
+        ) t WHERE n NOT IN (SELECT node FROM v{p})
+    )"""
+        )
+        ctes.append(
+            f"""v{r} AS MATERIALIZED (
+        SELECT node FROM v{p} UNION SELECT node FROM f{r}
+    )"""
+        )
+    ctes.append(
+        "nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM e"
+        " UNION SELECT v FROM e)"
+    )
+    selects = ["SELECT CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS n_nodes"]
+    for r in range(1, _BFS_ROUNDS + 1):
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT),"
+            f" CAST((SELECT COUNT(*) FROM f{r}) AS BIGINT)"
+        )
+    selects.append(
+        f"SELECT CAST(-1 AS BIGINT),"
+        f" CAST((SELECT COUNT(*) FROM nodes)"
+        f" - (SELECT COUNT(*) FROM v{_BFS_ROUNDS}) AS BIGINT)"
+    )
+    body = "\n    UNION ALL\n    ".join(selects)
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    " + body
+        + "\n    ORDER BY dist"
+    )
+
+
+@register("q_graph_bfs", oracle=_bfs_oracle())
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reach histogram from the lowest-id user on the
+    co-occurrence graph: how many users sit at hop distance 1, 2, 3
+    from the seed, and how many are unreachable within 3 hops
+    (dist = −1) — the influence-radius / blast-radius primitive.
+
+    Bounded-frontier iteration, the q_graph_kcore discipline: hop
+    count is a pinned constant generated into BOTH engines from
+    _BFS_ROUNDS (Spark loop / chained SQL CTEs), keeping the oracle
+    pure ANSI SQL; production loops until the frontier empties with
+    the identical round body (frontier-join + anti-join vs visited —
+    the Pregel step as two hash joins).
+
+    Scale: the events corpus builds edges ONCE; each hop is
+    |edges| ⨝ |frontier| keyed on node id with the visited set as an
+    anti-join — no per-node state ever sits on the driver, and each
+    round's frontier/visited frames are localCheckpoint-ed so round
+    r+1 plans root at materialized node sets (the pagerank lineage
+    cap). Degenerate seeds (isolated min-id node) just produce empty
+    frontiers — every round still emits its histogram row."""
+    edges = _cooccurrence_edges(spark, sf_dir).localCheckpoint()
+    visited = (
+        edges.agg(F.min("u").alias("node")).localCheckpoint()
+    )
+    frontier = visited
+    outs = [
+        visited.select(
+            F.lit(0).cast("bigint").alias("dist"),
+            F.lit(1).cast("bigint").alias("n_nodes"),
+        )
+    ]
+    for r in range(1, _BFS_ROUNDS + 1):
+        nbrs = (
+            edges.join(
+                frontier.withColumnRenamed("node", "u"), "u", "left_semi"
+            )
+            .select(F.col("v").alias("node"))
+            .unionAll(
+                edges.join(
+                    frontier.withColumnRenamed("node", "v"),
+                    "v",
+                    "left_semi",
+                ).select(F.col("u").alias("node"))
+            )
+            .distinct()
+        )
+        frontier = nbrs.join(visited, "node", "left_anti").localCheckpoint()
+        visited = visited.unionAll(frontier).localCheckpoint()
+        outs.append(
+            frontier.agg(
+                F.lit(r).cast("bigint").alias("dist"),
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            )
+        )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .agg(F.countDistinct("node").alias("total"))
+    )
+    reach = visited.agg(F.count(F.lit(1)).alias("reached"))
+    outs.append(
+        nodes.crossJoin(reach).select(
+            F.lit(-1).cast("bigint").alias("dist"),
+            (F.col("total") - F.col("reached"))
+            .cast("bigint")
+            .alias("n_nodes"),
+        )
+    )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("dist")
