@@ -1585,3 +1585,70 @@ class TestHapaxTtrPlan:
         assert "Join" not in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestAnovaJarqueBeraPlans:
+    def test_anova_single_moment_exchange(self, spark):
+        """ANOVA F (q_stat_anova_f): one map-combined moment
+        aggregate keyed on event_type is the only hash exchange;
+        everything after is single-row algebra. No Python, no
+        cartesian of data against data."""
+        plan = plan_of(spark, "q_stat_anova_f")
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"event_type"}, keys
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_jarque_bera_two_pass_broadcast_mean(self, spark):
+        """Jarque–Bera (q_stat_jarque_bera): the group-mean relation
+        joins back BROADCAST (never a shuffled join of the corpus
+        against k rows), and every hash exchange keys on
+        event_type — the two map-combined passes."""
+        plan = plan_of(spark, "q_stat_jarque_bera")
+        assert "BroadcastHashJoin" in plan
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"event_type"}, keys
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestBootstrapPlan:
+    def test_bootstrap_expansion_never_shuffles_rows(self, spark):
+        """Poisson bootstrap (q_stat_bootstrap_ci): the 48× replicate
+        expansion must be a map-side projection (Generate fused above
+        the scan); the only hash exchange carries the per-replicate
+        partial aggregates keyed on b — B×parts rows, not B corpus
+        copies. The 48-row rank window may single-partition."""
+        plan = plan_of(spark, "q_stat_bootstrap_ci")
+        assert "Generate explode" in plan
+        keys = set()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "Reused" not in line:
+                keys.add(line.split("hashpartitioning(")[1].split("#")[0])
+        assert keys <= {"b"}, keys
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestGraphIterationPlans:
+    def test_kcore_events_scanned_once(self, spark):
+        """k-core (q_graph_kcore): the raw events feed the edge build
+        exactly once — every peel round must root at the
+        localCheckpoint-ed edge RDD (Scan ExistingRDD), never replay
+        the corpus window. The final plan therefore contains NO
+        parquet scan of events at all."""
+        plan = plan_of(spark, "q_graph_kcore")
+        assert "Scan ExistingRDD" in plan
+        assert "events" not in plan.lower().replace("preventserialization", "")
+
+    def test_bfs_events_scanned_once(self, spark):
+        """BFS (q_graph_bfs): same lineage-cap discipline as kcore —
+        hop joins root at checkpointed frontier/visited RDDs, the
+        events parquet never appears in the final composed plan."""
+        plan = plan_of(spark, "q_graph_bfs")
+        assert "Scan ExistingRDD" in plan
+        assert "events" not in plan.lower().replace("preventserialization", "")
