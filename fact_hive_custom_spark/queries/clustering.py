@@ -363,7 +363,7 @@ def _pca_round_cte(prev: str, tag: str) -> str:
                AS v
         FROM w3
     )
-    SELECT v3.i AS dim, v3.v AS eigvec_q, w3.w AS mv
+    SELECT v3.i AS dim, CAST(v3.v AS BIGINT) AS eigvec_q, CAST(w3.w AS BIGINT) AS mv
     FROM v3 JOIN w3 ON v3.i = w3.i
     ORDER BY dim
     """,

@@ -497,7 +497,7 @@ _OVL_US = 3_600_000_000  # 1 h interval length / bucket grain
                      AND s_a < e_b AND s_b < e_a
     )
     SELECT user_id, COUNT(*) AS n_overlap_pairs,
-           SUM(ovl_us) AS sum_overlap_us
+           CAST(SUM(ovl_us) AS BIGINT) AS sum_overlap_us
     FROM p GROUP BY user_id
     """,
 )

@@ -621,7 +621,7 @@ def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_sources
         FROM per_source
     )
-    SELECT p.source, p.n_docs, p.n_tokens,
+    SELECT p.source, p.n_docs, CAST(p.n_tokens AS BIGINT) AS n_tokens,
            CAST((p.n_tokens * 1000000) // t.total_tokens AS BIGINT)
                AS token_share_ppm,
            CAST((t.total_tokens * 1000000) // (t.n_sources * p.n_tokens)

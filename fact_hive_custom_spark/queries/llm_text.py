@@ -415,9 +415,10 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                ), 0) AS start_offset
         FROM sized
     )
-    SELECT doc_id, source, n_tokens, start_offset,
+    SELECT doc_id, source, n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
            CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS bin_id,
-           start_offset % 256 AS offset_in_bin
+           CAST(start_offset % 256 AS BIGINT) AS offset_in_bin
     FROM placed
     """,
 )

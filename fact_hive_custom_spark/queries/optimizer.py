@@ -126,7 +126,7 @@ def q_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_bloom",
     oracle="""
     SELECT o.o_orderpriority, COUNT(*) AS n_items,
-           SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS price_c
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderpriority = '1-URGENT'
     GROUP BY o.o_orderpriority

@@ -19,7 +19,7 @@ from fact_hive_custom_spark.tables import load_table
     "q_scan_parquet",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           SUM(l_orderkey) AS sum_orderkey,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
            ROUND(SUM(l_extendedprice), 4) AS sum_price
     FROM lineitem
     """,

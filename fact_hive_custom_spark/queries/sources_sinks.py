@@ -157,8 +157,8 @@ def q_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_bucketed",
     oracle="""
     SELECT o.o_orderkey, o.o_orderstatus,
-           SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
                AS revenue_e4,
            COUNT(*) AS n_items
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -232,7 +232,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_file_source",
-    oracle="SELECT COUNT(*) AS n_events, SUM(user_id) AS sum_users FROM events",
+    oracle="SELECT COUNT(*) AS n_events, CAST(SUM(user_id) AS BIGINT) AS sum_users FROM events",
 )
 def q_stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File stream source, driven to completion synchronously: read the

@@ -2229,7 +2229,7 @@ _CHI2_CASE = " ".join(
     ),
     f AS (
         SELECT k, n,
-               a_e6 - (s * s * 1000000) // n AS ssb_e6,
+               greatest(a_e6 - (s * s * 1000000) // n, 0) AS ssb_e6,
                q * 1000000 - a_e6 AS ssw_e6
         FROM t
     )
@@ -2259,8 +2259,12 @@ def q_stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact rational: SSB and SSW come from the same three power sums
     the ttest uses (n, Σx, Σx² per group at cents scale), combined as
     A_e6 = Σ_g (S_g²·1e6 DIV n_g); SSB_e6 = A_e6 − T²·1e6 DIV N;
-    SSW_e6 = Q·1e6 − A_e6. Every floor (DIV) is engine-identical
-    (all numerators non-negative by Cauchy–Schwarz), and the final
+    SSW_e6 = Q·1e6 − A_e6. Every floor (DIV) is engine-identical.
+    SSB itself is non-negative by Cauchy–Schwarz, but the per-group
+    floors leave ±(k−1) slack (equal group means can land SSB_e6 at
+    −(k−1)), so it is clamped with greatest(·, 0) on both engines to
+    keep F_e6 from emitting a small negative where 0 is meant. The
+    final
     F_e6 pre-divides SSW back to unit scale so the product chain
     stays under DECIMAL(38,0)/HUGEINT to N ≈ 1e8 rows per group at
     cents ≤ 1e5. Significance is the df2→∞ convention pinned across
@@ -2292,7 +2296,7 @@ def q_stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = t.select(
         "k",
         "n",
-        F.expr("a_e6 - (s * s * 1000000) DIV n").alias("ssb_e6"),
+        F.expr("greatest(a_e6 - (s * s * 1000000) DIV n, 0)").alias("ssb_e6"),
         F.expr("q * 1000000 - a_e6").alias("ssw_e6"),
     )
     f_e6 = (
@@ -2387,11 +2391,14 @@ def q_stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     μ (≤1 cent off the true mean) is part of the pinned semantics,
     identical on both engines.
 
-    Negative-DIV guard: Spark DIV truncates toward zero, DuckDB //
-    floors toward −∞ — they disagree on negatives, so the one signed
-    sum (Σd³) is split into |Σd³| DIV and a separate sign column;
-    every other numerator is a square or fourth power, non-negative
-    by construction.
+    Negative-DIV convention: on the pinned DuckDB 1.0 both engines
+    truncate integer division toward zero ((-7)//2 = -3 there, same
+    as Spark DIV), so a signed DIV would agree — the one signed sum
+    (Σd³) is still split into |Σd³| DIV and a separate sign column as
+    a defensive convention (it stays correct even on engines that
+    floor, e.g. Python or later DuckDB semantics changes); every
+    other numerator is a square or fourth power, non-negative by
+    construction.
 
     Plan: two corpus scans (pass-1 moment agg + pass-2 centered agg),
     the μ relation joined BROADCAST — no corpus-sized exchange beyond

@@ -1855,15 +1855,25 @@ _XCORR_MAXLAG = 3
                n * sxx - sx * sx AS vx,
                n * syy - sy * sy AS vy
         FROM m WHERE n >= 3
+    ),
+    scaled AS (
+        SELECT lag, n, cov, vx, vy,
+               1 + greatest(abs(cov), vx, vy) // 1000000000000 AS sc
+        FROM r
+    ),
+    q AS (
+        SELECT lag, n, cov,
+               cov // sc AS covs, vx // sc AS vxs, vy // sc AS vys
+        FROM scaled
     )
     SELECT CAST(lag AS BIGINT) AS lag,
            CAST(n AS BIGINT) AS n_days,
            CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1
                      ELSE 0 END AS INTEGER) AS sign,
-           CAST(CASE WHEN vx > 0 AND vy > 0 THEN
-               (cov * cov * 1000000) // (vx * vy)
+           CAST(CASE WHEN vxs > 0 AND vys > 0 THEN
+               (covs * covs * 1000000) // (vxs * vys)
            END AS BIGINT) AS corr2_e6
-    FROM r
+    FROM q
     ORDER BY lag
     """.replace("{us_day}", str(_US_PER_DAY)),
 )
@@ -1876,6 +1886,17 @@ def q_ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention): corr²_e6 = cov²·1e6 DIV (vx·vy) with cov, vx, vy the
     n-scaled co-moments — no square root, no float, the numerator a
     square so the single DIV is non-negative on both engines.
+
+    Overflow headroom: cov²·1e6 would exceed DECIMAL(38,0)/HUGEINT once
+    max(|cov|, vx, vy) passes ~1e16 (≈2.5k days × 45k events/day), so
+    each lag is pre-scaled by sc = 1 + max(|cov|, vx, vy) DIV 1e12
+    before squaring: the scaled terms are ≤1e12, their product ≤1e30 —
+    safe up to co-moments of ~1e34 (n·sxy at 1e5 days × 1e12
+    events/day, far past 100 TB). sc = 1 at every realistic SF (values
+    identical to the unscaled statistic); both engines truncate the
+    same DIV so parity holds at any magnitude. A pathologically
+    asymmetric lag (vy DIV sc = 0 because vx is ≥1e12× larger) emits
+    NULL deterministically on both engines instead of diverging.
 
     Per-lag n differs (the overlap shrinks at the window edges) and
     is reported; lags with fewer than 3 overlapping days are dropped.
@@ -1934,7 +1955,21 @@ def q_ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n * sxx - sx * sx").alias("vx"),
         F.expr("n * syy - sy * sy").alias("vy"),
     )
-    return r.select(
+    q = r.withColumn(
+        "sc",
+        F.expr(
+            "CAST(1 + greatest(abs(cov), vx, vy)"
+            " DIV 1000000000000 AS DECIMAL(38,0))"
+        ),
+    ).select(
+        "lag",
+        "n",
+        "cov",
+        F.expr("CAST(cov DIV sc AS DECIMAL(38,0))").alias("covs"),
+        F.expr("CAST(vx DIV sc AS DECIMAL(38,0))").alias("vxs"),
+        F.expr("CAST(vy DIV sc AS DECIMAL(38,0))").alias("vys"),
+    )
+    return q.select(
         F.col("lag").cast("bigint").alias("lag"),
         F.col("n").cast("bigint").alias("n_days"),
         F.expr(
@@ -1942,8 +1977,8 @@ def q_ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS INT)"
         ).alias("sign"),
         F.expr(
-            "CAST(CASE WHEN vx > 0 AND vy > 0 THEN"
-            " (cov * cov * 1000000) DIV (vx * vy)"
+            "CAST(CASE WHEN vxs > 0 AND vys > 0 THEN"
+            " (covs * covs * 1000000) DIV (vxs * vys)"
             " END AS BIGINT)"
         ).alias("corr2_e6"),
     ).orderBy("lag")

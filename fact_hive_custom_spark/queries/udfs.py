@@ -190,9 +190,9 @@ def q_udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COALESCE(o.k, e.k) AS custkey,
            COALESCE(n_orders, 0) AS n_orders,
-           COALESCE(spend_c, 0) AS spend_c,
+           CAST(COALESCE(spend_c, 0) AS BIGINT) AS spend_c,
            COALESCE(n_events, 0) AS n_events,
-           COALESCE(value_e4, 0) AS value_e4
+           CAST(COALESCE(value_e4, 0) AS BIGINT) AS value_e4
     FROM o FULL OUTER JOIN e ON o.k = e.k
     """,
 )
