@@ -188,7 +188,14 @@ def _kmeans_parts(spark: SparkSession, sf_dir: str, rounds: int = _KM_T):
     )
     for _ in range(rounds):
         assigned = _assign(q, _centroid_array(cent))
-        cent = _update(assigned)
+        # Lineage cap (the q_graph_kcore discipline): eagerly
+        # localCheckpoint the K×D-row centroid relation each round so
+        # a cold one-shot caller pays T small jobs (one cached-corpus
+        # scan each) instead of one deeply nested DAG whose analysis
+        # and nested broadcasts produced a 41 s/18 s cold-run cliff
+        # over a ~5 s median (BENCH_r09 spread). Values are untouched
+        # — the trajectory stays bit-identical to the oracle.
+        cent = _update(assigned).localCheckpoint()
     return cent, _assign(q, _centroid_array(cent))
 
 

@@ -1453,6 +1453,13 @@ def _pq_lloyd(sub: DataFrame, csub: DataFrame, rounds: int) -> DataFrame:
                     lambda s: s["c"],
                 ).alias("cv")
             )
+            # Lineage cap (the q_graph_kcore discipline): the ≤M·K-row
+            # codebook is eagerly localCheckpoint-ed per round so a
+            # cold one-shot caller pays `rounds` small jobs instead of
+            # one nested DAG re-deriving every earlier round inside
+            # each broadcast (BENCH_r09's 41 s cold max vs 5 s median).
+            # Values untouched — the trajectory is the oracle's.
+            .localCheckpoint()
         )
     return csub
 

@@ -7,6 +7,7 @@ while results stay correct."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from fact_hive_custom_spark.plans import inspect as plans
 from fact_hive_custom_spark.queries import QUERIES
@@ -1111,8 +1112,44 @@ class TestKMeansPlan:
         # assignment is the fold over the broadcast centroid array
         assert "aggregate(cents" in plan
         assert "InMemoryRelation" in plan  # cached quantized corpus
-        # update shuffles are partially aggregated map-side
+        # per-round centroids are lineage-capped (localCheckpoint):
+        # the final plan roots at the checkpointed K×D RDD instead of
+        # replaying every Lloyd round inside one nested DAG
+        assert "Scan ExistingRDD" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_kmeans_round_update_partially_aggregated(self, spark):
+        """One Lloyd ROUND in isolation (the unit the final plan now
+        checkpoints away): assignment folds the broadcast centroid
+        array with no vec_id exchange, and the K×D update shuffle is
+        partially aggregated map-side."""
+        import os
+
+        from fact_hive_custom_spark.queries import clustering as cl
+
+        sf_dir = os.environ.get("SPARK_GRAFT_PARITY_DIR", "/root/testdata/sf0.01")
+        q = cl._quantized(spark, sf_dir)
+        cent0 = (
+            q.orderBy("vec_id")
+            .limit(cl._KM_K)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.posexplode("us").alias("pos", "u"),
+            )
+            .select(
+                "cid",
+                (F.col("pos") + 1).cast("bigint").alias("dim"),
+                (F.lit(cl._KM_SCALE) * F.col("u")).cast("bigint").alias("c"),
+            )
+        )
+        one_round = cl._update(cl._assign(q, cl._centroid_array(cent0)))
+        plan = one_round._jdf.queryExecution().executedPlan().toString()
+        assert "aggregate(cents" in plan
         assert "partial_sum(u" in plan
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning(vec_id" in line:
+                raise AssertionError(line)
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
