@@ -1910,3 +1910,96 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionAll(o)
     return res.orderBy("dist")
+
+
+_LP_ROUNDS = 3
+
+
+def _label_prop_oracle() -> str:
+    """Chained-CTE min-label propagation: labels start as own node id;
+    each round every node takes the min label over itself and its
+    neighbors (self-loop rows in `adj` carry the "itself")."""
+    ctes = [
+        _COOC_EDGE_CTES.strip(),
+        """nodes AS MATERIALIZED (
+        SELECT u AS node FROM e UNION SELECT v FROM e
+    )""",
+        """adj AS MATERIALIZED (
+        SELECT u AS node, v AS other FROM e
+        UNION ALL SELECT v, u FROM e
+        UNION ALL SELECT node, node FROM nodes
+    )""",
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)",
+    ]
+    for r in range(1, _LP_ROUNDS + 1):
+        ctes.append(
+            f"""l{r} AS MATERIALIZED (
+        SELECT a.node, MIN(l.label) AS label
+        FROM adj a JOIN l{r - 1} l ON l.node = a.other
+        GROUP BY a.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{_LP_ROUNDS}
+    GROUP BY label
+    ORDER BY n_members DESC, community"""
+    )
+
+
+@register("q_graph_label_prop", oracle=_label_prop_oracle())
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation communities (3 rounds) on the user
+    co-occurrence graph — the deterministic LPA variant (label(v) ←
+    min over v ∪ N(v)) that seeds connected-components/community
+    detection in training-data graph cleanup (account-cluster and
+    spam-ring discovery). After T rounds every node carries the
+    smallest node id within T hops, so output communities are exact
+    and engine-identical — no vote ties, no randomness. Bounded
+    iteration BY DESIGN (the q_graph_kcore convention): T is the
+    same pinned constant in the Spark loop and the chained oracle
+    CTEs; production loops the identical round body to fixpoint
+    (whereupon labels ARE connected components — the large-star/
+    small-star operator in operators/graph.py is the accelerated
+    O(log n)-round version of the same fixpoint).
+
+    Scale: events scanned ONCE (edge build), then every round is one
+    |2·edges+nodes|-row join + map-combined MIN groupBy keyed on
+    node id; labels and adjacency are localCheckpoint-ed so round
+    r+1 roots at materialized frames (lineage cap). At 100 TB the
+    per-round exchange carries (node, label) pairs only."""
+    edges = _cooccurrence_edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select("v"))
+        .distinct()
+    )
+    adj = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("other"))
+        .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("other")))
+        .unionAll(nodes.select("node", F.col("node").alias("other")))
+        .localCheckpoint()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(_LP_ROUNDS):
+        labels = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("other"), F.col("label").alias("olbl")
+                ),
+                "other",
+            )
+            .groupBy("node")
+            .agg(F.min("olbl").alias("label"))
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .select(F.col("label").cast("bigint").alias("community"), "n_members")
+        .orderBy(F.desc("n_members"), "community")
+    )

@@ -1464,16 +1464,20 @@ def _pq_lloyd(sub: DataFrame, csub: DataFrame, rounds: int) -> DataFrame:
     return csub
 
 
-def _pq_parts(emb: DataFrame, train_rounds: int = 0):
+def _pq_parts(emb: DataFrame, train_rounds: int = 0, pq_k: int | None = None):
     """Spark-side PQ building blocks shared by q_llm_pq_codes,
     q_llm_ivfpq_topk and q_llm_pq_rerank: returns (q, sub, csub,
     best) — the int8-quantized vector relation, the subvector
-    stream, the 128-row codebook, and the per-(vector, subspace)
+    stream, the K·M-row codebook, and the per-(vector, subspace)
     argmin code relation. Mirrors _PQ_CTE_PREFIX stage for stage.
     `train_rounds` > 0 Lloyd-refines the id-selected codebook per
     subspace before codes are assigned (_pq_lloyd — the trained-
     codebook upgrade; q_llm_pq_train oracle-checks the trajectory,
-    ANN_RECALL.md measures the recall lift)."""
+    ANN_RECALL.md measures the recall lift). `pq_k` overrides the
+    centroids-per-subspace dial (default _PQ_K=16; ANN_RECALL.md
+    measures K=64 — a 6-bit code, still 8 code-bytes/vector)."""
+    if pq_k is None:
+        pq_k = _PQ_K
     g = emb.agg(
         F.max(
             F.expr(
@@ -1504,7 +1508,7 @@ def _pq_parts(emb: DataFrame, train_rounds: int = 0):
     # (clustering.py) is the template. SCALING.md §round-9.
     cent = (
         q.orderBy("vec_id")
-        .limit(_PQ_K)
+        .limit(pq_k)
         .select(F.col("vec_id").alias("cid"), F.col("qs").alias("cqs"))
     )
     sub = q.select(
@@ -1552,6 +1556,7 @@ def pq_adc_topk(
     rerank_r: int | None = None,
     nprobe: int | None = None,
     train_rounds: int = 0,
+    pq_k: int | None = None,
 ) -> DataFrame:
     """Reusable PQ/ADC serving core (q_llm_ivfpq_topk, q_llm_pq_rerank,
     tools/ann_recall.py): top-k neighbors per probe (vec_id < n_probes)
@@ -1581,7 +1586,7 @@ def pq_adc_topk(
     `train_rounds` > 0 Lloyd-refines the subspace codebooks before
     codes are assigned (_pq_lloyd) — the ADC distance table is built
     against the TRAINED centroids, everything downstream unchanged."""
-    q, sub, csub, best = _pq_parts(emb, train_rounds=train_rounds)
+    q, sub, csub, best = _pq_parts(emb, train_rounds=train_rounds, pq_k=pq_k)
     probes = sub.filter(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"), "m", F.col("sv").alias("pv")
     )
@@ -2433,4 +2438,172 @@ def q_llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (CAST(den DIV 1000000 AS DECIMAL(38,0))"
             "      * CAST(deny DIV 1000000 AS DECIMAL(38,0))) AS BIGINT) END"
         ).alias("r2_e6"),
+    )
+
+
+@register(
+    "q_llm_pmi_bigrams",
+    oracle="""
+    WITH t AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+        FROM t
+    ),
+    c12 AS (
+        SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bg GROUP BY 1, 2
+    ),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    c2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM c12 GROUP BY w2),
+    tt AS (SELECT CAST(SUM(c12) AS BIGINT) AS t FROM c12),
+    scored AS (
+        SELECT b.w1, b.w2, b.c12,
+               CAST(floor(ln(CAST(b.c12 AS DOUBLE) * tt.t
+                             / (CAST(c1.c1 AS DOUBLE) * c2.c2))
+                    * 1000000 + 0.5) AS BIGINT) AS pmi_e6
+        FROM c12 b
+        JOIN c1 ON b.w1 = c1.w1
+        JOIN c2 ON b.w2 = c2.w2
+        CROSS JOIN tt
+        WHERE b.c12 >= 5
+    )
+    SELECT w1, w2, c12, pmi_e6
+    FROM scored
+    ORDER BY pmi_e6 DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def q_llm_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information
+    (min support 5) — the classic collocation/phrase-mining statistic
+    (word2vec-era phrase induction, tokenizer-vocab seeding). PMI =
+    ln(c₁₂·T / (c₁·c₂)) with c₁/c₂ the left/right positional
+    marginals of the bigram table and T the total bigram count —
+    every count an exact bigint, the one DOUBLE ln floor-pinned to
+    e6 per pair (the chisq discipline; c₁₂·T and c₁·c₂ stay < 2^53
+    so the products are exact). Deterministic top-20 on the unique
+    (pmi_e6 DESC, w1, w2) key.
+
+    Plan: one corpus pass builds map-combined (w1,w2) counts; the
+    marginals are two map-combined re-aggregations OF THE PAIR TABLE
+    (never a second corpus scan), T is a 1-row broadcast staple, and
+    the support filter prunes the join input before the two marginal
+    hash joins. Final top-20 is TakeOrderedAndProject. At 100 TB the
+    exchanges carry (bigram, count) pairs only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.col("text"), " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                "             element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").cast("bigint").alias("c2"))
+    tt = c12.agg(F.sum("c12").cast("bigint").alias("t"))
+    scored = (
+        c12.filter(F.col("c12") >= 5)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr(
+                "CAST(floor(ln(CAST(c12 AS DOUBLE) * t"
+                " / (CAST(c1 AS DOUBLE) * c2)) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("pmi_e6"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_e6"), "w1", "w2").limit(20)
+
+
+@register(
+    "q_llm_keyword_topk",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM t GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+               tf.tf * CAST(floor(ln(CAST(nn.n AS DOUBLE) / df.df)
+                            * 1000000 + 0.5) AS BIGINT) AS score_e6
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN nn
+    )
+    SELECT doc_id, tok AS keyword, tf, df, score_e6,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score_e6 DESC, tok) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q_llm_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords — the keyword-extraction /
+    document-tagging primitive of corpus curation UIs and topic
+    drill-downs. idf is floor-pinned to e6 per token (ln(N/df), one
+    DOUBLE op, the chisq discipline), the score tf·idf_e6 an exact
+    bigint, and the per-doc top-3 deterministic on (score DESC, token).
+
+    Plan: tf is one map-combined (doc, token) groupBy; df REUSES the
+    tf relation (never a second corpus pass); N is a broadcast 1-row
+    staple; the idf join keys on token (the df side is |vocab| rows);
+    the rank window partitions BY DOC — each partition is one doc's
+    distinct tokens, so at 100 TB the window is embarrassingly
+    parallel with no skew beyond the longest document."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    tf = t.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * F.expr(
+                    "CAST(floor(ln(CAST(n AS DOUBLE) / df) * 1000000 + 0.5)"
+                    " AS BIGINT)"
+                )
+            ).alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_e6"), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id", F.col("tok").alias("keyword"), "tf", "df", "score_e6", "rnk"
+        )
     )

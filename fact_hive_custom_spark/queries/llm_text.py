@@ -1281,3 +1281,110 @@ def q_llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" END"
         ).alias("norm_entropy_ppm"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_llm_reservoir_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS rk
+        FROM documents
+    )
+    SELECT source, doc_id, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def q_llm_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k sample per source (k=5) — the
+    reproducible eyeball-sample every corpus audit starts from. The
+    reservoir is simulated with a keyed hash order (md5 of the doc
+    id): ranking by the hash IS a uniform permutation, so the k
+    winners match a seeded reservoir pass but stay engine-portable
+    and re-runnable — the same doc ids come back on every engine and
+    every rerun, unlike rand()-based sampling.
+
+    Plan: a single window ranks (doc_id, hash) pairs per source —
+    no text enters the exchange (the projection is pruned to two
+    scalar columns + the computed hash). At 100 TB this is the
+    map-side TakeOrderedAndProject shape per source shard; for
+    pathologically hot sources, pre-aggregate per partition with the
+    same (hash, id) key — the two-stage salted top-k in
+    corpus.pq_adc_topk is the template."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@register(
+    "q_llm_tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT)
+                   AS bpe_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws_tokens) AS BIGINT) AS n_words,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS n_subwords,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST((CAST(SUM(bpe_tokens) AS HUGEINT) * 1000000)
+                // SUM(ws_tokens) AS BIGINT) AS fertility_ppm,
+           CAST((CAST(SUM(n_chars) AS HUGEINT) * 1000000)
+                // SUM(bpe_tokens) AS BIGINT) AS chars_per_subword_ppm
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def q_llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source: subword-per-word ratio
+    (fertility) and characters-per-subword for the BPE-ish greedy
+    regex tokenizer (q_llm_token_count's ≤4-char alpha-chunk proxy) —
+    the per-domain token-budget planner's table (fertility drives
+    cost per word; chars/subword tracks compression). All ratios are
+    exact floored ppm over exact bigint sums; the e6 products run in
+    DECIMAL(38,0)/HUGEINT (headroom to ~1e26 chars).
+
+    Plan: one narrow map pass computes the three per-doc counts in
+    codegen (no explode — counting only), then a map-combined
+    groupBy on source; the exchange carries |sources| partial rows."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z]{1,4}"), 0)
+        ).cast("bigint").alias("bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ws_tokens").cast("bigint").alias("n_words"),
+            F.sum("bpe_tokens").cast("bigint").alias("n_subwords"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.expr(
+                "CAST((CAST(SUM(bpe_tokens) AS DECIMAL(38,0)) * 1000000)"
+                " DIV SUM(ws_tokens) AS BIGINT)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "CAST((CAST(SUM(n_chars) AS DECIMAL(38,0)) * 1000000)"
+                " DIV SUM(bpe_tokens) AS BIGINT)"
+            ).alias("chars_per_subword_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -2746,3 +2746,359 @@ def q_stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi_cents",
         )
     )
+
+
+@register(
+    "q_stat_auc_roc",
+    oracle="""
+    WITH p AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    g AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM p GROUP BY s
+    ),
+    w AS (
+        SELECT s, cnt, pos,
+               CAST(COALESCE(SUM(cnt) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cb
+        FROM g
+    ),
+    t AS (
+        SELECT CAST(SUM(pos) AS HUGEINT) AS n1,
+               CAST(SUM(cnt - pos) AS HUGEINT) AS n0,
+               CAST(SUM(pos * (2 * cb + cnt + 1)) AS HUGEINT) AS r2
+        FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos,
+           CAST(n0 AS BIGINT) AS n_neg,
+           CAST(CASE WHEN n1 > 0 AND n0 > 0 THEN
+               ((r2 - n1 * (n1 + 1)) * 1000000) // (2 * n1 * n0)
+           END AS BIGINT) AS auc_e6,
+           CAST(CASE WHEN n1 > 0 AND n0 > 0 THEN
+               2 * (((r2 - n1 * (n1 + 1)) * 1000000) // (2 * n1 * n0))
+               - 1000000
+           END AS BIGINT) AS gini_e6
+    FROM t
+    """,
+)
+def q_stat_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of `value` as a score for the purchase outcome — the
+    rank-sum (Mann–Whitney) identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀)
+    with midrank tie handling, the standard offline-eval metric for
+    any ranking/classifier score. Everything is an exact rational in
+    integer cents-counts: per distinct score the tied group's doubled
+    rank-sum contribution is pos·(2·before + cnt + 1), so 2R₁ is an
+    exact bigint and AUC_e6 one engine-identical floored division.
+    gini_e6 = 2·AUC_e6 − 1e6 is plain integer arithmetic (can be
+    negative; no signed division anywhere).
+
+    Headroom: 2R₁ ≤ 2·n₁·N and the e6 product run in
+    DECIMAL(38,0)/HUGEINT — safe to N ≈ 1e15 rows, far past 100 TB.
+
+    Plan: ONE map-combined groupBy collapses the corpus to |distinct
+    cents| rows; the rank window and final reduction run on that tiny
+    score relation — the chisq skeleton with a rank window instead of
+    marginals."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.round(F.col("value") * 100).cast("bigint").alias("s"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+    )
+    g = p.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w = g.select(
+        "s",
+        "cnt",
+        "pos",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("cb"),
+    )
+    d38 = "decimal(38,0)"
+    t = w.agg(
+        F.sum("pos").cast(d38).alias("n1"),
+        F.sum(F.col("cnt") - F.col("pos")).cast(d38).alias("n0"),
+        F.sum(F.col("pos") * (2 * F.col("cb") + F.col("cnt") + 1))
+        .cast(d38)
+        .alias("r2"),
+    )
+    auc = "((r2 - n1 * (n1 + 1)) * 1000000) DIV (2 * n1 * n0)"
+    return t.select(
+        F.col("n1").cast("bigint").alias("n_pos"),
+        F.col("n0").cast("bigint").alias("n_neg"),
+        F.expr(
+            f"CAST(CASE WHEN n1 > 0 AND n0 > 0 THEN {auc} END AS BIGINT)"
+        ).alias("auc_e6"),
+        F.expr(
+            f"CAST(CASE WHEN n1 > 0 AND n0 > 0 THEN 2 * ({auc}) - 1000000"
+            " END AS BIGINT)"
+        ).alias("gini_e6"),
+    )
+
+
+@register(
+    "q_stat_calibration",
+    oracle="""
+    WITH p AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    )
+    SELECT s // 1000 AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST((CAST(SUM(s) AS HUGEINT) * 10000) // COUNT(*) AS BIGINT)
+               AS mean_score_e6,
+           CAST((CAST(SUM(y) AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT)
+               AS pos_rate_ppm
+    FROM p GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_stat_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table for `value` as a purchase
+    score: fixed-width score bins (10 original units = 1000 cents)
+    with per-bin support, mean score and observed positive rate — the
+    table a reliability diagram plots and ECE sums. Exact integers
+    end to end: mean_score_e6 = Σcents·1e4 DIV n (cents·1e4 = e6 of
+    original units), rate in ppm; the e6 products run in
+    DECIMAL(38,0)/HUGEINT for headroom to ~1e15 rows per bin.
+
+    Plan: ONE map-combined groupBy on the derived bin key — the
+    corpus collapses to |bins| rows before the only exchange; the
+    sort is on that tiny relation."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.round(F.col("value") * 100).cast("bigint").alias("s"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+    )
+    return (
+        p.groupBy(F.expr("s DIV 1000").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.expr(
+                "CAST((CAST(SUM(s) AS DECIMAL(38,0)) * 10000)"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_score_e6"),
+            F.expr(
+                "CAST((CAST(SUM(y) AS DECIMAL(38,0)) * 1000000)"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("pos_rate_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "q_stat_mutual_info",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type AS x,
+               (epoch_us(ts) // {_US_PER_DAY} + 4) % 7 AS y
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ),
+    obs AS (
+        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM e GROUP BY x, y
+    ),
+    tot AS (
+        SELECT x, y, obs,
+               CAST(SUM(obs) OVER (PARTITION BY x) AS BIGINT) AS r,
+               CAST(SUM(obs) OVER (PARTITION BY y) AS BIGINT) AS c,
+               CAST(SUM(obs) OVER () AS BIGINT) AS n
+        FROM obs
+    ),
+    cells AS (
+        SELECT x, y, obs,
+               CAST(floor(ln(CAST(obs AS DOUBLE) * n / (CAST(r AS DOUBLE) * c))
+                    * 1000000 + 0.5) AS BIGINT) AS pmi_e6,
+               n
+        FROM tot
+    )
+    SELECT x, y, obs, pmi_e6,
+           CAST(CAST(SUM(CAST(obs AS HUGEINT) * pmi_e6) OVER () AS HUGEINT)
+                // n AS BIGINT) AS mi_e6
+    FROM cells
+    """,
+)
+def q_stat_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and day-of-week — the
+    dependence screen a feature-selection / leakage audit runs over
+    categorical pairs. Emits every contingency cell with its
+    pointwise mutual information (pmi_e6) plus the corpus MI
+    (MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), reported as mi_e6 =
+    Σ obs·pmi_e6 DIV n — an exact integer once each cell's single
+    DOUBLE ln is floor-pinned to e6, the chisq discipline: identical
+    expression shape on both engines, obs·n and r·c stay < 2^53 so
+    the only rounding is the ln itself).
+
+    Day-of-week comes from the integer day number ((d+4) % 7,
+    1970-01-01 = Thursday → 0 = Monday) — no calendar/timezone
+    function, so the ns-parquet/µs-Spark timestamp gap cannot leak in.
+
+    Plan: ONE map-combined groupBy collapses the corpus to ≤ |types|·7
+    cells; marginal windows and the MI reduction run on that tiny cell
+    table (the chisq skeleton)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.col("event_type").alias("x"),
+            F.expr(f"(unix_micros(ts) DIV {_US_PER_DAY} + 4) % 7").alias("y"),
+        )
+    )
+    obs = e.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    tot = obs.select(
+        "x",
+        "y",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("x")).cast("bigint").alias("r"),
+        F.sum("obs").over(Window.partitionBy("y")).cast("bigint").alias("c"),
+        F.sum("obs").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    cells = tot.select(
+        "x",
+        "y",
+        "obs",
+        F.expr(
+            "CAST(floor(ln(CAST(obs AS DOUBLE) * n / (CAST(r AS DOUBLE) * c))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("pmi_e6"),
+        "n",
+    )
+    return cells.select(
+        "x",
+        "y",
+        "obs",
+        "pmi_e6",
+        F.expr(
+            "CAST(CAST(SUM(CAST(obs AS DECIMAL(38,0)) * pmi_e6) OVER ()"
+            " AS DECIMAL(38,0)) DIV n AS BIGINT)"
+        ).alias("mi_e6"),
+    )
+
+
+@register(
+    "q_stat_cramers_v",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id % 4 AS x,
+               (epoch_us(ts) // {_US_PER_DAY} + 4) % 7 AS y
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    obs AS (
+        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM e GROUP BY x, y
+    ),
+    tot AS (
+        SELECT x, y, obs,
+               CAST(SUM(obs) OVER (PARTITION BY x) AS BIGINT) AS r,
+               CAST(SUM(obs) OVER (PARTITION BY y) AS BIGINT) AS c,
+               CAST(SUM(obs) OVER () AS BIGINT) AS n
+        FROM obs
+    ),
+    cells AS (
+        SELECT obs, n,
+               CAST(floor(
+                   (obs - CAST(r AS DOUBLE) * c / n)
+                   * (obs - CAST(r AS DOUBLE) * c / n)
+                   / (CAST(r AS DOUBLE) * c / n)
+                   * 1000000 + 0.5) AS BIGINT) AS term_ppm
+        FROM tot
+    ),
+    dims AS (
+        SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS nr,
+               CAST(COUNT(DISTINCT y) AS BIGINT) AS nc
+        FROM obs
+    )
+    SELECT CAST(MAX(c.n) AS BIGINT) AS n,
+           d.nr AS n_rows_dim,
+           d.nc AS n_cols_dim,
+           CAST(SUM(c.term_ppm) AS BIGINT) AS chisq_ppm,
+           CAST(SUM(c.term_ppm)
+                // (MAX(c.n) * (least(d.nr, d.nc) - 1)) AS BIGINT)
+               AS v2_ppm
+    FROM cells c CROSS JOIN dims d
+    GROUP BY d.nr, d.nc
+    """,
+)
+def q_stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V (squared, ppm) for the user-cohort × day-of-week
+    contingency table: V² = χ²/(N·(min(r,c)−1)) — the normalized
+    [0,1] effect size that makes chi-square comparable across table
+    shapes, the standard categorical-association report next to
+    q_stat_chisq's raw statistic. Per-cell terms are the chisq
+    discipline (single DOUBLE expression, floor-pinned to ppm before
+    any cross-row sum); the normalization is one engine-identical
+    integer division by N·(min dims − 1).
+
+    Plan: one map-combined groupBy to ≤ 4·7 cells, marginal windows
+    and the scalar reduction on the cell table; the dims relation is
+    a 1-row staple joined by broadcast cross."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            (F.col("user_id") % 4).alias("x"),
+            F.expr(f"(unix_micros(ts) DIV {_US_PER_DAY} + 4) % 7").alias("y"),
+        )
+    )
+    obs = e.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    tot = obs.select(
+        "x",
+        "y",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("x")).cast("bigint").alias("r"),
+        F.sum("obs").over(Window.partitionBy("y")).cast("bigint").alias("c"),
+        F.sum("obs").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    cells = tot.select(
+        "obs",
+        "n",
+        F.expr(
+            "cast(floor("
+            " (obs - cast(r as double) * c / n)"
+            " * (obs - cast(r as double) * c / n)"
+            " / (cast(r as double) * c / n)"
+            " * 1000000 + 0.5) as bigint)"
+        ).alias("term_ppm"),
+    )
+    dims = obs.agg(
+        F.countDistinct("x").cast("bigint").alias("nr"),
+        F.countDistinct("y").cast("bigint").alias("nc"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(dims))
+        .groupBy("nr", "nc")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.sum("term_ppm").cast("bigint").alias("chisq_ppm"),
+            F.expr(
+                "CAST(SUM(term_ppm) DIV (MAX(n) * (least(nr, nc) - 1))"
+                " AS BIGINT)"
+            ).alias("v2_ppm"),
+        )
+        .select(
+            "n",
+            F.col("nr").alias("n_rows_dim"),
+            F.col("nc").alias("n_cols_dim"),
+            "chisq_ppm",
+            "v2_ppm",
+        )
+    )

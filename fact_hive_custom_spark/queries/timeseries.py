@@ -1982,3 +1982,141 @@ def q_ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("corr2_e6"),
     ).orderBy("lag")
+
+
+@register(
+    "q_ts_rolling_median",
+    oracle=f"""
+    WITH s AS (
+        SELECT epoch_us(ts) // {_US_PER_DAY} AS dayn,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1
+    ),
+    w AS (
+        SELECT dayn, c,
+               list_sort(list(c) OVER (
+                   ORDER BY dayn ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               )) AS arr
+        FROM s
+    )
+    SELECT dayn, c,
+           CAST(len(arr) AS BIGINT) AS n_win,
+           CAST(arr[CAST((len(arr) + 1) // 2 AS INT)]
+                + arr[CAST((len(arr) + 2) // 2 AS INT)] AS BIGINT) AS med2
+    FROM w
+    ORDER BY dayn
+    """,
+)
+def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling MEDIAN of the daily event count — the robust
+    trend line ops dashboards overlay on spiky traffic (the rolling
+    companion to q_ts_mad_outliers' global median). The median is
+    carried ×2 (med2 = lower middle + upper middle of the sorted
+    window, = 2·median exactly) so even-sized warmup windows stay
+    exact BIGINTs — no .5 float ever exists on either engine.
+
+    The window median is computed by sorting the ≤7-element collected
+    window array in place — O(w log w) per row on a constant w, which
+    beats a percentile-aggregate state machine at this window size
+    and keeps the expression engine-portable (list/collect_list +
+    sort on both engines).
+
+    Plan: one map-combined daily count collapses the corpus to
+    |days| rows BEFORE the single ordered window; at 100 TB the
+    window input is calendar-bounded (~36.5 k rows for a century),
+    single-partition by design like every q_ts daily series."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}").alias("dayn"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w7 = Window.orderBy("dayn").rowsBetween(-6, 0)
+    return (
+        s.select(
+            "dayn",
+            "c",
+            F.sort_array(F.collect_list("c").over(w7)).alias("arr"),
+        )
+        .select(
+            "dayn",
+            "c",
+            F.size("arr").cast("bigint").alias("n_win"),
+            F.expr(
+                "CAST(element_at(arr, CAST((size(arr) + 1) DIV 2 AS INT))"
+                " + element_at(arr, CAST((size(arr) + 2) DIV 2 AS INT))"
+                " AS BIGINT)"
+            ).alias("med2"),
+        )
+        .orderBy("dayn")
+    )
+
+
+@register(
+    "q_orders_interarrival",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey,
+               epoch_us(o_orderdate) // {_US_PER_DAY} AS dayn,
+               o_orderkey
+        FROM orders
+    ),
+    gaps AS (
+        SELECT o_custkey,
+               dayn - lag(dayn) OVER (
+                   PARTITION BY o_custkey ORDER BY dayn, o_orderkey
+               ) AS gap_days
+        FROM o
+    )
+    SELECT least(gap_days // 7, 8) AS week_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_days,
+           CAST((CAST(SUM(gap_days) AS HUGEINT) * 1000000) // COUNT(*)
+                AS BIGINT) AS mean_days_ppm
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order interarrival-time distribution: per-customer day gaps
+    between consecutive orders, histogrammed into weekly buckets
+    (capped at 8+ weeks) — the repeat-purchase cadence behind churn
+    windows and replenishment forecasts (q_orders_repeat_rate's
+    continuous companion). Gaps are exact integer day numbers
+    (epoch-µs DIV day — no calendar function, so the date/timestamp
+    encodings can't diverge); the ties within a day break on
+    o_orderkey identically in both engines; the mean is an exact
+    floored ppm with DECIMAL(38,0)/HUGEINT headroom.
+
+    Plan: ONE lag window partitioned by customer (each partition is
+    one customer's order history — embarrassingly parallel, keyed on
+    the same o_custkey hash layout downstream CRM queries use), then
+    a map-combined groupBy on the derived 9-value bucket key."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV {_US_PER_DAY}"
+        ).alias("dayn"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("dayn", "o_orderkey")
+    gaps = o.select(
+        (F.col("dayn") - F.lag("dayn").over(w)).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy(
+            F.least(F.expr("gap_days DIV 7"), F.lit(8)).alias("week_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.min("gap_days").cast("bigint").alias("min_days"),
+            F.max("gap_days").cast("bigint").alias("max_days"),
+            F.expr(
+                "CAST((CAST(SUM(gap_days) AS DECIMAL(38,0)) * 1000000)"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_days_ppm"),
+        )
+        .orderBy("week_bucket")
+    )
