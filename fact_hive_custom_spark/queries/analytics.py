@@ -2003,3 +2003,131 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").cast("bigint").alias("community"), "n_members")
         .orderBy(F.desc("n_members"), "community")
     )
+
+
+_MKV_ROUNDS = 3
+_MKV_SCALE = 10**12
+
+
+def _markov_oracle() -> str:
+    """Chained-CTE power iteration on the event-type transition
+    matrix: v_{t+1}(j) = Σ_i v_t(i)·c_ij DIV c_i, per-term floored —
+    exact integers so both engines walk the identical trajectory."""
+    ctes = [
+        """e AS MATERIALIZED (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        FROM events WHERE ts IS NOT NULL
+    )""",
+        """nx AS MATERIALIZED (
+        SELECT event_type AS f,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id) AS t
+        FROM e
+    )""",
+        """tc AS MATERIALIZED (
+        SELECT f, t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM nx WHERE t IS NOT NULL GROUP BY f, t
+    )""",
+        "st AS MATERIALIZED (SELECT DISTINCT f AS s FROM tc)",
+        """tm AS MATERIALIZED (
+        SELECT tc.f, tc.t, tc.c,
+               CAST(SUM(tc.c) OVER (PARTITION BY tc.f) AS BIGINT) AS rc
+        FROM tc JOIN st ON tc.t = st.s
+    )""",
+        f"v0 AS MATERIALIZED (SELECT s, CAST({_MKV_SCALE} AS HUGEINT) AS v FROM st)",
+    ]
+    for r in range(1, _MKV_ROUNDS + 1):
+        ctes.append(
+            f"""v{r} AS MATERIALIZED (
+        SELECT m.t AS s,
+               CAST(SUM((p.v * m.c) // m.rc) AS HUGEINT) AS v
+        FROM tm m JOIN v{r - 1} p ON p.s = m.f
+        GROUP BY m.t
+    )"""
+        )
+    last = f"v{_MKV_ROUNDS}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT s AS state,
+           CAST(v AS BIGINT) AS mass,
+           CAST((v * 1000000) // (SELECT SUM(v) FROM {last}) AS BIGINT)
+               AS share_ppm
+    FROM {last}
+    ORDER BY state
+    """
+
+
+@register("q_event_markov_stationary", oracle=_markov_oracle())
+def q_event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary-distribution estimate of the per-user event-type
+    Markov chain (q_event_transitions' matrix) by 3 exact-integer
+    power-iteration rounds from the uniform start — "where does user
+    behavior settle": the long-run share of each event type under
+    the observed transition kernel, the behavioral-equilibrium
+    report next to the raw transition counts. Each round floors
+    v(i)·c_ij DIV c_i per edge (engine-identical), so the trajectory
+    is bit-exact on both engines — the q_graph_pagerank discipline
+    applied to the type chain; rounds are the same pinned constant in
+    the Spark loop and the chained oracle CTEs. The chain is closed
+    over states with outgoing edges (transitions into terminal-only
+    types are excluded from the kernel), so mass only shrinks by the
+    per-edge floors (< |types|² per round).
+
+    Headroom: v·c runs in DECIMAL(38,0)/HUGEINT (v ≤ |types|·1e12,
+    c unbounded) — safe to ~1e25 transitions.
+
+    Plan: ONE user-windowed lead() pass collapses the corpus to the
+    |types|² transition matrix; every power round is algebra on that
+    broadcast-sized relation. At 100 TB only the window exchange
+    touches corpus-sized data — identical cost to q_event_transitions."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    nx = e.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    tc = nx.groupBy("f", "t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    st = tc.select(F.col("f").alias("s")).distinct()
+    tm = (
+        tc.join(st, tc["t"] == st["s"], "left_semi")
+        .select(
+            "f",
+            "t",
+            "c",
+            F.sum("c").over(Window.partitionBy("f")).cast("bigint").alias("rc"),
+        )
+        .localCheckpoint()
+    )
+    d38 = "decimal(38,0)"
+    v = st.select("s", F.lit(_MKV_SCALE).cast(d38).alias("v"))
+    for _ in range(_MKV_ROUNDS):
+        v = (
+            tm.join(v.select(F.col("s").alias("f"), F.col("v").alias("pv")), "f")
+            .groupBy(F.col("t").alias("s"))
+            .agg(
+                F.sum(F.expr(f"CAST((pv * c) DIV rc AS {d38})"))
+                .cast(d38)
+                .alias("v")
+            )
+            .localCheckpoint()
+        )
+    tot = v.agg(F.sum("v").cast(d38).alias("tv"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").alias("state"),
+            F.col("v").cast("bigint").alias("mass"),
+            F.expr("CAST((v * 1000000) DIV tv AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("state")
+    )

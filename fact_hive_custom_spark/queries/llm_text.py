@@ -1388,3 +1388,85 @@ def q_llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_llm_length_percentiles",
+    oracle="""
+    WITH l AS (
+        SELECT source, CAST(length(text) AS BIGINT) AS len, doc_id
+        FROM documents
+    ),
+    r AS (
+        SELECT source, len,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY len, doc_id
+               ) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM l
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN len END) AS BIGINT)
+               AS p50_chars,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN len END) AS BIGINT)
+               AS p90_chars,
+           CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN len END)
+               AS BIGINT) AS p99_chars,
+           CAST(MAX(len) AS BIGINT) AS max_chars
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def q_llm_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source document-length percentiles (p50/p90/p99 by
+    the discrete lower-ceil convention rank = ⌈q·n⌉, plus max) — the
+    length-budget table behind context-window planning and chunk-size
+    tuning, exact where q_agg_approx_pct is sketched. Percentile
+    values are picked by rank from the length-sorted order, so ties
+    in length cannot make engines disagree (the value at a rank is a
+    property of the sorted multiset; the doc_id tiebreak only fixes
+    WHICH row carries it).
+
+    Plan: one source-partitioned rank window over (len, doc_id)
+    pairs — text never enters the exchange (projection pruned to two
+    scalars) — then a map-combined conditional aggregate per source.
+    At 100 TB each window partition is one source shard; for a
+    single giant source, pre-bucket by length range and offset ranks
+    (the standard distributed exact-percentile split)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    l = d.select(
+        "source",
+        F.length("text").cast("bigint").alias("len"),
+        "doc_id",
+    )
+    r = l.select(
+        "source",
+        "len",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("len", "doc_id"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.max(F.expr("CASE WHEN rn = (n + 1) DIV 2 THEN len END"))
+            .cast("bigint")
+            .alias("p50_chars"),
+            F.max(F.expr("CASE WHEN rn = (9 * n + 9) DIV 10 THEN len END"))
+            .cast("bigint")
+            .alias("p90_chars"),
+            F.max(F.expr("CASE WHEN rn = (99 * n + 99) DIV 100 THEN len END"))
+            .cast("bigint")
+            .alias("p99_chars"),
+            F.max("len").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("source")
+    )

@@ -3102,3 +3102,153 @@ def q_stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v2_ppm",
         )
     )
+
+
+@register(
+    "q_stat_wilcoxon_signed_rank",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS x
+        FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IN ('view', 'purchase')
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN x END) AS BIGINT) AS sv,
+               CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS nv,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN x END) AS BIGINT) AS sp,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS np
+        FROM e GROUP BY user_id
+        HAVING COUNT(CASE WHEN event_type = 'view' THEN 1 END) > 0
+           AND COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+    ),
+    d AS (
+        SELECT sv // nv - sp // np AS diff FROM u
+        WHERE sv // nv - sp // np <> 0
+    ),
+    g AS (
+        SELECT abs(diff) AS ad,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(COUNT(CASE WHEN diff > 0 THEN 1 END) AS BIGINT) AS pos
+        FROM d GROUP BY 1
+    ),
+    w AS (
+        SELECT ad, cnt, pos,
+               CAST(COALESCE(SUM(cnt) OVER (ORDER BY ad
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cb
+        FROM g
+    ),
+    t AS (
+        SELECT CAST(SUM(cnt) AS HUGEINT) AS n,
+               CAST(SUM(pos * (2 * cb + cnt + 1)) AS HUGEINT) AS w2p,
+               CAST(SUM((cnt * cnt * cnt - cnt) / 2) AS HUGEINT) AS ties
+        FROM w
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(w2p AS BIGINT) AS w2_plus,
+           CAST(CASE WHEN n >= 2
+                      AND n * (n + 1) * (2 * n + 1) - ties > 0 THEN
+               ((w2p - n * (n + 1) // 2) * (w2p - n * (n + 1) // 2)
+                * 6000000)
+               // (n * (n + 1) * (2 * n + 1) - ties)
+           END AS BIGINT) AS z2_e6,
+           CASE WHEN n >= 2 AND n * (n + 1) * (2 * n + 1) - ties > 0 THEN
+               ((w2p - n * (n + 1) // 2) * (w2p - n * (n + 1) // 2)
+                * 6000000)
+               // (n * (n + 1) * (2 * n + 1) - ties) >= 3841459
+           END AS significant
+    FROM t
+    """,
+)
+def q_stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on paired per-user means (view cents
+    vs purchase cents, users with both) — the nonparametric paired
+    companion to q_stat_ttest_welch (unpaired parametric) and
+    q_stat_mannwhitney (unpaired ranks). Pinned exact semantics: the
+    pair difference is the FLOORED per-user mean gap in cents
+    (sv DIV nv − sp DIV np, engine-identical truncation), zero
+    differences drop (standard), |d| ranks use midranks carried ×2
+    (the AUC doubled-rank trick: a tied group at cumulative offset cb
+    contributes 2·cb + cnt + 1 per member), so W2⁺ = 2·W⁺ is an exact
+    bigint. Significance is the tie-corrected normal approximation as
+    one exact rational: z² = (W2⁺ − n(n+1)/2)²·6 / (n(n+1)(2n+1) −
+    Σ(t³−t)/2), e6-floored, gated on chi²(1) 0.05 (the module's
+    df→∞ convention). t³−t is divisible by 2 (three consecutive
+    integers), so the tie term is exact. Headroom: the squared
+    numerator ×6e6 runs in DECIMAL(38,0)/HUGEINT — safe past n ≈ 1e7
+    pairs.
+
+    Plan: one map-combined per-user pivot aggregate (corpus → |users|
+    rows), one map-combined |d|-group aggregate, a rank window over
+    |distinct gaps| rows, single-row algebra — the chisq/AUC skeleton."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isin("view", "purchase")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", F.col("x")))
+            .cast("bigint")
+            .alias("sv"),
+            F.count(F.when(F.col("event_type") == "view", 1))
+            .cast("bigint")
+            .alias("nv"),
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("x")))
+            .cast("bigint")
+            .alias("sp"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("bigint")
+            .alias("np"),
+        )
+        .filter((F.col("nv") > 0) & (F.col("np") > 0))
+    )
+    d = u.select(F.expr("sv DIV nv - sp DIV np").alias("diff")).filter(
+        F.col("diff") != 0
+    )
+    g = d.groupBy(F.abs(F.col("diff")).alias("ad")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.count(F.when(F.col("diff") > 0, 1)).cast("bigint").alias("pos"),
+    )
+    w = g.select(
+        "ad",
+        "cnt",
+        "pos",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("cb"),
+    )
+    d38 = "decimal(38,0)"
+    t = w.agg(
+        F.sum("cnt").cast(d38).alias("n"),
+        F.sum(F.col("pos") * (2 * F.col("cb") + F.col("cnt") + 1))
+        .cast(d38)
+        .alias("w2p"),
+        F.sum(F.expr("(cnt * cnt * cnt - cnt) DIV 2")).cast(d38).alias("ties"),
+    )
+    z2 = (
+        "((w2p - n * (n + 1) DIV 2) * (w2p - n * (n + 1) DIV 2) * 6000000)"
+        " DIV (n * (n + 1) * (2 * n + 1) - ties)"
+    )
+    guard = "n >= 2 AND n * (n + 1) * (2 * n + 1) - ties > 0"
+    return t.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("w2p").cast("bigint").alias("w2_plus"),
+        F.expr(f"CAST(CASE WHEN {guard} THEN {z2} END AS BIGINT)").alias("z2_e6"),
+        F.expr(f"CASE WHEN {guard} THEN {z2} >= 3841459 END").alias("significant"),
+    )
