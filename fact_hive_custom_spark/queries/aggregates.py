@@ -710,3 +710,97 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+_CMS_D = 4
+_CMS_W = 64
+
+
+@register(
+    "q_agg_cms_estimate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cms AS (
+        SELECT j,
+               ('0x' || substr(md5(tok || ':' || j), 1, 15))::BIGINT
+                   % {_CMS_W} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks, unnest(generate_series(1, {_CMS_D})) AS t(j)
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY tok
+    ),
+    probes AS (
+        SELECT tok, cnt FROM exact
+        ORDER BY cnt DESC, tok LIMIT 5
+    ),
+    est AS (
+        SELECT p.tok, p.cnt,
+               MIN(m.c) AS cms_est
+        FROM probes p
+        CROSS JOIN unnest(generate_series(1, {_CMS_D})) AS t(j)
+        JOIN cms m
+          ON m.j = t.j
+         AND m.bucket = ('0x' || substr(md5(p.tok || ':' || t.j), 1, 15))::BIGINT
+                        % {_CMS_W}
+        GROUP BY p.tok, p.cnt
+    )
+    SELECT tok, cnt AS exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - cnt AS BIGINT) AS overcount
+    FROM est ORDER BY exact_cnt DESC, tok
+    """,
+)
+def q_agg_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min sketch (d=4 rows × w=64 buckets) over the corpus
+    token stream, point-queried for the 5 heaviest tokens against
+    their exact counts — the mergeable fixed-size frequency sketch a
+    streaming/telemetry layer keeps where exact per-key counts don't
+    fit. The sketch is fully deterministic (portable 60-bit
+    md5-prefix row hashes, the operators/dedup.py family), so the
+    whole structure — cells, estimates, per-probe overcount — is
+    oracle-checkable: CMS guarantees est ≥ exact, and the overcount
+    column exposes the collision error the d×w budget buys.
+
+    Plan: ONE token pass fans out d=4 (j, bucket) cells per token
+    map-side and combines into the 256-cell sketch — the exchange
+    carries ≤ d·w partial rows per task regardless of corpus size
+    (THE sketch property; the exact side exists only as the oracle's
+    ground truth and for the probe top-5). Probes attach to the
+    sketch by broadcast."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    j = F.explode(F.expr(f"sequence(1, {_CMS_D})")).alias("j")
+    bucket = F.expr(
+        f"CAST(conv(substr(md5(concat(tok, ':', j)), 1, 15), 16, 10)"
+        f" AS BIGINT) % {_CMS_W}"
+    )
+    cms = (
+        toks.select("tok", j)
+        .select("j", bucket.alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    probes = exact.orderBy(F.desc("cnt"), "tok").limit(5)
+    pj = probes.select("tok", "cnt", j).select(
+        "tok", "cnt", "j", bucket.alias("bucket")
+    )
+    return (
+        pj.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+        .select(
+            "tok",
+            F.col("cnt").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_cnt"), "tok")
+    )

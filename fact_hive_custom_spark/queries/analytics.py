@@ -2131,3 +2131,90 @@ def q_event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+@register(
+    "q_event_time_to_convert",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IN ('view', 'purchase')
+    ),
+    u AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN us END) AS first_view,
+               MIN(CASE WHEN event_type = 'purchase' THEN us END) AS first_buy
+        FROM e GROUP BY user_id
+    ),
+    conv AS (
+        SELECT (first_buy - first_view) // 1000000 AS delay_s
+        FROM u
+        WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+          AND first_buy >= first_view
+    )
+    SELECT least(delay_s // 3600, 24) AS hour_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(delay_s) AS BIGINT) AS min_s,
+           CAST(MAX(delay_s) AS BIGINT) AS max_s,
+           CAST((CAST(SUM(delay_s) AS HUGEINT) * 1000) // COUNT(*)
+                AS BIGINT) AS mean_ms
+    FROM conv GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_event_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: first view → first purchase delay
+    per user, histogrammed into hourly buckets (capped at 24+h) — the
+    conversion-latency report that sets attribution windows
+    (q_event_attribution's window is an input; this measures what it
+    should be) and funnel SLAs (q_funnel_windowed's twin from the
+    latency side). Delays are exact integer µs differences floored to
+    seconds; users whose first purchase precedes any view (external
+    referral) are excluded by the pinned first_buy ≥ first_view rule,
+    identical on both engines; the bucket mean is an exact floored
+    millisecond with DECIMAL(38,0)/HUGEINT headroom.
+
+    Plan: ONE map-combined per-user min-pivot aggregate collapses the
+    corpus to |users| rows, then a 25-key map-combined histogram —
+    no window, no join; at 100 TB the only exchange is the user
+    aggregate, keyed on the layout CRM queries already use."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isin("view", "purchase")
+        )
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    )
+    u = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias(
+            "first_buy"
+        ),
+    )
+    conv = u.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_view"))
+    ).select(
+        F.expr("(first_buy - first_view) DIV 1000000").alias("delay_s")
+    )
+    return (
+        conv.groupBy(
+            F.least(F.expr("delay_s DIV 3600"), F.lit(24)).alias("hour_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("delay_s").cast("bigint").alias("min_s"),
+            F.max("delay_s").cast("bigint").alias("max_s"),
+            F.expr(
+                "CAST((CAST(SUM(delay_s) AS DECIMAL(38,0)) * 1000)"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_ms"),
+        )
+        .orderBy("hour_bucket")
+    )

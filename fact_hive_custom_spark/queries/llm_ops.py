@@ -1332,3 +1332,130 @@ def q_llm_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_ppm"),
     )
+
+
+_BLOOM_M = 1024
+_BLOOM_K = 3
+
+
+@register(
+    "q_llm_bloom_vocab",
+    oracle=f"""
+    WITH srcs AS (
+        SELECT MIN(source) AS sa, MAX(source) AS sb FROM documents
+    ),
+    va AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        FROM documents, srcs WHERE source = sa
+    ),
+    vb AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        FROM documents, srcs WHERE source = sb
+    ),
+    bits AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(tok || '#' || i), 1, 15))::BIGINT
+                   % {_BLOOM_M} AS bit
+        FROM va, unnest(generate_series(1, {_BLOOM_K})) AS t(i)
+    ),
+    probe AS (
+        SELECT b.tok,
+               CAST(COUNT(*) FILTER (WHERE bits.bit IS NOT NULL) AS BIGINT)
+                   AS hits,
+               CAST(MAX(CASE WHEN a.tok IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS in_a
+        FROM vb b
+        CROSS JOIN unnest(generate_series(1, {_BLOOM_K})) AS t(i)
+        LEFT JOIN bits
+          ON bits.bit = ('0x' || substr(md5(b.tok || '#' || t.i), 1, 15))::BIGINT
+                        % {_BLOOM_M}
+        LEFT JOIN va a ON a.tok = b.tok
+        GROUP BY b.tok
+    )
+    SELECT CAST((SELECT COUNT(*) FROM va) AS BIGINT) AS n_vocab_a,
+           CAST((SELECT COUNT(*) FROM vb) AS BIGINT) AS n_vocab_b,
+           CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+           CAST(COUNT(*) FILTER (WHERE hits = {_BLOOM_K}) AS BIGINT)
+               AS n_flagged,
+           CAST(COUNT(*) FILTER (WHERE in_a = 1) AS BIGINT) AS n_true_members,
+           CAST(COUNT(*) FILTER (WHERE hits = {_BLOOM_K} AND in_a = 0)
+               AS BIGINT) AS n_false_pos
+    FROM probe
+    """,
+)
+def q_llm_bloom_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter vocabulary membership (m=1024 bits, k=3 md5-prefix
+    hashes): build the filter from source A's vocabulary (MIN(source)),
+    probe source B's (MAX(source)), and report flagged members, true
+    members and measured false positives — the compact cross-shard
+    membership pre-filter (decontamination / leakage screens ship the
+    1024-bit filter instead of the vocabulary). Fully deterministic
+    (portable md5-prefix hash family), so the filter's exact bit set,
+    its flag decisions, and its FP count are oracle-checkable; Bloom
+    guarantees zero false negatives, and the n_true_members ≤
+    n_flagged gap in the output IS the measured FP rate of the m/k
+    budget.
+
+    Plan: two distinct-vocab aggregates (map-combined); the bit set is
+    ≤1024 rows and BROADCASTS into the probe fan-out (k rows per probe
+    token); the exact-membership join is the oracle's ground-truth leg
+    (|vocab| vs |vocab| hash join). At 100 TB the shipped artifact is
+    the fixed 1024-bit relation — corpus size only affects the two
+    vocab scans."""
+    d = load_table(spark, sf_dir, "documents")
+    srcs = d.agg(F.min("source").alias("sa"), F.max("source").alias("sb"))
+    toks = d.join(F.broadcast(srcs)).select(
+        "source",
+        "sa",
+        "sb",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    va = toks.filter(F.col("source") == F.col("sa")).select("tok").distinct()
+    vb = toks.filter(F.col("source") == F.col("sb")).select("tok").distinct()
+    i = F.explode(F.expr(f"sequence(1, {_BLOOM_K})")).alias("i")
+    bitexpr = F.expr(
+        f"CAST(conv(substr(md5(concat(tok, '#', i)), 1, 15), 16, 10)"
+        f" AS BIGINT) % {_BLOOM_M}"
+    )
+    bits = (
+        va.select("tok", i).select(bitexpr.alias("bit")).distinct()
+    )
+    probe = (
+        vb.select("tok", i)
+        .select("tok", bitexpr.alias("bit"))
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("tok")
+        .agg(F.count("hit").cast("bigint").alias("hits"))
+        .join(
+            va.select("tok").withColumn("in_a", F.lit(1)), "tok", "left"
+        )
+        .select("tok", "hits", F.coalesce("in_a", F.lit(0)).alias("in_a"))
+    )
+    counts = probe.agg(
+        F.sum(F.when(F.col("hits") == _BLOOM_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum("in_a").cast("bigint").alias("n_true_members"),
+        F.sum(
+            F.when((F.col("hits") == _BLOOM_K) & (F.col("in_a") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
+    na = va.agg(F.count(F.lit(1)).cast("bigint").alias("n_vocab_a"))
+    nb = vb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vocab_b"))
+    nbits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    return (
+        na.crossJoin(nb)
+        .crossJoin(nbits)
+        .crossJoin(counts)
+        .select(
+            "n_vocab_a",
+            "n_vocab_b",
+            "n_bits_set",
+            "n_flagged",
+            "n_true_members",
+            "n_false_pos",
+        )
+    )

@@ -1470,3 +1470,93 @@ def q_llm_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_llm_charfreq_kl",
+    oracle="""
+    WITH ch AS (
+        SELECT source, unnest(regexp_extract_all(text, '[a-z]')) AS c
+        FROM documents
+    ),
+    sc AS (
+        SELECT source, c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ch GROUP BY source, c
+    ),
+    st AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS ts FROM sc GROUP BY source
+    ),
+    ct AS (
+        SELECT c, CAST(SUM(n) AS BIGINT) AS nc FROM sc GROUP BY c
+    ),
+    tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tc FROM sc),
+    terms AS (
+        SELECT sc.source, sc.n, st.ts,
+               CAST(floor(ln(CAST(sc.n AS DOUBLE) * tt.tc
+                             / (CAST(st.ts AS DOUBLE) * ct.nc))
+                    * 1000000 + 0.5) AS BIGINT) AS term_e6
+        FROM sc JOIN st USING (source)
+                JOIN ct USING (c)
+                CROSS JOIN tt
+    )
+    SELECT source,
+           CAST(MAX(ts) AS BIGINT) AS n_chars,
+           CAST(CAST(SUM(CAST(n AS HUGEINT) * term_e6) AS HUGEINT)
+                // MAX(ts) AS BIGINT) AS kl_e6
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def q_llm_charfreq_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-distribution drift: KL(source ‖ corpus)
+    over the [a-z] letter distribution — the cheap encoding/language
+    drift detector corpus monitoring runs per shard (a source whose
+    letter histogram diverges from the corpus is mojibake, another
+    language, or spam). KL = Σ_c p(c|s)·ln(p(c|s)/p(c)) with each
+    cell's single DOUBLE ln floor-pinned to e6 (chisq discipline —
+    the ratio is composed as double(n)·tc / (double(ts)·nc), same
+    shape both engines), then the weighted sum runs in exact
+    integers: kl_e6 = Σ n·term_e6 DIV ts with HUGEINT/DECIMAL(38,0)
+    headroom.
+
+    Plan: one regexp scan fans characters out map-side into a
+    ≤|sources|·26-cell count (map-combined); marginals re-aggregate
+    the CELL table, never the corpus; everything after the first
+    exchange is algebra on ≤ a few hundred rows."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z]"), 0)
+        ).alias("c"),
+    )
+    sc = ch.groupBy("source", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    st = sc.groupBy("source").agg(F.sum("n").cast("bigint").alias("ts"))
+    ct = sc.groupBy("c").agg(F.sum("n").cast("bigint").alias("nc"))
+    tt = sc.agg(F.sum("n").cast("bigint").alias("tc"))
+    terms = (
+        sc.join(st, "source")
+        .join(ct, "c")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "source",
+            "n",
+            "ts",
+            F.expr(
+                "CAST(floor(ln(CAST(n AS DOUBLE) * tc"
+                " / (CAST(ts AS DOUBLE) * nc)) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("term_e6"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("ts").cast("bigint").alias("n_chars"),
+            F.expr(
+                "CAST(CAST(SUM(CAST(n AS DECIMAL(38,0)) * term_e6)"
+                " AS DECIMAL(38,0)) DIV MAX(ts) AS BIGINT)"
+            ).alias("kl_e6"),
+        )
+        .orderBy("source")
+    )
