@@ -1689,3 +1689,52 @@ class TestGraphIterationPlans:
         plan = plan_of(spark, "q_graph_bfs")
         assert "Scan ExistingRDD" in plan
         assert "events" not in plan.lower().replace("preventserialization", "")
+
+
+class TestRound10Plans:
+    def test_label_prop_events_scanned_once(self, spark):
+        """Label propagation (q_graph_label_prop): every round roots at
+        the localCheckpoint-ed adjacency/label RDDs — the raw events
+        never appear in the final composed plan (kcore discipline)."""
+        plan = plan_of(spark, "q_graph_label_prop")
+        assert "Scan ExistingRDD" in plan
+        assert "events" not in plan.lower().replace("preventserialization", "")
+
+    def test_markov_events_scanned_once(self, spark):
+        """Markov stationary (q_event_markov_stationary): power rounds
+        root at the checkpointed transition matrix; the final plan
+        contains no events scan and no corpus-sized exchange."""
+        plan = plan_of(spark, "q_event_markov_stationary")
+        assert "Scan ExistingRDD" in plan
+        assert "events" not in plan.lower().replace("preventserialization", "")
+
+    def test_cms_sketch_exchange_is_cell_sized(self, spark):
+        """CMS (q_agg_cms_estimate): the sketch side partially
+        aggregates map-side (the exchange carries (j, bucket) cells,
+        not raw tokens) and the probe join broadcasts the 256-cell
+        sketch; no cartesian of data against data, no Python."""
+        plan = plan_of(spark, "q_agg_cms_estimate")
+        assert "partial_count" in plan
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_keyword_topk_window_partitioned_by_doc(self, spark):
+        """Keyword top-k (q_llm_keyword_topk): the rank window is
+        partitioned by doc_id (embarrassingly parallel), never a
+        global (unpartitioned) window over the scored relation."""
+        plan = plan_of(spark, "q_llm_keyword_topk")
+        assert "row_number" in plan
+        # every Window node in the plan carries a doc_id partition spec
+        for line in plan.splitlines():
+            if "Window" in line and "row_number" in line:
+                assert "doc_id" in line, line
+
+    def test_auc_collapses_before_rank_window(self, spark):
+        """AUC (q_stat_auc_roc): the corpus collapses to |distinct
+        scores| via a map-combined groupBy (partial_count/partial_sum
+        present) BEFORE the single-partition rank window runs."""
+        plan = plan_of(spark, "q_stat_auc_roc")
+        assert "partial_count" in plan or "partial_sum" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
