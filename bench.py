@@ -93,6 +93,13 @@ HEADLINE = [
     # part dimension through one task)
     "q_llm_ngram_novelty",
     "q_orders_abc_class",
+    # round-10: the lineage-capped iterative community rounds (a
+    # regression re-deriving the graph per round shows as multiples)
+    # and the rank-window AUC whose corpus must collapse to distinct
+    # scores BEFORE the single-partition window (a regression
+    # windowing the raw corpus serializes it through one task)
+    "q_graph_label_prop",
+    "q_stat_auc_roc",
 ]
 
 

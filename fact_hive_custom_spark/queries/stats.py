@@ -3252,3 +3252,111 @@ def q_stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(CASE WHEN {guard} THEN {z2} END AS BIGINT)").alias("z2_e6"),
         F.expr(f"CASE WHEN {guard} THEN {z2} >= 3841459 END").alias("significant"),
     )
+
+
+@register(
+    "q_stat_theil_u",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type AS x,
+               (epoch_us(ts) // {_US_PER_DAY} + 4) % 7 AS y
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ),
+    obs AS (
+        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM e GROUP BY x, y
+    ),
+    tot AS (
+        SELECT x, y, obs,
+               CAST(SUM(obs) OVER (PARTITION BY x) AS BIGINT) AS r,
+               CAST(SUM(obs) OVER (PARTITION BY y) AS BIGINT) AS c,
+               CAST(SUM(obs) OVER () AS BIGINT) AS n
+        FROM obs
+    ),
+    mi AS (
+        SELECT CAST(CAST(SUM(CAST(obs AS HUGEINT)
+                   * CAST(floor(ln(CAST(obs AS DOUBLE) * n
+                                   / (CAST(r AS DOUBLE) * c))
+                          * 1000000 + 0.5) AS BIGINT)) AS HUGEINT)
+                   // MAX(n) AS BIGINT) AS mi_e6,
+               CAST(MAX(n) AS BIGINT) AS n
+        FROM tot
+    ),
+    hx AS (
+        SELECT CAST(CAST(SUM(CAST(r AS HUGEINT)
+                   * CAST(floor(ln(CAST(n AS DOUBLE) / r)
+                          * 1000000 + 0.5) AS BIGINT)) AS HUGEINT)
+                   // MAX(n) AS BIGINT) AS hx_e6
+        FROM (SELECT DISTINCT x, r, n FROM tot)
+    )
+    SELECT mi.n, mi.mi_e6, hx.hx_e6,
+           CAST(CASE WHEN hx.hx_e6 > 0 THEN
+               (CAST(mi.mi_e6 AS HUGEINT) * 1000000) // hx.hx_e6
+           END AS BIGINT) AS theil_u_ppm
+    FROM mi CROSS JOIN hx
+    """,
+)
+def q_stat_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(X|Y) = MI(X,Y)/H(X) for
+    event type given day-of-week — the NORMALIZED [0,1] dependence
+    measure (q_stat_mutual_info's MI in nats is scale-bound to the
+    entropies; U answers "what fraction of event-type uncertainty
+    does the weekday explain"). Same cell machinery and e6 ln pinning
+    as mutual_info/chisq: MI and H(X) are exact integer reductions of
+    floor-pinned per-cell/per-row logs, and the final ratio is one
+    engine-identical integer division in HUGEINT/DECIMAL(38,0).
+
+    Plan: identical to q_stat_mutual_info — one map-combined groupBy
+    to ≤|types|·7 cells, marginal windows on the cell table,
+    single-row algebra."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.col("event_type").alias("x"),
+            F.expr(f"(unix_micros(ts) DIV {_US_PER_DAY} + 4) % 7").alias("y"),
+        )
+    )
+    obs = e.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    tot = obs.select(
+        "x",
+        "y",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("x")).cast("bigint").alias("r"),
+        F.sum("obs").over(Window.partitionBy("y")).cast("bigint").alias("c"),
+        F.sum("obs").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    d38 = "decimal(38,0)"
+    mi = tot.agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(obs AS DECIMAL(38,0))"
+            " * CAST(floor(ln(CAST(obs AS DOUBLE) * n"
+            " / (CAST(r AS DOUBLE) * c)) * 1000000 + 0.5) AS BIGINT))"
+            f" AS {d38}) DIV MAX(n) AS BIGINT)"
+        ).alias("mi_e6"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    hx = (
+        tot.select("x", "r", "n")
+        .distinct()
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(r AS DECIMAL(38,0))"
+                " * CAST(floor(ln(CAST(n AS DOUBLE) / r) * 1000000 + 0.5)"
+                f" AS BIGINT)) AS {d38}) DIV MAX(n) AS BIGINT)"
+            ).alias("hx_e6")
+        )
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .select(
+            "n",
+            "mi_e6",
+            "hx_e6",
+            F.expr(
+                "CAST(CASE WHEN hx_e6 > 0 THEN"
+                " (CAST(mi_e6 AS DECIMAL(38,0)) * 1000000) DIV hx_e6"
+                " END AS BIGINT)"
+            ).alias("theil_u_ppm"),
+        )
+    )

@@ -2120,3 +2120,60 @@ def q_orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_bucket")
     )
+
+
+@register(
+    "q_ts_week_over_week",
+    oracle=f"""
+    WITH s AS (
+        SELECT epoch_us(ts) // {_US_PER_DAY} AS dayn,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT a.dayn, a.c, b.c AS c_prev_week,
+           CAST(CASE WHEN b.c > 0 THEN
+               ((a.c - b.c) * 1000000) // b.c
+           END AS BIGINT) AS wow_ppm
+    FROM s a JOIN s b ON b.dayn = a.dayn - 7
+    ORDER BY a.dayn
+    """,
+)
+def q_ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change of the daily event count — the seasonal
+    growth line every traffic dashboard leads with (compares each day
+    to the SAME weekday last week, so the dow cycle q_ts_seasonality
+    measures cancels out). wow_ppm = (c − c₋₇)·1e6 DIV c₋₇, an exact
+    floored integer on both engines; negative numerators truncate
+    identically (both engines truncate toward zero — the
+    jarque_bera-verified convention).
+
+    Plan: one map-combined daily count collapses the corpus to |days|
+    rows; the 7-day shift is a self-equi-join on the integer day key
+    over that tiny calendar-bounded relation (broadcast-sized at any
+    corpus scale) — no window, no corpus re-scan (the daily relation
+    is referenced twice but Spark reuses the exchange)."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}").alias("dayn"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a = s.alias("a")
+    b = s.select(
+        (F.col("dayn") + 7).alias("dayn"), F.col("c").alias("c_prev_week")
+    ).alias("b")
+    return (
+        a.join(b, "dayn")
+        .select(
+            "dayn",
+            "c",
+            "c_prev_week",
+            F.expr(
+                "CAST(CASE WHEN c_prev_week > 0 THEN"
+                " ((c - c_prev_week) * 1000000) DIV c_prev_week"
+                " END AS BIGINT)"
+            ).alias("wow_ppm"),
+        )
+        .orderBy("dayn")
+    )
