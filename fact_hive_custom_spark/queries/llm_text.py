@@ -1395,7 +1395,7 @@ def q_llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH l AS (
         SELECT source, CAST(length(text) AS BIGINT) AS len, doc_id
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     r AS (
         SELECT source, len,
@@ -1435,7 +1435,12 @@ def q_llm_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the standard distributed exact-percentile split)."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    # NULL texts are unorderable in the rank window (Spark sorts
+    # NULLS FIRST, DuckDB LAST — the q_event_transitions lesson):
+    # quarantine them identically on both engines.
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     l = d.select(
         "source",
         F.length("text").cast("bigint").alias("len"),

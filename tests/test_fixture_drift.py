@@ -83,6 +83,15 @@ DOC_QUERIES = [
     "q_llm_bpe_train",
     "q_llm_url_canonical",
     "q_llm_dedup_eval",
+    # round-10 document consumers
+    "q_llm_pmi_bigrams",
+    "q_llm_keyword_topk",
+    "q_llm_reservoir_sample",
+    "q_llm_tokenizer_fertility",
+    "q_llm_charfreq_kl",
+    "q_llm_length_percentiles",
+    "q_llm_bloom_vocab",
+    "q_agg_cms_estimate",
 ]
 
 # Queries over the embeddings table (element/label dtype sensitive).
