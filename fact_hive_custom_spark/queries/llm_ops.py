@@ -1459,3 +1459,163 @@ def q_llm_bloom_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_pos",
         )
     )
+
+
+_MHE_H = 16  # portable md5-seeded MinHash family size
+
+
+@register(
+    "q_llm_minhash_est",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                      i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+                   AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT doc_a, doc_b,
+               CAST((n_inter * 1000000)
+                    // (sa.n + sb.n - n_inter) AS BIGINT) AS jaccard_ppm
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_inter * 2 >= sa.n + sb.n - n_inter
+    ),
+    sig AS (
+        SELECT doc_id, s,
+               MIN(('0x' || substr(md5(shingle || '/' || s), 1, 15))::BIGINT)
+                   AS mn
+        FROM sh, unnest(generate_series(1, {_MHE_H})) AS t(s)
+        GROUP BY doc_id, s
+    ),
+    est AS (
+        SELECT e.doc_a, e.doc_b, e.jaccard_ppm,
+               CAST(COUNT(CASE WHEN a.mn = b.mn THEN 1 END) * 1000000
+                    // {_MHE_H} AS BIGINT) AS est_ppm
+        FROM exact e
+        JOIN sig a ON a.doc_id = e.doc_a
+        JOIN sig b ON b.doc_id = e.doc_b AND b.s = a.s
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_a, doc_b, jaccard_ppm, est_ppm,
+           CAST(abs(est_ppm - jaccard_ppm) AS BIGINT) AS abs_err_ppm
+    FROM est ORDER BY doc_a, doc_b
+    """,
+)
+def q_llm_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR calibration: for every exact-Jaccard ≥ 0.5
+    pair, the H=16 portable (md5-seeded) MinHash signature agreement
+    rate next to the true Jaccard and the absolute error — the
+    measurement that justifies a signature width before a 100 TB
+    dedup run (E[matches/H] = J; the observed |err| column IS the
+    √(J(1−J)/H) noise made concrete on this corpus; the xxhash64
+    production family in operators/dedup.py has the same statistics,
+    this query uses the md5-prefix family so the signatures
+    themselves are oracle-checkable). All outputs are exact floored
+    ppm integers — the estimate has granularity 1e6/H = 62 500.
+
+    Plan: the shingle relation feeds both legs — the exact self-join
+    (the ORACLE leg, O(colliding pairs)) and the signature build
+    (ONE map-side fan-out of H seeded hashes per shingle, combined
+    to |docs|·H minima — the 100 TB leg whose exchange carries only
+    (doc, seed, min) longs); the calibration join then runs on
+    |pairs|·H rows. At 100 TB only the signature leg runs in
+    production; the exact leg exists to certify it here."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> concat_ws(' ', slice(t, i, 3)))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    exact = (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(F.expr("n_inter * 2 >= na + nb - n_inter"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST((n_inter * 1000000) DIV (na + nb - n_inter) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    sig = (
+        sh.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, {_MHE_H})")).alias("s"),
+            "shingle",
+        )
+        .groupBy("doc_id", "s")
+        .agg(
+            F.min(
+                F.expr(
+                    "CAST(conv(substr(md5(concat(shingle, '/', s)), 1, 15),"
+                    " 16, 10) AS BIGINT)"
+                )
+            ).alias("mn")
+        )
+    )
+    # The calibration join keys on BOTH doc id and seed so Catalyst
+    # sees plain equi-joins on (doc, s) pairs.
+    est = (
+        exact.join(
+            sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("mn", "mna"),
+            "doc_a",
+        )
+        .join(
+            sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("mn", "mnb"),
+            ["doc_b", "s"],
+        )
+        .groupBy("doc_a", "doc_b", "jaccard_ppm")
+        .agg(
+            F.expr(
+                f"CAST(COUNT(CASE WHEN mna = mnb THEN 1 END) * 1000000"
+                f" DIV {_MHE_H} AS BIGINT)"
+            ).alias("est_ppm")
+        )
+    )
+    return est.select(
+        "doc_a",
+        "doc_b",
+        "jaccard_ppm",
+        "est_ppm",
+        F.abs(F.col("est_ppm") - F.col("jaccard_ppm"))
+        .cast("bigint")
+        .alias("abs_err_ppm"),
+    ).orderBy("doc_a", "doc_b")
