@@ -1689,23 +1689,19 @@ def q_stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         gx.join(F.broadcast(med), "g")
         .groupBy("g", "ng")
         .agg(
-            F.sum(F.col("c") * F.abs(F.col("x") - F.col("med")))
-            .cast(d38)
-            .alias("sz"),
             F.sum(
-                F.col("c")
-                * (F.col("x") - F.col("med"))
-                * (F.col("x") - F.col("med"))
-            )
-            .cast(d38)
-            .alias("qz"),
+                F.expr(f"CAST(c AS {d38}) * abs(x - med)")
+            ).cast(d38).alias("sz"),
+            F.sum(
+                F.expr(f"CAST(c AS {d38}) * (x - med) * (x - med)")
+            ).cast(d38).alias("qz"),
         )
     )
     tot = z.agg(
         F.sum("ng").cast(d38).alias("n"),
         F.count(F.lit(1)).cast(d38).alias("k"),
         F.sum("sz").cast(d38).alias("s"),
-        F.sum(F.expr("CAST((sz * sz * 1000000) DIV ng AS DECIMAL(38,0))"))
+        F.sum(F.expr(_dfloor("sz * sz * 1000000", "ng")))
         .cast(d38)
         .alias("a"),
         F.sum("qz").cast(d38).alias("q"),
@@ -1714,8 +1710,8 @@ def q_stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "k",
         F.expr(
-            "greatest(a - CAST((s * s * 1000000) DIV n AS DECIMAL(38,0)),"
-            " CAST(0 AS DECIMAL(38,0)))"
+            "greatest(a - " + _dfloor("s * s * 1000000", "n")
+            + ", CAST(0 AS DECIMAL(38,0)))"
         ).alias("ssb_e6"),
         F.expr("q * 1000000 - a").alias("ssw_e6"),
     )
@@ -2077,10 +2073,8 @@ def q_stat_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT type_a, type_b, na, nb,
                CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1
                     ELSE 0 END AS d_sign,
-               CASE WHEN nn * pv >= 1000000 THEN
-                   ((diff // 1000) * (diff // 1000)
-                    * (na + nb - 2) * 1000000)
-                   // ((nn * pv) // 1000000)
+               CASE WHEN pv > 0 THEN
+                   CAST(floor(least(CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE) * CAST(na + nb - 2 AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(pv AS DOUBLE)) * 1000000, 1000000000000.0) + 0.5) AS BIGINT)
                ELSE NULL END AS d2_e6
         FROM pairs
     )
@@ -2105,14 +2099,18 @@ def q_stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.2/0.5/0.8 bands on |d| (compared as d² ≥ 0.04/0.25/0.64, so the
     banding needs no square root).
 
-    Exact rational: d² = (Sa·nb − Sb·na)²·(na+nb−2) / (na·nb·P) with
-    P = nb(na·Qa − Sa²) + na(nb·Qb − Sb²) — pooled-variance algebra
-    multiplied through, evaluated in DECIMAL(38,0)/HUGEINT. The
-    num/den pre-divides (diff DIV 1e3 squared; na·nb·P DIV 1e6 — the
-    zipf_fit r² discipline) keep both sides under 1e38 to N ≈ 1e6
-    rows per group at cents ≤ 1e5; the floors are engine-identical
-    and cost ≤ 1e-3 relative where |diff| ≥ 1e6 (below that d ≈ 0
-    anyway). Zero pooled variance → NULL.
+    d² = (Sa·nb − Sb·na)²·(na+nb−2) / (na·nb·P) with
+    P = nb(na·Qa − Sa²) + na(nb·Qb − Sb²): the moments diff/nn/P are
+    EXACT DECIMAL(38,0)/HUGEINT integers (no cancellation loss), and
+    the final ratio is ONE double expression of identical shape on
+    both engines, floor-pinned to e6 (the chisq discipline) and
+    clamped at 1e12 ppm before the BIGINT cast (d² = 1e6 — far past
+    every band — so the clamp never fires on sane data but keeps a
+    near-zero-variance pair from overflowing the cast). The previous
+    exact-integer pre-divide form wrapped Spark's long-typed DIV at
+    the sf1.0 sweep (nn·pv DIV 1e6 ≈ 4e28 > 2^63 — found round 10);
+    the double form has no magnitude limit and its only rounding is
+    the final pin. Zero pooled variance → NULL.
 
     Plan: the ttest skeleton — ONE map-combined moment aggregate per
     type is the only corpus-sized exchange; the K²/2 pair join runs
@@ -2129,7 +2127,7 @@ def q_stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = p.groupBy("event_type").agg(
         F.count(F.lit(1)).cast(d38).alias("n"),
         F.sum("x").cast(d38).alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.expr(f"CAST(x AS {d38}) * x")).cast(d38).alias("sxx"),
     )
     a = m.select(
         F.col("event_type").alias("type_a"),
@@ -2169,12 +2167,7 @@ def q_stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END"
         ).alias("d_sign"),
         F.expr(
-            "CASE WHEN nn * pv >= 1000000 THEN"
-            " (CAST(diff DIV 1000 AS DECIMAL(38,0))"
-            "  * CAST(diff DIV 1000 AS DECIMAL(38,0))"
-            "  * (na + nb - 2) * 1000000)"
-            " DIV CAST((nn * pv) DIV 1000000 AS DECIMAL(38,0))"
-            " ELSE NULL END"
+            "CASE WHEN pv > 0 THEN CAST(floor(least(CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE) * CAST(na + nb - 2 AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(pv AS DOUBLE)) * 1000000, 1000000000000.0) + 0.5) AS BIGINT) ELSE NULL END"
         ).alias("d2_e6"),
     )
     return r.select(
@@ -2197,6 +2190,23 @@ def q_stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chi-square 0.05 critical values (e6-scaled) for df 1..8 — the same
 # large-N convention as q_stat_ttest_welch's 3.841459 single-df pin:
 # df1·F is compared against chi2(df1), exact for df2 → infinity.
+def _dfloor(a: str, b: str) -> str:
+    """Exact floor-division of non-negative DECIMAL(38,0) expressions
+    as a SQL fragment, safe where Spark's `DIV` is not.
+
+    Spark's IntegralDivide ALWAYS returns BIGINT: when the true
+    quotient exceeds 2^63−1 it silently wraps (observed at the sf1.0
+    scale sweep, round 10 — q_stat_levene's (sz²·1e6) DIV ng wrapped
+    to garbage while DuckDB's HUGEINT `//` stayed exact, and
+    q_stat_anova_f crashed on the ANSI long SUM of DIV terms). This
+    identity — a − a%b exactly divisible by b, so the decimal division
+    is exact and the (scale-6, HALF_UP) result adjustment is a no-op —
+    keeps the quotient in DECIMAL(38,0) with ~1e32 of headroom.
+    Operands must be non-negative (every call site is a square or a
+    count)."""
+    return f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS DECIMAL(38,0))"
+
+
 _CHI2_CRIT_E6 = (
     3841459, 5991465, 7814728, 9487729,
     11070498, 12591587, 14067140, 15507313,
@@ -2284,23 +2294,29 @@ def q_stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = p.groupBy("event_type").agg(
         F.count(F.lit(1)).cast(d38).alias("n"),
         F.sum("x").cast(d38).alias("s"),
-        F.sum(F.col("x") * F.col("x")).cast(d38).alias("q"),
+        # the x² products and their sum run in DECIMAL — the long sum
+        # overflows at ~1e9 rows/group at cents ≤ 1e5
+        F.sum(F.expr(f"CAST(x AS {d38}) * x")).cast(d38).alias("q"),
     )
     t = g.agg(
         F.count(F.lit(1)).cast(d38).alias("k"),
         F.sum("n").alias("n"),
         F.sum("s").alias("s"),
         F.sum("q").alias("q"),
-        F.sum(F.expr("(s * s * 1000000) DIV n")).alias("a_e6"),
+        F.sum(F.expr(_dfloor("s * s * 1000000", "n"))).alias("a_e6"),
     )
     f = t.select(
         "k",
         "n",
-        F.expr("greatest(a_e6 - (s * s * 1000000) DIV n, 0)").alias("ssb_e6"),
+        F.expr(
+            "greatest(a_e6 - " + _dfloor("s * s * 1000000", "n") + ", 0)"
+        ).alias("ssb_e6"),
         F.expr("q * 1000000 - a_e6").alias("ssw_e6"),
     )
     f_e6 = (
-        "(ssb_e6 * (n - k)) DIV ((ssw_e6 DIV 1000000) * (k - 1))"
+        "(ssb_e6 * (n - k)) DIV ("
+        + _dfloor("ssw_e6", "1000000")
+        + " * (k - 1))"
     )
     return f.select(
         F.col("k").cast("bigint").alias("k_groups"),
