@@ -1648,9 +1648,12 @@ def q_stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     an e6-scaled floor: a_g = S_g²·1e6 DIV n_g, SSB = Σa_g −
     S²·1e6 DIV N (greatest 0 — floors may cross), SSW = Σz²·1e6 −
     Σa_g, F_e6 = (N−k)·SSB·1e6 DIV ((k−1)·SSW) — identical floor
-    sequence both engines, DECIMAL(38,0)/HUGEINT throughout. Budget:
-    with cents ≤ 1e5, (N−k)·SSB·1e6 stays under 1e38 to N ≈ 1e7
-    rows; past that pre-divide z by 10 per decade (the kruskal knob).
+    sequence both engines, DECIMAL(38,0)/HUGEINT throughout; the two
+    big floors run through _dfloor (Spark's long-typed DIV wrapped
+    (sz²·1e6) DIV ng to garbage at the round-10 sf1.0 sweep — the
+    quotient passed 2^63), good to ~1e11 rows per group at cents
+    ≤ 1e5; past that pre-divide z by 10 per decade (the kruskal
+    knob).
     The 5% flag compares (k−1)·F against the χ²(k−1) table — the
     large-N asymptotic, honest because N ≫ k here.
 
@@ -2269,7 +2272,11 @@ def q_stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact rational: SSB and SSW come from the same three power sums
     the ttest uses (n, Σx, Σx² per group at cents scale), combined as
     A_e6 = Σ_g (S_g²·1e6 DIV n_g); SSB_e6 = A_e6 − T²·1e6 DIV N;
-    SSW_e6 = Q·1e6 − A_e6. Every floor (DIV) is engine-identical.
+    SSW_e6 = Q·1e6 − A_e6. Every floor is engine-identical and runs
+    through _dfloor (exact decimal floor-division — Spark's
+    long-typed DIV wraps past 2^63, which crashed this query's ANSI
+    long SUM at the round-10 sf1.0 sweep): safe to ~1e11 rows per
+    group at cents ≤ 1e5.
     SSB itself is non-negative by Cauchy–Schwarz, but the per-group
     floors leave ±(k−1) slack (equal group means can land SSB_e6 at
     −(k−1)), so it is clamped with greatest(·, 0) on both engines to
