@@ -395,11 +395,18 @@ def q_agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = m.select(
         "flag",
         "n",
+        # _dfloor, not DIV: these quotients are co-moment-sized (not
+        # ratio-bounded) and would pass 2^63 around 1e10 rows — the
+        # round-10 levene lesson applied preventively.
         F.expr(
-            f"abs(CAST(n AS {d38}) * sxy - sx * sy) DIV 1000000"
+            _dfloor(f"abs(CAST(n AS {d38}) * sxy - sx * sy)", "1000000")
         ).alias("red"),
-        F.expr(f"(CAST(n AS {d38}) * sxx - sx * sx) DIV 1000").alias("vxr"),
-        F.expr(f"(CAST(n AS {d38}) * syy - sy * sy) DIV 1000000").alias("vyr"),
+        F.expr(
+            _dfloor(f"CAST(n AS {d38}) * sxx - sx * sx", "1000")
+        ).alias("vxr"),
+        F.expr(
+            _dfloor(f"CAST(n AS {d38}) * syy - sy * sy", "1000000")
+        ).alias("vyr"),
         F.expr(
             f"CASE WHEN CAST(n AS {d38}) * sxy - sx * sy >= 0"
             " THEN 1 ELSE -1 END"
