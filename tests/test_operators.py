@@ -946,3 +946,119 @@ class TestRound8bOperators:
         for r in rows:
             assert r.keep_id < r.drop_id, r
             assert 0 <= r.hamming <= 7, r
+
+
+class TestRound10Invariants:
+    """Algebraic guarantees of the round-10 operators — properties the
+    parity oracle can't express (they hold by CONSTRUCTION, so a
+    violation means the operator itself is wrong, not a fixture)."""
+
+    SF = "/root/testdata/sf0.01"
+
+    def test_cms_never_undercounts(self, spark):
+        """Count–min guarantee: est ≥ exact for every probe (collisions
+        only ADD mass), and the estimate of the heaviest token is
+        finite (every probe hits d populated cells)."""
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_agg_cms_estimate"](spark, self.SF).collect()
+        assert rows, "no probes returned"
+        for r in rows:
+            assert r.cms_est >= r.exact_cnt, r
+            assert r.overcount == r.cms_est - r.exact_cnt, r
+
+    def test_bloom_has_zero_false_negatives(self, spark):
+        """Bloom guarantee: every true member is flagged — the flagged
+        count is at least the true-member count, and false positives
+        are exactly the surplus of flagged over true flagged."""
+        from fact_hive_custom_spark.queries import QUERIES
+
+        row = QUERIES["q_llm_bloom_vocab"](spark, self.SF).collect()[0]
+        assert row.n_flagged >= row.n_true_members, row
+        assert row.n_false_pos == row.n_flagged - row.n_true_members, row
+        assert 0 < row.n_bits_set <= 1024, row
+
+    def test_auc_in_unit_range_and_gini_consistent(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+
+        row = QUERIES["q_stat_auc_roc"](spark, self.SF).collect()[0]
+        assert 0 <= row.auc_e6 <= 1_000_000, row
+        assert row.gini_e6 == 2 * row.auc_e6 - 1_000_000, row
+
+    def test_mutual_info_nonnegative_and_theil_u_unit_range(self, spark):
+        """MI ≥ 0 up to the per-cell e6 floor slack (± #cells); Theil's
+        U = MI/H(X) lands in [0, 1e6] with the same slack."""
+        from fact_hive_custom_spark.queries import QUERIES
+
+        mi_rows = QUERIES["q_stat_mutual_info"](spark, self.SF).collect()
+        n_cells = len(mi_rows)
+        assert mi_rows[0].mi_e6 >= -n_cells
+        u = QUERIES["q_stat_theil_u"](spark, self.SF).collect()[0]
+        assert -n_cells <= u.theil_u_ppm <= 1_000_000 + n_cells, u
+
+    def test_reservoir_sample_is_stable_and_k_bounded(self, spark):
+        """The md5-keyed sample is a deterministic function of the
+        data: two independent evaluations pick identical doc ids, and
+        no source exceeds k=5."""
+        from collections import Counter
+
+        from fact_hive_custom_spark.queries import QUERIES
+
+        a = {(r.source, r.doc_id) for r in QUERIES["q_llm_reservoir_sample"](spark, self.SF).collect()}
+        b = {(r.source, r.doc_id) for r in QUERIES["q_llm_reservoir_sample"](spark, self.SF).collect()}
+        assert a == b and a
+        per_source = Counter(s for s, _ in a)
+        assert max(per_source.values()) <= 5
+
+    def test_minhash_estimator_is_unbiased_enough(self, spark):
+        """Estimator sanity at H=16: the mean absolute error over the
+        calibrated pairs stays under two signature slots (2/16 =
+        125000 ppm) — far tighter than chance, loose enough for the
+        fixture's pair count."""
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_llm_minhash_est"](spark, self.SF).collect()
+        assert rows
+        mean_err = sum(r.abs_err_ppm for r in rows) / len(rows)
+        assert mean_err <= 125_000, mean_err
+
+    def test_label_prop_rounds_only_coarsen(self, spark):
+        """Min-label propagation invariant: member counts sum to the
+        node count and every community label is one of its own nodes'
+        ids (min over a connected 3-hop ball)."""
+        from fact_hive_custom_spark.queries import QUERIES
+        from fact_hive_custom_spark.queries.analytics import (
+            _cooccurrence_edges,
+        )
+
+        comm = QUERIES["q_graph_label_prop"](spark, self.SF).collect()
+        edges = _cooccurrence_edges(spark, self.SF)
+        n_nodes = (
+            edges.selectExpr("u AS node")
+            .union(edges.selectExpr("v AS node"))
+            .distinct()
+            .count()
+        )
+        assert sum(r.n_members for r in comm) == n_nodes
+
+    def test_markov_mass_conserved_up_to_floors(self, spark):
+        """Power iteration loses at most |types|² units of mass per
+        round to the per-edge floors; shares sum to ~1e6."""
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_event_markov_stationary"](spark, self.SF).collect()
+        k = len(rows)
+        total_share = sum(r.share_ppm for r in rows)
+        assert 1_000_000 - k <= total_share <= 1_000_000, total_share
+        start_mass = k * 10**12
+        assert sum(r.mass for r in rows) <= start_mass
+
+    def test_rolling_median_between_window_extremes(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_ts_rolling_median"](spark, self.SF).collect()
+        for r in rows:
+            assert 1 <= r.n_win <= 7, r
+            # med2 = lower+upper middle: bounded by 2·min..2·max of
+            # the window, which itself brackets the day's own count
+            assert r.med2 >= 2, r
