@@ -804,3 +804,117 @@ def q_agg_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), "tok")
     )
+
+
+_HLL_M = 64  # registers; alpha for m=64 is 0.709 (Flajolet et al. 2007)
+
+
+@register(
+    "q_agg_hll_custom",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM (
+            SELECT tok FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+            )
+        )
+    ),
+    reg AS (
+        SELECT hv % {_HLL_M} AS bucket,
+               MAX(CAST(floor(log2((hv // {_HLL_M}) & -(hv // {_HLL_M})) + 0.5)
+                   AS BIGINT) + 1) AS rho
+        FROM h WHERE hv // {_HLL_M} > 0
+        GROUP BY 1
+    ),
+    acc AS (
+        SELECT CAST(SUM(CAST(2 AS HUGEINT) ** (60 - rho)) AS HUGEINT) AS s_used,
+               CAST(COUNT(*) AS BIGINT) AS m_used
+        FROM reg
+    ),
+    est AS (
+        SELECT m_used,
+               CAST(floor(
+                   0.709 * {_HLL_M} * {_HLL_M}
+                   * CAST(CAST(2 AS HUGEINT) ** 60 AS DOUBLE)
+                   / CAST(s_used + ({_HLL_M} - m_used)
+                          * CAST(2 AS HUGEINT) ** 60 AS DOUBLE)
+                   + 0.5) AS BIGINT) AS hll_est
+        FROM acc
+    ),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM toks)
+    SELECT ex.n_exact, est.m_used, est.hll_est,
+           CAST(abs(est.hll_est - ex.n_exact) * 1000000 // ex.n_exact
+                AS BIGINT) AS rel_err_ppm
+    FROM est CROSS JOIN ex
+    """,
+)
+def q_agg_hll_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A from-scratch HyperLogLog (m=64 registers) over the corpus
+    token stream, checked against the exact distinct count — the
+    deterministic, ORACLE-CHECKABLE twin of q_agg_approx_cd (Spark's
+    built-in HLL++ sketch cannot be reproduced in SQL; this one can,
+    because every piece is portable: md5-prefix hashes, bucket = h %
+    m, ρ = 1 + index of the lowest set bit of h/m via log2(h & −h) —
+    log2 of an exact power of two is exact in IEEE double on both
+    engines — and the harmonic denominator Σ2^(60−ρ) is an exact
+    HUGEINT/DECIMAL sum, so no float addition-order can diverge). The
+    single double division is floor-pinned half-up; empty registers
+    contribute 2^60 exactly as the algorithm requires. Completes the
+    oracle-checked sketch family: CMS (q_agg_cms_estimate), Bloom
+    (q_llm_bloom_vocab), MinHash (q_llm_minhash_est), SimHash, HLL.
+
+    Plan: ONE token pass map-combines per-bucket maxima — the
+    exchange carries ≤ m=64 (bucket, ρ) partials per task at ANY
+    corpus size (the sketch property; the exact leg exists as ground
+    truth). rel_err_ppm documents what m=64 buys (±1.04/√64 ≈ 13%
+    theoretical)."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    d38 = "decimal(38,0)"
+    h = toks.select(
+        F.expr(
+            "CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("hv")
+    )
+    reg = (
+        h.filter(F.expr(f"hv DIV {_HLL_M} > 0"))
+        .groupBy(F.expr(f"hv % {_HLL_M}").alias("bucket"))
+        .agg(
+            F.max(
+                F.expr(
+                    f"CAST(floor(log2((hv DIV {_HLL_M})"
+                    f" & -(hv DIV {_HLL_M})) + 0.5) AS BIGINT) + 1"
+                )
+            ).alias("rho")
+        )
+    )
+    acc = reg.agg(
+        F.sum(F.expr(f"CAST(pow(2, 60 - rho) AS {d38})"))
+        .cast(d38)
+        .alias("s_used"),
+        F.count(F.lit(1)).cast("bigint").alias("m_used"),
+    )
+    est = acc.select(
+        "m_used",
+        F.expr(
+            f"CAST(floor(0.709 * {_HLL_M} * {_HLL_M}"
+            f" * CAST(CAST(pow(2, 60) AS {d38}) AS DOUBLE)"
+            f" / CAST(s_used + ({_HLL_M} - m_used)"
+            f" * CAST(pow(2, 60) AS {d38}) AS DOUBLE)"
+            " + 0.5) AS BIGINT)"
+        ).alias("hll_est"),
+    )
+    ex = toks.distinct().agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    return est.crossJoin(F.broadcast(ex)).select(
+        "n_exact",
+        "m_used",
+        "hll_est",
+        F.expr(
+            "CAST(abs(hll_est - n_exact) * 1000000 DIV n_exact AS BIGINT)"
+        ).alias("rel_err_ppm"),
+    )

@@ -1619,3 +1619,106 @@ def q_llm_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("abs_err_ppm"),
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "q_llm_dup_matrix",
+    oracle="""
+    WITH hs AS (
+        SELECT DISTINCT
+               md5(array_to_string(
+                   list_slice(string_split(text, ' '), 1, 5), ' ')) AS h,
+               source
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    per_source AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_hashes FROM hs GROUP BY 1
+    )
+    SELECT p.source_a, p.source_b, p.n_shared,
+           CAST((p.n_shared * 1000000) // least(sa.n_hashes, sb.n_hashes)
+                AS BIGINT) AS overlap_ppm
+    FROM pairs p
+    JOIN per_source sa ON sa.source = p.source_a
+    JOIN per_source sb ON sb.source = p.source_b
+    ORDER BY p.n_shared DESC, p.source_a, p.source_b
+    """,
+)
+def q_llm_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how
+    many distinct 5-token document PREFIXES they share (md5 prefix
+    fingerprint — catches exact dups and head-copied near-dups alike;
+    full-text md5 is the q_llm_exact_dedup key)
+    and the overlap as a fraction of the SMALLER source's distinct
+    corpus (the containment-style normalization that flags a small
+    source wholly copied into a big one at 1e6 ppm) — the provenance
+    screen behind "which feeds copy from which" licensing and
+    contamination audits (q_llm_cross_source_leakage's aggregated
+    matrix form).
+
+    Plan: one map-side md5 + DISTINCT collapses the corpus to (hash,
+    source) pairs; the self-join keys on the 16-byte hash, so only
+    hashes shared across sources produce work (the exact-dedup
+    shuffle discipline — text never enters an exchange); the
+    |sources|²-row matrix then joins two broadcast-sized marginals."""
+    hs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.md5(
+                F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5))
+            ).alias("h"),
+            "source",
+        )
+        .distinct()
+    )
+    a, b = hs.alias("a"), hs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    per_source = hs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hashes")
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                per_source.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_hashes").alias("na"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                per_source.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_hashes").alias("nb"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.expr(
+                "CAST((n_shared * 1000000) DIV least(na, nb) AS BIGINT)"
+            ).alias("overlap_ppm"),
+        )
+        .orderBy(F.desc("n_shared"), "source_a", "source_b")
+    )

@@ -2177,3 +2177,94 @@ def q_ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dayn")
     )
+
+
+_KT_A = "click"
+_KT_B = "purchase"
+
+
+@register(
+    "q_ts_kendall_tau",
+    oracle=f"""
+    WITH s AS (
+        SELECT epoch_us(ts) // {_US_PER_DAY} AS d,
+               CAST(COUNT(CASE WHEN event_type = '{_KT_A}' THEN 1 END)
+                    AS BIGINT) AS x,
+               CAST(COUNT(CASE WHEN event_type = '{_KT_B}' THEN 1 END)
+                    AS BIGINT) AS y
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IN ('{_KT_A}', '{_KT_B}')
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc
+        FROM s a JOIN s b ON a.d < b.d
+    ),
+    t AS (
+        SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n,
+               CAST(SUM(conc) AS BIGINT) AS c,
+               CAST(SUM(disc) AS BIGINT) AS d
+        FROM pairs
+    )
+    SELECT n, c AS concordant, d AS discordant,
+           CAST(CASE WHEN n >= 2 THEN
+               ((c - d) * 2000000) // (n * (n - 1))
+           END AS BIGINT) AS tau_a_e6
+    FROM t
+    """,
+)
+def q_ts_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-a between the click and purchase daily-count
+    series — the rank-based co-movement measure that needs no
+    distributional assumptions (q_ts_xcorr's Pearson companion;
+    q_stat_spearman's pairwise sibling, over day pairs instead of
+    ranks). τ_a = (C − D)/(n(n−1)/2) with C/D the concordant/
+    discordant day-pair counts — pure integers end to end (tied pairs
+    count in neither; τ-a's denominator keeps the statistic exact
+    where τ-b's tie correction would need a square root).
+
+    Plan: ONE map-combined (day, type-pivot) count collapses the
+    corpus to |days| rows; the day-pair self-join is O(days²) on the
+    calendar-bounded series (a century is 36.5 k days → 6.7e8 pairs,
+    still an |days|-keyed shuffle-free broadcast join at 100 TB —
+    the corpus never enters it)."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull() & F.col("event_type").isin(_KT_A, _KT_B)
+        )
+        .groupBy(F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}").alias("d"))
+        .agg(
+            F.count(F.when(F.col("event_type") == _KT_A, 1))
+            .cast("bigint")
+            .alias("x"),
+            F.count(F.when(F.col("event_type") == _KT_B, 1))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.expr(
+            "CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END"
+        ).alias("conc"),
+        F.expr(
+            "CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END"
+        ).alias("disc"),
+    )
+    nn = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = pairs.agg(
+        F.sum("conc").cast("bigint").alias("c"),
+        F.sum("disc").cast("bigint").alias("d"),
+    ).crossJoin(F.broadcast(nn))
+    return t.select(
+        "n",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.expr(
+            "CAST(CASE WHEN n >= 2 THEN"
+            " ((c - d) * 2000000) DIV (n * (n - 1))"
+            " END AS BIGINT)"
+        ).alias("tau_a_e6"),
+    )
