@@ -2218,3 +2218,50 @@ def q_event_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_bucket")
     )
+
+
+@register(
+    "q_orders_size_dist",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey, CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items
+        FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey
+    )
+    SELECT n_items,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY n_items
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_orders
+    FROM per_order GROUP BY n_items ORDER BY n_items
+    """,
+)
+def q_orders_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size distribution: how many orders carry k line items
+    (LEFT join keeps zero-item orders honest at k=0), with the
+    cumulative count — the basket-size histogram behind picking/
+    packing capacity models and the fan-out factor every orders⋈
+    lineitem join plan multiplies by.
+
+    Plan: one orderkey-keyed count (the join's natural co-partition
+    key), then a map-combined histogram on the ≤ hundreds of distinct
+    sizes; the cumulative window runs single-partition over that tiny
+    relation by design."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_order = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").cast("bigint").alias("n_items"))
+    )
+    hist = per_order.groupBy("n_items").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    w = Window.orderBy("n_items").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "n_items",
+        "n_orders",
+        F.sum("n_orders").over(w).cast("bigint").alias("cum_orders"),
+    ).orderBy("n_items")

@@ -2607,3 +2607,75 @@ def q_llm_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("tok").alias("keyword"), "tf", "df", "score_e6", "rnk"
         )
     )
+
+
+@register(
+    "q_llm_kn_continuation",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT DISTINCT
+               unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+        FROM toks
+    ),
+    types AS (SELECT DISTINCT p.w1 AS w1, p.w2 AS w2 FROM bg),
+    cont AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont FROM types GROUP BY w2
+    ),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM types)
+    SELECT w2 AS word, cont,
+           CAST((cont * 1000000) // tt.n_types AS BIGINT) AS p_cont_ppm
+    FROM cont CROSS JOIN tt
+    ORDER BY cont DESC, word
+    LIMIT 50
+    """,
+)
+def q_llm_kn_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney continuation counts: for each word, in how many
+    DISTINCT left contexts it appears (bigram types, not tokens), and
+    the continuation probability P_cont = cont(w)/|bigram types| —
+    the statistic that makes KN smoothing beat add-k (a word frequent
+    in one context only, like the second half of a fixed collocation,
+    gets a LOW continuation weight however high its raw count; cf.
+    q_llm_pmi_bigrams which surfaces those collocations). Top-50 on
+    the unique (cont DESC, word) key; exact floored ppm.
+
+    Plan: one corpus pass builds the DISTINCT bigram-type relation
+    (map-side combine on the pair key); the continuation count is a
+    re-aggregation OF THE TYPE TABLE; |types| is a 1-row broadcast
+    staple; top-50 is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "             element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    types = bg.distinct()
+    cont = types.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cont")
+    )
+    tt = types.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    return (
+        cont.crossJoin(F.broadcast(tt))
+        .select(
+            F.col("w2").alias("word"),
+            "cont",
+            F.expr("CAST((cont * 1000000) DIV n_types AS BIGINT)").alias(
+                "p_cont_ppm"
+            ),
+        )
+        .orderBy(F.desc("cont"), "word")
+        .limit(50)
+    )

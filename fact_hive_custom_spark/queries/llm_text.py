@@ -1565,3 +1565,85 @@ def q_llm_charfreq_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SH_BANDS = 6  # 6 bands × 10 bits over the 60-bit fingerprint
+_SH_RADIUS = 5  # pigeonhole-exact: hamming ≤ 5 ⇒ ≥1 of 6 bands equal
+
+
+@register(
+    "q_llm_simhash_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT * FROM ({_SIMHASH_ORACLE.strip()})
+    ),
+    bands AS (
+        SELECT doc_id, simhash, i,
+               (simhash >> (i * 10)) & 1023 AS bv
+        FROM sh, unnest(generate_series(0, {_SH_BANDS - 1})) AS t(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS ha, b.simhash AS hb
+        FROM bands a JOIN bands b
+          ON a.i = b.i AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_SH_RADIUS}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS at Hamming radius ≤ 5 via banded LSH —
+    the candidate-generation stage q_llm_simhash's fingerprints exist
+    for, completing the SimHash dedup path end to end (the media
+    perceptual-hash dedup's discipline applied to text): the 60-bit
+    fingerprint splits into 6 bands of 10 bits, and by pigeonhole any
+    pair within Hamming 5 agrees on at least one band — so the banded
+    equi-join is EXACT at this radius (zero false negatives), and the
+    bit_count(xor) verification prunes band-collision false positives.
+
+    Plan: band fan-out is map-side (6 rows per doc, 8-byte values);
+    the only shuffle keys on (band_idx, band_value) — near-dup pairs
+    collide, everything else hashes apart; verification touches only
+    banded candidates (never all pairs). At 100 TB this is the
+    standard Hamming-LSH join: candidate volume is governed by the
+    10-bit band entropy, measured for the media twin in METRICS.md."""
+    sh = q_llm_simhash(spark, sf_dir)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr(f"sequence(0, {_SH_BANDS - 1})")).alias("i"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "i",
+        F.expr("shiftright(simhash, i * 10) & 1023").alias("bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SH_RADIUS)
+        .orderBy("doc_a", "doc_b")
+    )

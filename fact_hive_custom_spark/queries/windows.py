@@ -626,3 +626,43 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+@register(
+    "q_win_percent_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+           ) AS pr,
+           cume_dist() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+           ) AS cd
+    FROM orders
+    """,
+)
+def q_win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per order within its priority class —
+    the relative-standing window surface (§E) the ntile query
+    approximates in buckets. Both are exact rationals evaluated as
+    ONE double division ((rank−1)/(n−1) and rank/n) over the unique
+    (price, orderkey) order, so the engines agree bit-for-bit with no
+    rounding pin needed; the full tiebreak chain keeps rank itself
+    deterministic.
+
+    Plan: one hash exchange on the partition key, per-partition sort
+    — the q_win_ranking shape; at 100 TB each priority class is a
+    window partition and nothing else shuffles."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
