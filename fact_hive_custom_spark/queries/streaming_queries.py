@@ -502,3 +502,60 @@ def q_stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@register(
+    "q_stream_chained_windows",
+    oracle="""
+    WITH sub AS (
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS w10,
+               CAST(COUNT(*) AS BIGINT) AS n10
+        FROM events GROUP BY 1
+    ),
+    hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', w10) AS window_start,
+               CAST(SUM(n10) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_subwindows
+        FROM sub GROUP BY 1
+    )
+    SELECT window_start, n, n_subwindows
+    FROM hourly
+    WHERE window_start + INTERVAL '1 hour' <= (SELECT max(ts) FROM events)
+    """,
+)
+def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED streaming window aggregations — two stateful operators
+    in one streaming query (10-minute tumbling counts rolled up into
+    hourly totals), the multi-stateful-operator capability Spark
+    gained in 3.4 (unsupported before; still append-mode-only). This
+    is the streaming form of the pre-aggregation rollup every metrics
+    pipeline wants: the second level consumes the first level's
+    window column as its event time.
+
+    Watermark semantics ARE the oracle contract: in append mode a
+    window emits only once the watermark (max event time, 0 s delay)
+    passes its end, so the hourly window containing the stream's last
+    event never finalizes — the oracle mirrors that exactly with
+    `window_end ≤ max(ts)` (719 of 720 hours on the fixture). The
+    n_subwindows column certifies the chaining (each hour aggregates
+    its ≤6 ten-minute children, not raw rows).
+
+    Scale: level 1 collapses the corpus to 10-minute partials before
+    level 2 ever runs — the state store holds |open windows| rows per
+    level, independent of corpus rate; at 100 TB/day this is the
+    standard two-tier rollup that keeps the wide window's state tiny."""
+    ev = streaming_events(spark, sf_dir).withWatermark("ts", "0 seconds")
+    lvl1 = ev.groupBy(F.window("ts", "10 minutes")).agg(
+        F.count(F.lit(1)).alias("n10")
+    )
+    lvl2 = (
+        lvl1.groupBy(F.window(F.col("window"), "1 hour"))
+        .agg(
+            F.sum("n10").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_subwindows"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n", "n_subwindows")
+    )
+    return run_stream_to_memory(
+        spark, lvl2, "q_stream_chained_windows", output_mode="append"
+    )

@@ -92,6 +92,11 @@ DOC_QUERIES = [
     "q_llm_length_percentiles",
     "q_llm_bloom_vocab",
     "q_agg_cms_estimate",
+    "q_llm_minhash_est",
+    "q_llm_kn_continuation",
+    "q_llm_simhash_pairs",
+    "q_llm_dup_matrix",
+    "q_agg_hll_custom",
 ]
 
 # Queries over the embeddings table (element/label dtype sensitive).
