@@ -2265,3 +2265,183 @@ def q_orders_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.sum("n_orders").over(w).cast("bigint").alias("cum_orders"),
     ).orderBy("n_items")
+
+
+@register(
+    "q_event_new_users",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS d
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    first_day AS (
+        SELECT user_id, MIN(d) AS fd FROM e GROUP BY user_id
+    ),
+    daily AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n_active FROM e GROUP BY d
+    ),
+    news AS (
+        SELECT fd AS d, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM first_day GROUP BY fd
+    )
+    SELECT daily.d AS dayn, daily.n_active,
+           COALESCE(news.n_new, 0) AS n_new,
+           daily.n_active - COALESCE(news.n_new, 0) AS n_returning,
+           CAST(SUM(COALESCE(news.n_new, 0)) OVER (ORDER BY daily.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users
+    FROM daily LEFT JOIN news ON news.d = daily.d
+    ORDER BY dayn
+    """,
+)
+def q_event_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split with the cumulative distinct
+    user count — the growth-accounting report every activation
+    dashboard leads with (the DAU side is q_event_dau_wau; this adds
+    the first-touch decomposition and the running reach). "New" is
+    first-ever-active day (min integer day per user), so
+    n_active = n_new + n_returning exactly and cum_users at the last
+    day equals total distinct users — both identities are free
+    cross-engine checks the output carries.
+
+    Plan: ONE (user, day) distinct collapse of the corpus, then a
+    user-keyed min for first days and two calendar-bounded daily
+    aggregates; the cumulative window runs over |days| rows. At
+    100 TB the only corpus-sized exchange is the (user, day) combine,
+    on the same user key the retention/cohort family already uses."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}").alias("d"),
+        )
+        .distinct()
+    )
+    first_day = e.groupBy("user_id").agg(F.min("d").alias("fd"))
+    daily = e.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    news = first_day.groupBy(F.col("fd").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.join(news, "d", "left")
+        .select(
+            F.col("d").alias("dayn"),
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            (F.col("n_active") - F.coalesce("n_new", F.lit(0)))
+            .cast("bigint")
+            .alias("n_returning"),
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_users"),
+        )
+        .orderBy("dayn")
+    )
+
+
+@register(
+    "q_graph_assortativity",
+    oracle=f"""
+    WITH {_COOC_EDGE_CTES.strip()},
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) t GROUP BY node
+    ),
+    dd AS (
+        SELECT du.deg AS x, dv.deg AS y
+        FROM e JOIN deg du ON du.node = e.u
+               JOIN deg dv ON dv.node = e.v
+        UNION ALL
+        SELECT dv.deg, du.deg
+        FROM e JOIN deg du ON du.node = e.u
+               JOIN deg dv ON dv.node = e.v
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(y * y) AS HUGEINT) AS syy
+        FROM dd
+    ),
+    r AS (
+        SELECT n,
+               n * sxy - sx * sy AS cov,
+               n * sxx - sx * sx AS vx,
+               n * syy - sy * sy AS vy
+        FROM m
+    )
+    SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+           CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1
+                ELSE 0 END AS INTEGER) AS r_sign,
+           CASE WHEN vx > 0 AND vy > 0 THEN
+               CAST(floor(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE) / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           END AS r2_ppm
+    FROM r
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-occurrence graph: the Pearson
+    correlation of endpoint degrees over all edge stubs (both
+    orientations, the standard Newman definition) — do hubs attach to
+    hubs (assortative, r>0, social-style) or to leaves (disassortative,
+    r<0, hub-and-spoke)? Reported as r_sign + r²_ppm: the co-moments
+    are exact HUGEINT/DECIMAL(38,0) sums over integer degrees
+    (symmetric stubs make vx = vy and cov the true stub covariance),
+    and the final ratio is ONE identical-shape double expression
+    floor-pinned to ppm (the cohens_d convention — its value is
+    Cauchy–Schwarz-bounded ≤ 1e6, so no clamp and no magnitude limit;
+    the first cut's pre-divided integer form wrapped Spark's
+    long-typed DIV at this round's own sf1.0 check, proving the
+    harness catches the class it was built for).
+
+    Plan: events scanned once (edge build), degrees are one
+    map-combined count, the stub relation is two hash joins on node
+    id, and the correlation is a single-row reduction — the
+    corr_exact skeleton on graph stubs."""
+    edges = _cooccurrence_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = edges.join(du, "u").join(dv, "v")
+    dd = ed.select(F.col("du").alias("x"), F.col("dv").alias("y")).unionAll(
+        ed.select(F.col("dv").alias("x"), F.col("du").alias("y"))
+    )
+    d38 = "decimal(38,0)"
+    m = dd.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.expr(f"CAST(x AS {d38}) * y")).cast(d38).alias("sxy"),
+        F.sum(F.expr(f"CAST(x AS {d38}) * x")).cast(d38).alias("sxx"),
+        F.sum(F.expr(f"CAST(y AS {d38}) * y")).cast(d38).alias("syy"),
+    )
+    r = m.select(
+        "n",
+        F.expr("n * sxy - sx * sy").alias("cov"),
+        F.expr("n * sxx - sx * sx").alias("vx"),
+        F.expr("n * syy - sy * sy").alias("vy"),
+    )
+    return r.select(
+        F.expr("CAST(n DIV 2 AS BIGINT)").alias("n_edges"),
+        F.expr(
+            "CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1"
+            " ELSE 0 END AS INT)"
+        ).alias("r_sign"),
+        F.expr(
+            "CASE WHEN vx > 0 AND vy > 0 THEN CAST(floor(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE) / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) END"
+        ).alias("r2_ppm"),
+    )
