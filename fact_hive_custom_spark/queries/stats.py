@@ -3390,3 +3390,92 @@ def q_stat_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("theil_u_ppm"),
         )
     )
+
+
+@register(
+    "q_stat_prop_ztest",
+    oracle="""
+    WITH e AS (
+        SELECT user_id % 2 AS cohort,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    g AS (
+        SELECT cohort,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(y) AS HUGEINT) AS x
+        FROM e GROUP BY cohort
+    ),
+    p AS (
+        SELECT a.n AS n1, a.x AS x1, b.n AS n2, b.x AS x2
+        FROM g a JOIN g b ON a.cohort = 0 AND b.cohort = 1
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+           CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+           CAST((x1 * 1000000) // n1 AS BIGINT) AS p1_ppm,
+           CAST((x2 * 1000000) // n2 AS BIGINT) AS p2_ppm,
+           CAST(CASE WHEN x1 + x2 > 0 AND x1 + x2 < n1 + n2 THEN
+               ((x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1)
+                * (n1 + n2) * 1000000)
+               // ((x1 + x2) * (n1 + n2 - x1 - x2) * n1 * n2)
+           END AS BIGINT) AS z2_e6,
+           CASE WHEN x1 + x2 > 0 AND x1 + x2 < n1 + n2 THEN
+               ((x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1)
+                * (n1 + n2) * 1000000)
+               // ((x1 + x2) * (n1 + n2 - x1 - x2) * n1 * n2)
+               >= 3841459
+           END AS significant
+    FROM p
+    """,
+)
+def q_stat_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase rates between the user-parity
+    cohorts — THE A/B-test primitive for conversion metrics
+    (q_stat_chisq generalizes to k×m tables; this is the canonical
+    two-arm form with its pooled-variance z). Everything is one exact
+    rational: z² = (x₁n₂ − x₂n₁)²·(n₁+n₂) / ((x₁+x₂)(n₁+n₂−x₁−x₂)·
+    n₁n₂) — multiplied through so no per-arm division ever happens —
+    e6-floored in HUGEINT/DECIMAL(38,0) (numerator ≤ (n₁n₂)²·N·1e6,
+    safe to ~1e7 rows/cohort; the quotient itself is z²-sized, so the
+    round-10 DIV-wrap rule is satisfied without _dfloor). Degenerate
+    pools (all or no successes) → NULL. Significance gates on
+    chi²(1) = z² at 0.05, the module's shared convention.
+
+    Plan: the chisq skeleton — ONE map-combined cohort aggregate is
+    the only corpus-sized exchange; the rest is a 2-row self-join and
+    scalar algebra."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("cohort"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    g = e.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("y").cast(d38).alias("x"),
+    )
+    a = g.filter(F.col("cohort") == 0).select(
+        F.col("n").alias("n1"), F.col("x").alias("x1")
+    )
+    b = g.filter(F.col("cohort") == 1).select(
+        F.col("n").alias("n2"), F.col("x").alias("x2")
+    )
+    p = a.crossJoin(b)
+    z2 = (
+        "((x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1) * (n1 + n2) * 1000000)"
+        " DIV ((x1 + x2) * (n1 + n2 - x1 - x2) * n1 * n2)"
+    )
+    guard = "x1 + x2 > 0 AND x1 + x2 < n1 + n2"
+    return p.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("x1").cast("bigint").alias("x1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("x2").cast("bigint").alias("x2"),
+        F.expr("CAST((x1 * 1000000) DIV n1 AS BIGINT)").alias("p1_ppm"),
+        F.expr("CAST((x2 * 1000000) DIV n2 AS BIGINT)").alias("p2_ppm"),
+        F.expr(f"CAST(CASE WHEN {guard} THEN {z2} END AS BIGINT)").alias("z2_e6"),
+        F.expr(f"CASE WHEN {guard} THEN {z2} >= 3841459 END").alias("significant"),
+    )

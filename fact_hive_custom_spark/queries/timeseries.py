@@ -2268,3 +2268,106 @@ def q_ts_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("tau_a_e6"),
     )
+
+
+@register(
+    "q_ts_winsorized_mean",
+    oracle="""
+    WITH p AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, x,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY x) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM p
+    ),
+    cuts AS (
+        SELECT event_type,
+               MAX(n) AS n,
+               MAX(CASE WHEN rn = greatest((5 * n + 99) // 100, 1)
+                   THEN x END) AS lo,
+               MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN x END) AS hi
+        FROM r GROUP BY event_type
+    )
+    SELECT p.event_type,
+           CAST(cuts.n AS BIGINT) AS n,
+           CAST(cuts.lo AS BIGINT) AS lo_cents,
+           CAST(cuts.hi AS BIGINT) AS hi_cents,
+           CAST(CAST(SUM(least(greatest(p.x, cuts.lo), cuts.hi))
+                AS HUGEINT) * 100 // cuts.n AS BIGINT) AS wins_mean_e4,
+           CAST(CAST(SUM(p.x) AS HUGEINT) * 100 // cuts.n AS BIGINT)
+               AS raw_mean_e4
+    FROM p JOIN cuts USING (event_type)
+    GROUP BY p.event_type, cuts.n, cuts.lo, cuts.hi
+    ORDER BY p.event_type
+    """,
+)
+def q_ts_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5–95% winsorized mean of event value per type, next to the raw
+    mean — the robust location estimate that keeps outliers' VOTES but
+    caps their MAGNITUDE (vs q_ts_mad_outliers which flags them and
+    trimming which deletes them). Cut points are exact rank-picked
+    order statistics (rank = ⌈q·n⌉, the length-percentiles
+    convention — tiebreak-independent values), clamping is
+    least/greatest in pure integers, and both means are exact floored
+    e4-cents with HUGEINT/DECIMAL(38,0) headroom.
+
+    Plan: one type-partitioned rank window over (type, cents) pairs
+    computes the cuts; the clamp+mean pass re-aggregates with the
+    3-row cut relation attached by the group key — two map-combined
+    exchanges total, both keyed on event_type."""
+    from pyspark.sql import Window
+
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("x")
+    r = p.select(
+        "event_type",
+        "x",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    cuts = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.expr("CASE WHEN rn = greatest((5 * n + 99) DIV 100, 1) THEN x END")
+        ).alias("lo"),
+        F.max(F.expr("CASE WHEN rn = (95 * n + 99) DIV 100 THEN x END")).alias(
+            "hi"
+        ),
+    )
+    return (
+        p.join(cuts, "event_type")
+        .groupBy("event_type", "n", "lo", "hi")
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(least(greatest(x, lo), hi)) AS DECIMAL(38,0))"
+                " * 100 DIV n AS BIGINT)"
+            ).alias("wins_mean_e4"),
+            F.expr(
+                "CAST(CAST(SUM(x) AS DECIMAL(38,0)) * 100 DIV n AS BIGINT)"
+            ).alias("raw_mean_e4"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("lo").cast("bigint").alias("lo_cents"),
+            F.col("hi").cast("bigint").alias("hi_cents"),
+            "wins_mean_e4",
+            "raw_mean_e4",
+        )
+        .orderBy("event_type")
+    )
