@@ -1647,3 +1647,69 @@ def q_llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SH_RADIUS)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "q_llm_xval_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         ::BIGINT % 10 < 8 THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         ::BIGINT % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST((COUNT(*) * 1000000)
+                // (SELECT COUNT(*) FROM documents) AS BIGINT) AS share_ppm
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def q_llm_xval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-free id
+    hash (md5(doc_id) mod 10) with per-split doc and token accounting
+    — the reproducible split every training run pins down; hashing
+    the ID (never the text) means re-crawled or edited documents stay
+    in their split (no leakage across dataset versions), and the
+    split is re-derivable on any engine — no stored assignment table.
+    share_ppm documents the realized (not nominal) ratios.
+
+    Plan: one narrow map pass assigns splits in codegen, one 3-key
+    map-combined aggregate; the denominator is a 1-row broadcast
+    staple. At 100 TB this is the split recipe itself — ship the
+    hash rule, not a membership list."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 10"
+    )
+    assigned = d.select(
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    total = d.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST((n_docs * 1000000) DIV total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("split")
+    )

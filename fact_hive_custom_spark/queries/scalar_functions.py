@@ -557,3 +557,47 @@ def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("lt", "yyyy-MM-dd").alias("ny_date"),
         F.hour("lt").cast("bigint").alias("ny_hour"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_fn_regexp",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+               AS n_numbers,
+           CAST(len(regexp_extract_all(text, '[a-z]+[0-9]')) AS BIGINT)
+               AS n_alnum_runs,
+           regexp_extract(text, '([a-z]{6,})', 1) AS first_long_word,
+           length(regexp_replace(text, '[aeiou]', '', 'g'))
+               AS n_consonantish
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+)
+def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar surface in one pass: match counting
+    (regexp_count ≡ len(regexp_extract_all)), capture-group
+    extraction (first ≥6-letter word), and global replacement
+    (vowel strip) — the §F pattern-function family beside
+    q_fn_string's plain string ops. The dialect is the portable
+    subset (character classes, bounded quantifiers, one capture
+    group) that behaves identically under Java regex (Spark) and
+    RE2 (DuckDB); Spark's regexp_replace is global by default,
+    DuckDB's needs the explicit 'g' flag — pinned here.
+
+    Plan: one narrow codegen pass, no shuffle (row-parallel scalar
+    work — at 100 TB this is pure map throughput)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        F.expr("regexp_count(text, '[0-9]+')").cast("bigint").alias("n_numbers"),
+        F.expr("regexp_count(text, '[a-z]+[0-9]')")
+        .cast("bigint")
+        .alias("n_alnum_runs"),
+        F.regexp_extract(F.col("text"), "([a-z]{6,})", 1).alias(
+            "first_long_word"
+        ),
+        F.length(F.regexp_replace(F.col("text"), "[aeiou]", "")).alias(
+            "n_consonantish"
+        ),
+    )

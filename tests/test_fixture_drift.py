@@ -97,6 +97,8 @@ DOC_QUERIES = [
     "q_llm_simhash_pairs",
     "q_llm_dup_matrix",
     "q_agg_hll_custom",
+    "q_llm_xval_split",
+    "q_fn_regexp",
 ]
 
 # Queries over the embeddings table (element/label dtype sensitive).
