@@ -2445,3 +2445,162 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN vx > 0 AND vy > 0 THEN CAST(floor(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE) / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) END"
         ).alias("r2_ppm"),
     )
+
+
+@register(
+    "q_event_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > 600000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    numbered AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                   AS session_id
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT)
+               AS n_bounces,
+           CAST((COUNT(*) FILTER (WHERE n_events = 1) * 1000000)
+                // COUNT(*) AS BIGINT) AS bounce_rate_ppm,
+           CAST((SUM(n_events) * 1000000) // COUNT(*) AS BIGINT)
+               AS mean_events_ppm
+    FROM sessions
+    """,
+)
+def q_event_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate over 10-minute-gap sessions: the share of sessions
+    with exactly one event, plus mean session depth — the engagement
+    headline built on q_stream_session / q_win_sessionize's identical
+    gaps-and-islands session definition (one definition, three
+    consumers — drift between them is impossible because the gap rule
+    and tiebreak chain are copied verbatim). Exact floored ppm.
+
+    Plan: one user-partitioned lag window (the sessionize exchange),
+    a (user, session) count, then a single-row reduction — nothing
+    after the window touches more than |sessions| rows."""
+    # gap compared in exact integer MICROSECONDS on both engines — a
+    # seconds cast truncates sub-second gaps and shifted one session
+    # boundary on the fixture (caught by the parity gate pre-commit)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.select(
+        "user_id",
+        "us",
+        "event_id",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > 600_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        F.expr(
+            "CAST((SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000)"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("bounce_rate_ppm"),
+        F.expr(
+            "CAST((SUM(n_events) * 1000000) DIV COUNT(*) AS BIGINT)"
+        ).alias("mean_events_ppm"),
+    )
+
+
+@register(
+    "q_orders_monthly_median",
+    oracle="""
+    WITH o AS (
+        SELECT (EXTRACT(YEAR FROM o_orderdate) * 100
+                + EXTRACT(MONTH FROM o_orderdate)) AS ym,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    g AS (
+        SELECT ym, cents, CAST(COUNT(*) AS BIGINT) AS c
+        FROM o GROUP BY ym, cents
+    ),
+    cum AS (
+        SELECT ym, cents, c,
+               CAST(SUM(c) OVER (PARTITION BY ym ORDER BY cents) AS BIGINT)
+                   AS cm,
+               CAST(SUM(c) OVER (PARTITION BY ym) AS BIGINT) AS n
+        FROM g
+    )
+    SELECT ym, MIN(n) AS n_orders,
+           CAST(MIN(cents) AS BIGINT) AS median_cents
+    FROM cum WHERE 2 * cm >= n
+    GROUP BY ym ORDER BY ym
+    """,
+)
+def q_orders_monthly_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly MEDIAN order value — the robust revenue trend line
+    (means chase whales; q_orders_mix_trend tracks composition, this
+    tracks the typical ticket). The median is the exact weighted-
+    median pick (smallest value whose cumulative count reaches half —
+    q_agg_weighted_median's rule, lower median for even months, no .5
+    averaging so everything stays integer cents). Month key is
+    EXTRACT-based (yyyymm integer) — calendar extraction agrees
+    across engines on DATE values, unlike timestamp truncation.
+
+    Plan: one map-combined (month, cents) count collapses orders to
+    distinct values per month; the cumulative window runs per month
+    over that bounded relation (the levene median skeleton keyed by
+    calendar month)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "year(o_orderdate) * 100 + month(o_orderdate)"
+        ).cast("bigint").alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    g = o.groupBy("ym", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wcum = Window.partitionBy("ym").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wm = Window.partitionBy("ym")
+    cum = g.select(
+        "ym",
+        "cents",
+        F.sum("c").over(wcum).cast("bigint").alias("cm"),
+        F.sum("c").over(wm).cast("bigint").alias("n"),
+    )
+    return (
+        cum.filter(2 * F.col("cm") >= F.col("n"))
+        .groupBy("ym")
+        .agg(
+            F.min("n").cast("bigint").alias("n_orders"),
+            F.min("cents").cast("bigint").alias("median_cents"),
+        )
+        .orderBy("ym")
+    )

@@ -3479,3 +3479,84 @@ def q_stat_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(CASE WHEN {guard} THEN {z2} END AS BIGINT)").alias("z2_e6"),
         F.expr(f"CASE WHEN {guard} THEN {z2} >= 3841459 END").alias("significant"),
     )
+
+
+@register(
+    "q_stat_odds_ratio",
+    oracle="""
+    WITH e AS (
+        SELECT user_id % 2 AS cohort,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    g AS (
+        SELECT cohort,
+               CAST(SUM(y) AS HUGEINT) AS a,
+               CAST(COUNT(*) - SUM(y) AS HUGEINT) AS b
+        FROM e GROUP BY cohort
+    ),
+    p AS (
+        SELECT x.a AS a, x.b AS b, z.a AS c, z.b AS d
+        FROM g x JOIN g z ON x.cohort = 0 AND z.cohort = 1
+    )
+    SELECT CAST(a AS BIGINT) AS n11, CAST(b AS BIGINT) AS n10,
+           CAST(c AS BIGINT) AS n01, CAST(d AS BIGINT) AS n00,
+           CAST(CASE WHEN b * c > 0 THEN (a * d * 1000000) // (b * c)
+                END AS BIGINT) AS odds_ratio_ppm,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+               CAST(floor(ln(CAST(a AS DOUBLE) * d
+                             / (CAST(b AS DOUBLE) * c))
+                    * 1000000 + 0.5) AS BIGINT)
+           END AS ln_or_e6
+    FROM p
+    """,
+)
+def q_stat_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of purchasing between the user-parity cohorts — the
+    effect-size companion to q_stat_prop_ztest's significance (OR is
+    what a logistic-regression coefficient exponentiates to, and the
+    measure case-control analyses report). OR_ppm = (ad·1e6) DIV (bc)
+    is one exact floored rational in HUGEINT/DECIMAL(38,0); ln(OR) —
+    the symmetric, CI-friendly form — is the module's single-DOUBLE
+    e6 pin (chisq discipline: the ratio composed as double(a)·d /
+    (double(b)·c), identical shape both engines). Zero cells → NULL
+    (the textbook undefined case; a Haldane +½ correction would break
+    exactness for no analytical gain here).
+
+    Plan: the prop_ztest skeleton — one map-combined cohort pivot,
+    then 1×1 algebra."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("cohort"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    g = e.groupBy("cohort").agg(
+        F.sum("y").cast(d38).alias("a"),
+        (F.count(F.lit(1)) - F.sum("y")).cast(d38).alias("b"),
+    )
+    x = g.filter(F.col("cohort") == 0).select(
+        F.col("a").alias("a"), F.col("b").alias("b")
+    )
+    z = g.filter(F.col("cohort") == 1).select(
+        F.col("a").alias("c"), F.col("b").alias("d")
+    )
+    p = x.crossJoin(z)
+    return p.select(
+        F.col("a").cast("bigint").alias("n11"),
+        F.col("b").cast("bigint").alias("n10"),
+        F.col("c").cast("bigint").alias("n01"),
+        F.col("d").cast("bigint").alias("n00"),
+        F.expr(
+            "CAST(CASE WHEN b * c > 0 THEN (a * d * 1000000) DIV (b * c)"
+            " END AS BIGINT)"
+        ).alias("odds_ratio_ppm"),
+        F.expr(
+            "CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN"
+            " CAST(floor(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))"
+            " * 1000000 + 0.5) AS BIGINT) END"
+        ).alias("ln_or_e6"),
+    )
