@@ -184,6 +184,9 @@ EVT_QUERIES = [
     "q_fn_json",
     "q_event_transitions",
     "q_ts_resample_ohlc",
+    # round-10: microsecond gap arithmetic must survive ns re-encode
+    "q_event_bounce_rate",
+    "q_event_time_to_convert",
 ]
 
 
