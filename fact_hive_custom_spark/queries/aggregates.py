@@ -831,7 +831,8 @@ _HLL_M = 64  # registers; alpha for m=64 is 0.709 (Flajolet et al. 2007)
         GROUP BY 1
     ),
     acc AS (
-        SELECT CAST(SUM(CAST(2 AS HUGEINT) ** (60 - rho)) AS HUGEINT) AS s_used,
+        SELECT CAST(SUM(CAST(CAST(1 AS BIGINT) << (60 - rho) AS HUGEINT))
+                    AS HUGEINT) AS s_used,
                CAST(COUNT(*) AS BIGINT) AS m_used
         FROM reg
     ),
@@ -839,9 +840,10 @@ _HLL_M = 64  # registers; alpha for m=64 is 0.709 (Flajolet et al. 2007)
         SELECT m_used,
                CAST(floor(
                    0.709 * {_HLL_M} * {_HLL_M}
-                   * CAST(CAST(2 AS HUGEINT) ** 60 AS DOUBLE)
+                   * CAST(CAST(CAST(1 AS BIGINT) << 60 AS HUGEINT) AS DOUBLE)
                    / CAST(s_used + ({_HLL_M} - m_used)
-                          * CAST(2 AS HUGEINT) ** 60 AS DOUBLE)
+                          * CAST(CAST(1 AS BIGINT) << 60 AS HUGEINT)
+                          AS DOUBLE)
                    + 0.5) AS BIGINT) AS hll_est
         FROM acc
     ),
@@ -860,8 +862,12 @@ def q_agg_hll_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     because every piece is portable: md5-prefix hashes, bucket = h %
     m, ρ = 1 + index of the lowest set bit of h/m via log2(h & −h) —
     log2 of an exact power of two is exact in IEEE double on both
-    engines — and the harmonic denominator Σ2^(60−ρ) is an exact
-    HUGEINT/DECIMAL sum, so no float addition-order can diverge). The
+    engines — and the harmonic denominator Σ2^(60−ρ) is a LITERAL
+    integer sum on both engines: each term is an integer SHIFT
+    (shiftleft / <<), never a double pow, so the exactness claim
+    holds by construction (round-10 ADVICE: DuckDB's ** returns
+    DOUBLE, which was only conditionally exact), and no float
+    addition-order can diverge). The
     single double division is floor-pinned half-up; empty registers
     contribute 2^60 exactly as the algorithm requires. Completes the
     oracle-checked sketch family: CMS (q_agg_cms_estimate), Bloom
@@ -894,7 +900,7 @@ def q_agg_hll_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     acc = reg.agg(
-        F.sum(F.expr(f"CAST(pow(2, 60 - rho) AS {d38})"))
+        F.sum(F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), 60 - rho) AS {d38})"))
         .cast(d38)
         .alias("s_used"),
         F.count(F.lit(1)).cast("bigint").alias("m_used"),
@@ -903,9 +909,9 @@ def q_agg_hll_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_used",
         F.expr(
             f"CAST(floor(0.709 * {_HLL_M} * {_HLL_M}"
-            f" * CAST(CAST(pow(2, 60) AS {d38}) AS DOUBLE)"
+            f" * CAST(CAST(shiftleft(CAST(1 AS BIGINT), 60) AS {d38}) AS DOUBLE)"
             f" / CAST(s_used + ({_HLL_M} - m_used)"
-            f" * CAST(pow(2, 60) AS {d38}) AS DOUBLE)"
+            f" * CAST(shiftleft(CAST(1 AS BIGINT), 60) AS {d38}) AS DOUBLE)"
             " + 0.5) AS BIGINT)"
         ).alias("hll_est"),
     )

@@ -2213,8 +2213,23 @@ def _dfloor(a: str, b: str) -> str:
     is exact and the (scale-6, HALF_UP) result adjustment is a no-op —
     keeps the quotient in DECIMAL(38,0) with ~1e32 of headroom.
     Operands must be non-negative (every call site is a square or a
-    count)."""
-    return f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS DECIMAL(38,0))"
+    count).
+
+    Past that headroom, non-ANSI decimal division returns NULL
+    silently while DuckDB's HUGEINT stays exact — a silent
+    NULL-vs-value parity red rather than an error (round-10 ADVICE).
+    So the fragment guards itself: a NULL quotient from NON-NULL
+    operands can only be the ~1e32 overflow, and raises instead of
+    flowing downstream. The guard is a cell-local CASE (codegen-
+    friendly, no extra pass); genuinely NULL inputs still propagate
+    NULL."""
+    q = f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS DECIMAL(38,0))"
+    return (
+        f"(CASE WHEN ({q}) IS NULL AND ({a}) IS NOT NULL"
+        f" AND ({b}) IS NOT NULL THEN CAST(raise_error("
+        f"'_dfloor quotient overflowed DECIMAL(38,0) ~1e32 headroom')"
+        f" AS DECIMAL(38,0)) ELSE ({q}) END)"
+    )
 
 
 _CHI2_CRIT_E6 = (

@@ -173,9 +173,16 @@ def oracle_dtype_report(spark, sf_dir: str = DEFAULT_SF_DIR, names=None) -> list
     landing. Any bucket disagreement is a latent driver hash-red even
     when a value comparison passes (the round-9 q_llm_pca_power class —
     the judge's exhaustive cross-check found 9 of these; this is that
-    audit, kept in the suite so the class cannot recur). Neither side
-    executes: Spark schemas come from analysis, DuckDB types from the
-    lazy relation. Returns mismatch dicts; empty list = clean."""
+    audit, kept in the suite so the class cannot recur). "Schema-only"
+    means only schemas are COMPARED, not that nothing runs: DuckDB
+    types come from the lazy relation (no oracle executes), and most
+    Spark schemas come from analysis alone, but queries that
+    localCheckpoint() during construction (the iterative Lloyd/graph
+    family) or drive a stream to a memory sink DO execute real work
+    while their DataFrame is being built — this audit costs minutes,
+    not milliseconds (round-10 ADVICE: the earlier 'neither side
+    executes' claim was wrong for those queries).
+    Returns mismatch dicts; empty list = clean."""
     from fact_hive_custom_spark.queries import ORACLE, QUERIES
 
     con = duck_connection(sf_dir)

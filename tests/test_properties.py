@@ -452,3 +452,44 @@ class TestPrefixJaccardInvariants:
         for n, want in [(5, 2), (10, 3), (4, 1), (6, 2), (11, 3)]:
             ceil_tn = (tau_num * n + tau_den - 1) // tau_den
             assert n - ceil_tn + 1 == want, (n, ceil_tn)
+
+
+class TestDfloorGuard:
+    """_dfloor (stats.py) past its ~1e32 quotient headroom must FAIL
+    LOUDLY, never return a silent NULL that would show up only as a
+    parity hash-red (round-10 ADVICE). ANSI sessions already raise on
+    the decimal overflow; the fragment's own raise_error guard makes
+    the behavior uniform under non-ANSI configs too."""
+
+    def test_in_range_exact(self, spark):
+        from fact_hive_custom_spark.queries.stats import _dfloor
+
+        row = spark.sql(
+            "SELECT "
+            + _dfloor("CAST(7 AS DECIMAL(38,0))", "CAST(2 AS DECIMAL(38,0))")
+            + " AS q"
+        ).collect()[0]
+        assert int(row.q) == 3
+
+    def test_overflow_raises_not_null(self, spark):
+        import pytest as _pytest
+
+        from fact_hive_custom_spark.queries.stats import _dfloor
+
+        big = "CAST('1' || repeat('0', 36) AS DECIMAL(38,0))"
+        with _pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE|_dfloor"):
+            spark.sql(
+                "SELECT " + _dfloor(big, "CAST(1 AS DECIMAL(38,0))") + " AS q"
+            ).collect()
+
+    def test_null_input_propagates(self, spark):
+        from fact_hive_custom_spark.queries.stats import _dfloor
+
+        row = spark.sql(
+            "SELECT "
+            + _dfloor(
+                "CAST(NULL AS DECIMAL(38,0))", "CAST(2 AS DECIMAL(38,0))"
+            )
+            + " AS q"
+        ).collect()[0]
+        assert row.q is None
