@@ -1349,7 +1349,10 @@ _PQ_K = 16
 # Shared oracle CTE chain: contract → global scale → int8 grid →
 # centroid table → subvector explodes → per-(vector, subspace,
 # centroid) integer L2² → per-(vector, subspace) argmin code.
-_PQ_CTE_PREFIX = f"""emb AS ({EMB_CONTRACT_SQL}),
+# Parameterized on the centroids-per-subspace dial so the tuned
+# K=64 serving query (q_llm_ann_tuned) shares the exact machinery.
+def _pq_cte_prefix(pq_k: int = _PQ_K) -> str:
+    return f"""emb AS ({EMB_CONTRACT_SQL}),
     g AS (
         SELECT max(list_max(list_transform(embedding,
                    x -> abs(CAST(x AS DOUBLE))))) AS gscale
@@ -1364,7 +1367,7 @@ _PQ_CTE_PREFIX = f"""emb AS ({EMB_CONTRACT_SQL}),
     ),
     cent AS (
         SELECT vec_id AS cid, qs AS cqs FROM q
-        QUALIFY row_number() OVER (ORDER BY vec_id) <= {_PQ_K}
+        QUALIFY row_number() OVER (ORDER BY vec_id) <= {pq_k}
     ),
     sub AS (
         SELECT vec_id, CAST(m AS BIGINT) AS m,
@@ -1394,6 +1397,9 @@ _PQ_CTE_PREFIX = f"""emb AS ({EMB_CONTRACT_SQL}),
                MIN(dist) AS min_dist
         FROM d GROUP BY vec_id, m
     )"""
+
+
+_PQ_CTE_PREFIX = _pq_cte_prefix()
 
 
 def _pq_lloyd(sub: DataFrame, csub: DataFrame, rounds: int) -> DataFrame:
@@ -2307,6 +2313,130 @@ def q_llm_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, m), never a new wide shape (see q_llm_pq_train's pin)."""
     return pq_adc_topk(
         load_embeddings(spark, sf_dir), n_probes=10, k=5, train_rounds=2
+    )
+
+
+_ANN_TUNED_K = 64  # centroids/subspace (6-bit codes, still 8 bytes/vec)
+_ANN_TUNED_T = 2  # Lloyd training rounds per subspace
+_ANN_TUNED_R = 100  # ADC candidates re-ranked exactly per probe
+
+
+@register(
+    "q_llm_ann_tuned",
+    oracle=f"""
+    WITH {_pq_cte_prefix(_ANN_TUNED_K)},
+    subl AS (
+        SELECT vec_id, m, CAST(d AS BIGINT) AS dim,
+               sv[CAST(d AS INT)] + 127 AS u
+        FROM sub, unnest(generate_series(1, {_PQ_SUB})) AS t(d)
+    ),
+    c0 AS (
+        SELECT cid, m, CAST(d AS BIGINT) AS dim,
+               cv[CAST(d AS INT)] + 127 AS c
+        FROM csub, unnest(generate_series(1, {_PQ_SUB})) AS t(d)
+    ),
+    {_pq_train_round_cte('c0', '1')},
+    {_pq_train_round_cte('c1', '2')},
+    csub2 AS (
+        SELECT cid, m, list(c - 127 ORDER BY dim) AS cv
+        FROM c2 GROUP BY cid, m
+    ),
+    d2 AS (
+        SELECT s.vec_id, s.m, c.cid,
+               CAST(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                   i -> (list_extract(s.sv, CAST(i AS INT))
+                         - list_extract(c.cv, CAST(i AS INT)))
+                        * (list_extract(s.sv, CAST(i AS INT))
+                           - list_extract(c.cv, CAST(i AS INT)))))
+                    AS BIGINT) AS dist
+        FROM sub s JOIN csub2 c USING (m)
+    ),
+    best2 AS (
+        SELECT vec_id, m,
+               arg_min(cid, dist * 10000000 + cid) AS code
+        FROM d2 GROUP BY vec_id, m
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, m, sv AS pv
+        FROM sub WHERE vec_id < 10
+    ),
+    dt AS (
+        SELECT p.probe_id, p.m, c.cid,
+               CAST(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                   i -> (list_extract(p.pv, CAST(i AS INT))
+                         - list_extract(c.cv, CAST(i AS INT)))
+                        * (list_extract(p.pv, CAST(i AS INT))
+                           - list_extract(c.cv, CAST(i AS INT)))))
+                    AS BIGINT) AS pdist
+        FROM probes p JOIN csub2 c USING (m)
+    ),
+    adc AS (
+        SELECT t.probe_id, b.vec_id AS neighbor_id,
+               CAST(SUM(t.pdist) AS BIGINT) AS adc_dist
+        FROM best2 b JOIN dt t ON b.m = t.m AND b.code = t.cid
+        WHERE b.vec_id <> t.probe_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT probe_id, neighbor_id, adc_dist,
+               row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY adc_dist, neighbor_id) AS arnk
+        FROM adc
+        QUALIFY arnk <= {_ANN_TUNED_R}
+    ),
+    ex AS (
+        SELECT c.probe_id, c.neighbor_id, c.adc_dist,
+               CAST(list_sum(list_transform(
+                   range(1, {_PQ_M * _PQ_SUB} + 1),
+                   i -> (list_extract(qp.qs, CAST(i AS INT))
+                         - list_extract(qn.qs, CAST(i AS INT)))
+                        * (list_extract(qp.qs, CAST(i AS INT))
+                           - list_extract(qn.qs, CAST(i AS INT)))))
+                    AS BIGINT) AS exact_dist
+        FROM cand c
+        JOIN q qp ON qp.vec_id = c.probe_id
+        JOIN q qn ON qn.vec_id = c.neighbor_id
+    )
+    SELECT probe_id, neighbor_id, adc_dist, exact_dist,
+           CAST(row_number() OVER (
+               PARTITION BY probe_id
+               ORDER BY exact_dist, neighbor_id) AS BIGINT) AS rnk
+    FROM ex
+    QUALIFY rnk <= 5
+    """,
+)
+def q_llm_ann_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEASURED ANN serving operating point, promoted to a
+    registered query (round-10 verdict item 2): trained PQ with every
+    dial at its costed ≥0.5-recall setting — K=64 centroids/subspace
+    (6-bit codes, still 8 code-bytes/vector), T=2 integer Lloyd
+    training rounds, ADC top-R=100 shortlist re-ranked with EXACT
+    integer L2 over the full quantized vectors, final top-5 per probe.
+    ANN_RECALL.md's dial sweep measured this exact configuration at
+    recall@5 0.610 @ sf1.0 / 0.822 @ sf0.1 on worst-case near-random
+    vectors (vs the 0.046 codes-only K=16 floor) — the first
+    operating point past the ≥0.5 usability bar, shipped as the
+    default rather than documented as an aspiration. The oracle is
+    exact (same trained trajectory, same shortlist, same re-rank), so
+    the tuned path is hash-checked end-to-end, not just
+    recall-measured.
+
+    Plan: q_llm_pq_trained_topk's pinned shape with bigger constants —
+    K·M codebook rows stay broadcast-sized (64·8=512), the ADC stage
+    streams codes through one broadcast join into the salted two-stage
+    top-R, and the exact re-rank touches full vectors for only
+    R·|probes| candidates (broadcast into the corpus-side quantized
+    relation; the corpus is never re-shuffled). At 100 TB the recall
+    dial costs only what ANN_RECALL.md prices: candidate volume, never
+    a new plan shape."""
+    return pq_adc_topk(
+        load_embeddings(spark, sf_dir),
+        n_probes=10,
+        k=5,
+        rerank_r=_ANN_TUNED_R,
+        train_rounds=_ANN_TUNED_T,
+        pq_k=_ANN_TUNED_K,
     )
 
 

@@ -1,0 +1,240 @@
+"""Retrieval-quality evaluation metrics (nDCG@k, MRR@k) — the
+standard offline grade for the BM25 / RRF / ANN retrieval stack
+(q_llm_hybrid_rrf, q_llm_cosine_topk, q_llm_ann_tuned are the
+consumers being graded). Round-10 verdict item 3.
+
+Labeled fixture: the embeddings table's `label` column is the
+relevance oracle — for a probe vector, a retrieved neighbor is
+RELEVANT iff it carries the probe's label (binary relevance, the
+same protocol the kNN-label and kmeans-purity queries already use).
+The retrieval run under evaluation is the exact brute-force cosine
+ranking (operators/similarity.cosine_topk — the ground-truth path
+ANN_RECALL.md scores the approximate paths against), so these
+metrics grade LABEL QUALITY of exact retrieval; swapping in an
+approximate run reuses the same grading tail unchanged.
+
+House discipline: every metric value is an exact integer — DCG
+discounts 1/log2(i+1) are e6-scaled LITERAL constants computed once
+and embedded identically in the Spark expression and the DuckDB
+oracle (no float crosses an engine boundary, no runtime log2), and
+the final ratios are integer DIV. Ranks come from a (round-6dp
+cosine DESC, neighbor_id ASC) window over the top-k set selected by
+the proven cosine_topk total order — the q_llm_hybrid_rrf ranking
+discipline.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fact_hive_custom_spark.operators.similarity import cosine_topk
+from fact_hive_custom_spark.queries.registry import register
+from fact_hive_custom_spark.tables import EMB_CONTRACT_SQL, load_embeddings
+
+_IR_NQ = 20  # probe set: vec_id < 20
+_IR_K = 10  # evaluation depth (nDCG@10, MRR@10)
+
+# e6-scaled DCG discounts round(1e6 / log2(i+1)) for ranks 1..k, and
+# their prefix sums (the IDCG of an all-relevant prefix of length n).
+# Literal constants on BOTH engines: the only log2 ever taken runs
+# here, once, in Python.
+_DISC_E6 = tuple(round(1_000_000 / math.log2(i + 1)) for i in range(1, _IR_K + 1))
+_IDCG_E6 = tuple(sum(_DISC_E6[:n]) for n in range(1, _IR_K + 1))
+
+_DISC_CASE = " ".join(
+    f"WHEN {i} THEN {d}" for i, d in enumerate(_DISC_E6, start=1)
+)
+_IDCG_CASE = " ".join(
+    f"WHEN {n} THEN {s}" for n, s in enumerate(_IDCG_E6, start=1)
+)
+
+# Shared oracle CTE: probes (vec_id < NQ), exact cosine top-k per
+# probe (unrounded selection order — the q_llm_cosine_topk contract),
+# then the in-set rank by (round-6dp cosine DESC, neighbor_id ASC)
+# and binary label relevance.
+_IR_RANKED_CTE = f"""emb AS ({EMB_CONTRACT_SQL}),
+    p AS (
+        SELECT vec_id AS probe_id, embedding AS pv, label AS plab
+        FROM emb WHERE vec_id < {_IR_NQ}
+    ),
+    topk AS (
+        SELECT p.probe_id, p.plab, c.vec_id AS neighbor_id, c.label,
+               ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(p.pv AS DOUBLE[])), 6)
+                   AS cosine
+        FROM emb c JOIN p ON c.vec_id <> p.probe_id
+        QUALIFY row_number() OVER (
+            PARTITION BY p.probe_id
+            ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(p.pv AS DOUBLE[])) DESC,
+                     c.vec_id
+        ) <= {_IR_K}
+    ),
+    ranked AS (
+        SELECT probe_id, plab, neighbor_id, label,
+               (label IS NOT NULL AND plab IS NOT NULL AND label = plab)
+                   AS rel,
+               row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM topk
+    )"""
+
+
+def _ranked_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(probe_id, plab, neighbor_id, rel, rnk): the exact cosine top-k
+    retrieval run with in-set ranks and binary label relevance —
+    shared by q_ir_ndcg and q_ir_mrr. Probes broadcast (NQ rows), the
+    corpus streams once through the scored join, and the per-probe
+    top-k is the two-stage salted heap inside cosine_topk; the final
+    rank window sees ≤ k rows per probe."""
+    emb = load_embeddings(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < _IR_NQ)
+    top = cosine_topk(probes, emb, k=_IR_K, payload=("label",))
+    plab = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("plab")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(plab), "probe_id")
+        .select(
+            "probe_id",
+            "plab",
+            "neighbor_id",
+            (
+                F.col("label").isNotNull()
+                & F.col("plab").isNotNull()
+                & (F.col("label") == F.col("plab"))
+            ).alias("rel"),
+            "rnk",
+        )
+    )
+
+
+@register(
+    "q_ir_mrr",
+    oracle=f"""
+    WITH {_IR_RANKED_CTE}
+    SELECT probe_id,
+           CAST(COALESCE(MIN(CASE WHEN rel THEN rnk END), 0) AS BIGINT)
+               AS first_rel_rank,
+           CAST(COALESCE(1000000 // MIN(CASE WHEN rel THEN rnk END), 0)
+                AS BIGINT) AS rr_ppm
+    FROM ranked
+    GROUP BY probe_id
+    ORDER BY probe_id
+    """,
+)
+def q_ir_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@{_IR_K} detail: for each labeled probe, the rank of the
+    first relevant retrieved neighbor (0 = none relevant in the
+    top-{_IR_K}) and its reciprocal 1e6 DIV rank — the mean over
+    probes is the suite's MRR, derivable exactly from these rows
+    (asserted in tests/test_operators.py). Reciprocal ranks are exact
+    integers; no float leaves the ranking stage.
+
+    Plan: the retrieval run is one corpus pass (probes broadcast,
+    salted two-stage top-k — cosine_topk's pinned shape); the grading
+    tail groups ≤ NQ·k rows. At 100 TB the metric costs exactly one
+    evaluation run of the retrieval system under test."""
+    r = _ranked_run(spark, sf_dir)
+    first = F.min(F.when(F.col("rel"), F.col("rnk")))
+    return (
+        r.groupBy("probe_id")
+        .agg(
+            F.coalesce(first, F.lit(0)).cast("bigint").alias("first_rel_rank"),
+            F.coalesce(
+                F.expr(
+                    "CAST(1000000 AS BIGINT)"
+                    " DIV MIN(CASE WHEN rel THEN rnk END)"
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("rr_ppm"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+@register(
+    "q_ir_ndcg",
+    oracle=f"""
+    WITH {_IR_RANKED_CTE},
+    labcnt AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM emb WHERE label IS NOT NULL GROUP BY label
+    ),
+    dcg AS (
+        SELECT probe_id, ANY_VALUE(plab) AS plab,
+               CAST(SUM(CASE WHEN rel THEN
+                   CASE rnk {_DISC_CASE} ELSE 0 END
+               ELSE 0 END) AS BIGINT) AS dcg_e6
+        FROM ranked GROUP BY probe_id
+    ),
+    graded AS (
+        SELECT d.probe_id, d.dcg_e6,
+               CAST(CASE LEAST(GREATEST(COALESCE(l.n, 0) - 1, 0), {_IR_K})
+                    {_IDCG_CASE} ELSE 0 END AS BIGINT) AS idcg_e6
+        FROM dcg d LEFT JOIN labcnt l ON d.plab = l.label
+    )
+    SELECT probe_id, dcg_e6, idcg_e6,
+           CAST(CASE WHEN idcg_e6 = 0 THEN 0
+                ELSE 1000000 * dcg_e6 // idcg_e6 END AS BIGINT) AS ndcg_ppm
+    FROM graded
+    ORDER BY probe_id
+    """,
+)
+def q_ir_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{_IR_K} per probe over the labeled retrieval run: DCG sums
+    the e6-scaled literal discounts at each relevant rank; the ideal
+    DCG places ALL corpus-wide relevant documents (same-label count
+    minus the probe itself, capped at k) at the top ranks — the
+    standard graded-retrieval normalization, binary-relevance form.
+    ndcg_ppm = 1e6·DCG DIV IDCG ∈ [0, 1e6]; probes whose label class
+    is a singleton (IDCG = 0) grade 0 by convention.
+
+    Plan: retrieval run as in q_ir_mrr (one corpus pass, broadcast
+    probes, salted top-k); the per-label corpus counts are ONE
+    map-combined 10-row aggregate broadcast into the ≤ NQ-row grading
+    join — the metric adds nothing corpus-sized beyond the run it
+    grades."""
+    r = _ranked_run(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir)
+    labcnt = (
+        emb.filter(F.col("label").isNotNull())
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    dcg = r.groupBy("probe_id").agg(
+        F.any_value(F.col("plab")).alias("plab"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN rel THEN CASE rnk {_DISC_CASE} ELSE 0 END"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("dcg_e6"),
+    )
+    graded = dcg.join(
+        F.broadcast(labcnt), dcg["plab"] == labcnt["label"], "left"
+    ).select(
+        "probe_id",
+        "dcg_e6",
+        F.expr(
+            f"CAST(CASE LEAST(GREATEST(COALESCE(n, 0) - 1, 0), {_IR_K})"
+            f" {_IDCG_CASE} ELSE 0 END AS BIGINT)"
+        ).alias("idcg_e6"),
+    )
+    return graded.select(
+        "probe_id",
+        "dcg_e6",
+        "idcg_e6",
+        F.expr(
+            "CAST(CASE WHEN idcg_e6 = 0 THEN 0"
+            " ELSE 1000000 * dcg_e6 DIV idcg_e6 END AS BIGINT)"
+        ).alias("ndcg_ppm"),
+    ).orderBy("probe_id")

@@ -1062,3 +1062,101 @@ class TestRound10Invariants:
             # med2 = lower+upper middle: bounded by 2·min..2·max of
             # the window, which itself brackets the day's own count
             assert r.med2 >= 2, r
+
+
+class TestQuantileSketch:
+    """q_agg_quantile_sketch: mergeability must be EXACT (bottom-k of
+    unioned shard bottom-ks == direct global bottom-k) and the
+    estimates must hold the sample-quantile rank-error bound
+    ±4·sqrt(q(1-q)/k) vs exact percentiles (round-10 verdict item 4)."""
+
+    def test_merge_equals_direct_global_bottom_k(self, spark):
+        import duckdb
+
+        con = duckdb.connect()
+        # direct: global bottom-256 with NO shard stage
+        direct = con.execute(f"""
+            WITH v AS (
+                SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                       || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS hv,
+                       l_orderkey, l_linenumber
+                FROM read_parquet('{SF_DIR}/lineitem.parquet')
+            )
+            SELECT hv FROM v ORDER BY hv, l_orderkey, l_linenumber LIMIT 256
+        """).fetchall()
+        # merged: the query's own shard → merge pipeline
+        merged = con.execute(f"""
+            WITH v AS (
+                SELECT strftime(l_shipdate, '%Y-%m') AS shard,
+                       ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                       || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS hv,
+                       l_orderkey, l_linenumber
+                FROM read_parquet('{SF_DIR}/lineitem.parquet')
+            ),
+            shard_sk AS (
+                SELECT * FROM v
+                QUALIFY row_number() OVER (PARTITION BY shard
+                    ORDER BY hv, l_orderkey, l_linenumber) <= 256
+            )
+            SELECT hv FROM shard_sk
+            ORDER BY hv, l_orderkey, l_linenumber LIMIT 256
+        """).fetchall()
+        assert merged == direct
+
+    def test_rank_error_bound(self, spark):
+        import math
+
+        import duckdb
+
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = {
+            int(r.q_pct): int(r.est_cents)
+            for r in QUERIES["q_agg_quantile_sketch"](spark, SF_DIR).collect()
+        }
+        assert set(rows) == {50, 95, 99}
+        con = duckdb.connect()
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+        ).fetchone()[0]
+        for q_pct, est in rows.items():
+            q = q_pct / 100.0
+            # empirical rank fraction of the estimate in the FULL data
+            frac = con.execute(f"""
+                SELECT COUNT(*) FILTER (
+                    CAST(round(l_extendedprice * 100) AS BIGINT) <= {est}
+                ) * 1.0 / COUNT(*)
+                FROM read_parquet('{SF_DIR}/lineitem.parquet')
+            """).fetchone()[0]
+            bound = 4.0 * math.sqrt(q * (1 - q) / 256) + 1.0 / n
+            assert abs(frac - q) <= bound, (q_pct, est, frac, bound)
+
+
+class TestIRMetrics:
+    """q_ir_mrr / q_ir_ndcg: per-probe values must be in range and the
+    derived suite-level means exact integers over the detail rows."""
+
+    def test_mrr_detail_and_mean(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_ir_mrr"](spark, SF_DIR).collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert 0 <= r.first_rel_rank <= 10
+            if r.first_rel_rank == 0:
+                assert r.rr_ppm == 0
+            else:
+                assert r.rr_ppm == 1_000_000 // r.first_rel_rank
+        mrr_ppm = sum(r.rr_ppm for r in rows) // len(rows)
+        assert 0 <= mrr_ppm <= 1_000_000
+
+    def test_ndcg_detail_bounds(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_ir_ndcg"](spark, SF_DIR).collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert 0 <= r.dcg_e6 <= r.idcg_e6 or r.idcg_e6 == 0, r
+            assert 0 <= r.ndcg_ppm <= 1_000_000, r
+            if r.idcg_e6 > 0:
+                assert r.ndcg_ppm == 1_000_000 * r.dcg_e6 // r.idcg_e6, r
