@@ -43,8 +43,14 @@ HEADLINE = [
     # round-4 plan shapes: zero-exchange pre-bucketed fact join and
     # runtime bloom-filter join pruning — benched so a regression in
     # either newest physical strategy shows up in the driver's BENCH,
-    # not only in tests/test_plans.py
-    "q_join_bucketed",
+    # not only in tests/test_plans.py. Round-11: the bucketed row is
+    # split into its one-time layout BUILD (two bucketed table writes)
+    # and the per-query zero-exchange PROBE — the combined number was
+    # build-dominated (2.4 s vs the probe's ~0.8 s), hiding probe
+    # regressions, and on a cluster the build amortizes over every
+    # later probe. Pseudo-IDs resolved in run(), not registry entries.
+    "q_join_bucketed_build",
+    "q_join_bucketed_probe",
     "q_join_bloom",
     # round-5: the six-table snowflake probe — join ordering +
     # broadcast planning regressions surface in BENCH directly
@@ -112,9 +118,29 @@ def main() -> None:
 
     spark = get_session("fact_hive_custom_spark-bench", quiet=True)
 
+    # q_join_bucketed's build/probe split: the build stores its per-run
+    # table names here; the probe (always later in HEADLINE order)
+    # reads the most recent build's tables.
+    bucket_tables: dict[str, tuple[str, str]] = {}
+
     def run(name: str) -> float:
+        from fact_hive_custom_spark.queries.sources_sinks import (
+            bucketed_layout_build,
+            bucketed_probe,
+        )
+
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        if name == "q_join_bucketed_build":
+            # the two saveAsTable writes ARE the action — nothing to sink
+            bucket_tables["t"] = bucketed_layout_build(spark, sf_dir)
+        elif name == "q_join_bucketed_probe":
+            bucketed_probe(spark, *bucket_tables["t"]).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        else:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
         return round(time.perf_counter() - t0, 3)
 
     run("q_agg_flagship")  # JVM/codegen warmup, untimed

@@ -930,12 +930,19 @@ def q_llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences), reported as phase manifests.
 
     Plan: token counting is a map pass; the quartile assignment is
-    ntile over (n_tokens, doc_id) — deterministic under the total
-    tiebreak, same single-partition caveat and range-partition
-    swap-in documented at q_pareto_deciles (the window input is one
-    integer pair per doc, not text). The phase manifest is a 4-row
-    aggregate; downstream, each phase's shard list feeds the
-    q_dataset_shard layout unchanged."""
+    ntile semantics DECOMPOSED over length bins (the q_orders_abc_class
+    global-cumsum discipline, adopted round 11 when the
+    TestBoundedGlobalWindows pin flagged the original corpus-wide
+    ntile window): the corpus collapses to a length histogram (one
+    map-combined count per distinct token length), a tiny global
+    window cumsums the histogram into per-length rank offsets, each
+    doc's exact global rank = offset + its row_number within its own
+    length partition (parallel across lengths), and the closed-form
+    ntile formula maps ranks to phases — bit-identical to the oracle's
+    ntile OVER (ORDER BY n_tokens, doc_id) because both share that
+    total order. No corpus-sized relation ever crosses one partition.
+    The phase manifest is a 4-row aggregate; downstream, each phase's
+    shard list feeds the q_dataset_shard layout unchanged."""
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -945,12 +952,37 @@ def q_llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    phased = d.select(
-        "doc_id",
+    hist = d.groupBy("n_tokens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = hist.select(
         "n_tokens",
-        F.ntile(4)
-        .over(Window.orderBy(F.asc("n_tokens"), F.asc("doc_id")))
-        .alias("phase"),
+        F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+        .cast("bigint")
+        .alias("off"),
+    )
+    ntot = hist.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    wlen = Window.partitionBy("n_tokens").orderBy("doc_id")
+    phased = (
+        d.join(F.broadcast(off), "n_tokens")
+        .withColumn(
+            "r", F.col("off") + F.row_number().over(wlen).cast("bigint")
+        )
+        .crossJoin(F.broadcast(ntot))
+        .withColumn(
+            "phase",
+            F.expr(
+                "CAST(CASE WHEN (n_total % 4) > 0"
+                " AND r <= (n_total % 4) * (n_total DIV 4 + 1)"
+                " THEN (r - 1) DIV (n_total DIV 4 + 1) + 1"
+                " ELSE (n_total % 4)"
+                "   + (r - 1 - (n_total % 4) * (n_total DIV 4 + 1))"
+                "     DIV (n_total DIV 4) + 1 END AS INT)"
+            ),
+        )
     )
     return (
         phased.groupBy("phase")

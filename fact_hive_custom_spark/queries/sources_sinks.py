@@ -177,7 +177,24 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Revenue is exact-integer: cents × discount-complement-in-percent
     (both 2-dp by data contract), so no float summation order can
     diverge between engines.
-    """
+
+    The layout BUILD (two bucketed table writes — the one-time cost a
+    cluster amortizes over every later probe) and the zero-exchange
+    PROBE are split into `bucketed_layout_build` / `bucketed_probe` so
+    bench.py can time them as separate rows (round-10 verdict item 7:
+    the combined 2.4 s median was build-dominated while the probe —
+    the thing worth regressing — measures ~0.8 s)."""
+    orders_tbl, lineitem_tbl = bucketed_layout_build(spark, sf_dir)
+    return bucketed_probe(spark, orders_tbl, lineitem_tbl)
+
+
+def bucketed_layout_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Write orders + lineitem as bucketBy(8, orderkey) sorted tables
+    under per-run names; returns (orders_tbl, lineitem_tbl). This is
+    the recurring-layout investment: on a cluster it runs once per
+    ingest, not once per query."""
     import shutil
     import uuid
 
@@ -218,6 +235,14 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .sortBy(key)
             .saveAsTable(tbl)
         )
+    return orders_tbl, lineitem_tbl
+
+
+def bucketed_probe(
+    spark: SparkSession, orders_tbl: str, lineitem_tbl: str
+) -> DataFrame:
+    """The zero-exchange sort-merge probe over pre-bucketed tables —
+    the per-query cost once the layout exists."""
     o = spark.table(orders_tbl)
     l = spark.table(lineitem_tbl)
     j = o.hint("merge").join(l, l["l_orderkey"] == o["o_orderkey"])

@@ -1738,3 +1738,61 @@ class TestRound10Plans:
         assert "partial_count" in plan or "partial_sum" in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestBoundedGlobalWindows:
+    """Round-10 verdict item 5: the docstring claims that every
+    PARTITIONLESS window ranks a collapsed relation (distinct scores,
+    calendar days, per-customer aggregates…) — never the raw corpus —
+    become executable here. plans.global_window_uncollapsed_paths
+    walks the physical plan: any path from a partitionless Window
+    down to a file scan without an intervening aggregate/limit/top-k
+    node is a violation. (q_llm_length_percentiles, named alongside
+    these in the verdict, windows per-source rather than globally, so
+    it is outside the partitionless class this pin covers.)"""
+
+    # every registered query that builds a Window.orderBy with no
+    # partitioning (grep-derived; extend when adding one)
+    GLOBAL_WINDOW_QUERIES = [
+        "q_agg_gini",
+        "q_agg_quantile_sketch",
+        "q_event_new_users",
+        "q_llm_bpe_pairs",
+        "q_llm_curriculum",
+        "q_llm_hybrid_rrf",
+        "q_llm_typicality",
+        "q_llm_zipf_fit",
+        "q_orders_abc_class",
+        "q_orders_backlog",
+        "q_orders_rfm",
+        "q_orders_size_dist",
+        "q_pareto_deciles",
+        "q_stat_auc_roc",
+        "q_stat_bootstrap_ci",
+        "q_stat_kruskal",
+        "q_stat_survival_km",
+        "q_stat_wilcoxon_signed_rank",
+        "q_ts_changepoint",
+        "q_ts_error_rate",
+        "q_ts_rolling_median",
+    ]
+
+    @pytest.mark.parametrize("name", GLOBAL_WINDOW_QUERIES)
+    def test_global_window_input_is_collapsed(self, spark, name):
+        df = QUERIES[name](spark, SF_DIR)
+        bad = plans.global_window_uncollapsed_paths(df)
+        assert not bad, f"{name}: uncollapsed global-window paths: {bad}"
+
+    def test_detector_catches_a_raw_corpus_window(self, spark):
+        """The pin must be falsifiable: windowing the raw lineitem
+        scan globally IS a violation."""
+        from pyspark.sql import Window
+
+        from fact_hive_custom_spark.tables import load_table
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        bad_df = li.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy("l_orderkey", "l_linenumber")),
+        )
+        assert plans.global_window_uncollapsed_paths(bad_df)
