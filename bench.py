@@ -106,6 +106,15 @@ HEADLINE = [
     # windowing the raw corpus serializes it through one task)
     "q_graph_label_prop",
     "q_stat_auc_roc",
+    # round-11: the promoted tuned-ANN serving path (K=64 trained
+    # codebook + exact re-rank R=100 — the recall dial is candidate
+    # volume, so a candidate explosion shows here as time), the
+    # mergeable quantile sketch (per-shard heaps + bounded merge — a
+    # regression re-sorting the corpus shows as a step change), and
+    # the retrieval-grading tail over the exact cosine run
+    "q_llm_ann_tuned",
+    "q_agg_quantile_sketch",
+    "q_ir_ndcg",
 ]
 
 

@@ -238,3 +238,99 @@ def q_ir_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 1000000 * dcg_e6 DIV idcg_e6 END AS BIGINT)"
         ).alias("ndcg_ppm"),
     ).orderBy("probe_id")
+
+
+@register(
+    "q_ir_map",
+    oracle=f"""
+    WITH {_IR_RANKED_CTE},
+    labcnt AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM emb WHERE label IS NOT NULL GROUP BY label
+    ),
+    prec AS (
+        SELECT probe_id, plab, rnk,
+               CASE WHEN rel THEN
+                   (SUM(CASE WHEN rel THEN 1 ELSE 0 END) OVER (
+                        PARTITION BY probe_id ORDER BY rnk)
+                    * 1000000) // rnk
+               ELSE 0 END AS p_at_i_ppm
+        FROM ranked
+    ),
+    agg AS (
+        SELECT probe_id, ANY_VALUE(plab) AS plab,
+               CAST(SUM(p_at_i_ppm) AS BIGINT) AS sum_prec_ppm
+        FROM prec GROUP BY probe_id
+    )
+    SELECT a.probe_id, a.sum_prec_ppm,
+           CAST(LEAST(GREATEST(COALESCE(l.n, 0) - 1, 0), {_IR_K})
+                AS BIGINT) AS n_rel_cap,
+           CAST(CASE WHEN LEAST(GREATEST(COALESCE(l.n, 0) - 1, 0),
+                                {_IR_K}) = 0 THEN 0
+                ELSE a.sum_prec_ppm
+                     // LEAST(GREATEST(COALESCE(l.n, 0) - 1, 0), {_IR_K})
+                END AS BIGINT) AS ap_ppm
+    FROM agg a LEFT JOIN labcnt l ON a.plab = l.label
+    ORDER BY a.probe_id
+    """,
+)
+def q_ir_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision @ {_IR_K} per probe (the MAP detail rows):
+    AP = (Σ over relevant ranks i of P@i) / min(n_relevant, k), with
+    P@i = (relevant retrieved in top i) / i — every term an exact
+    integer ppm (cumulative-count · 1e6 DIV rank, summed, DIV the
+    capped relevant total). Together with q_ir_mrr (first hit) and
+    q_ir_ndcg (graded positions) this completes the standard offline
+    retrieval triple over the same labeled run.
+
+    Plan: identical to q_ir_ndcg — one corpus pass for the run, a
+    ≤ NQ·k-row cumulative window partitioned per probe, a broadcast
+    10-row label-count join; the grading tail is free at any corpus
+    size."""
+    r = _ranked_run(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir)
+    labcnt = (
+        emb.filter(F.col("label").isNotNull())
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wcum = Window.partitionBy("probe_id").orderBy("rnk")
+    prec = (
+        r.withColumn(
+            "cum_rel",
+            F.sum(F.when(F.col("rel"), 1).otherwise(0)).over(wcum),
+        )
+        .select(
+            "probe_id",
+            "plab",
+            F.when(
+                F.col("rel"),
+                F.expr("CAST(cum_rel * 1000000 AS BIGINT) DIV rnk"),
+            )
+            .otherwise(F.lit(0))
+            .alias("p_at_i_ppm"),
+        )
+    )
+    agg = prec.groupBy("probe_id").agg(
+        F.any_value("plab").alias("plab"),
+        F.sum("p_at_i_ppm").cast("bigint").alias("sum_prec_ppm"),
+    )
+    graded = agg.join(
+        F.broadcast(labcnt), agg["plab"] == labcnt["label"], "left"
+    ).select(
+        "probe_id",
+        "sum_prec_ppm",
+        F.expr(
+            f"CAST(LEAST(GREATEST(COALESCE(n, 0) - 1, 0), {_IR_K})"
+            " AS BIGINT)"
+        ).alias("n_rel_cap"),
+    )
+    return graded.select(
+        "probe_id",
+        "sum_prec_ppm",
+        "n_rel_cap",
+        F.expr(
+            "CAST(CASE WHEN n_rel_cap = 0 THEN 0"
+            " ELSE sum_prec_ppm DIV n_rel_cap END AS BIGINT)"
+        ).alias("ap_ppm"),
+    ).orderBy("probe_id")

@@ -1160,3 +1160,19 @@ class TestIRMetrics:
             assert 0 <= r.ndcg_ppm <= 1_000_000, r
             if r.idcg_e6 > 0:
                 assert r.ndcg_ppm == 1_000_000 * r.dcg_e6 // r.idcg_e6, r
+
+
+class TestIRMap:
+    """q_ir_map: AP detail rows in range and internally consistent."""
+
+    def test_map_detail_bounds(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_ir_map"](spark, SF_DIR).collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert 0 <= r.n_rel_cap <= 10, r
+            assert r.sum_prec_ppm >= 0, r
+            assert 0 <= r.ap_ppm <= 1_000_000, r
+            if r.n_rel_cap > 0:
+                assert r.ap_ppm == r.sum_prec_ppm // r.n_rel_cap, r
