@@ -1796,3 +1796,46 @@ class TestBoundedGlobalWindows:
             F.row_number().over(Window.orderBy("l_orderkey", "l_linenumber")),
         )
         assert plans.global_window_uncollapsed_paths(bad_df)
+
+
+class TestRound11Plans:
+    """Plan pins for the round-11 additions: the tuned ANN serving
+    path, the mergeable quantile sketch, and the IR grading tail —
+    each must keep its 100 TB shape (JVM-only expressions, top-k
+    heaps instead of global sorts, broadcast staples only)."""
+
+    def test_ann_tuned_shape(self, spark):
+        """Trained-PQ serving at K=64/T=2/R=100: codebook and distance
+        tables broadcast, the candidate cut a heap/window cascade, no
+        Python, no data×data cartesian (the only BNLJ staples are the
+        1-row global-scale broadcast of _pq_parts)."""
+        plan = plan_of(spark, "q_llm_ann_tuned")
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_quantile_sketch_merge_is_heap(self, spark):
+        """The sketch merge must be a TakeOrderedAndProject heap over
+        the bounded |shards|·k relation — never a global sort of the
+        corpus — and the corpus-wide stages stay JVM-side."""
+        plan = plan_of(spark, "q_agg_quantile_sketch")
+        assert "TakeOrderedAndProject" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    @pytest.mark.parametrize("name", ["q_ir_mrr", "q_ir_ndcg", "q_ir_map"])
+    def test_ir_grading_tail_is_bounded(self, spark, name):
+        """The retrieval run is the cosine_topk pinned shape (probes
+        broadcast, salted two-stage top-k); the grading tail adds only
+        broadcast joins of ≤10-row label counts — no Python, no
+        data×data cartesian, and the embeddings file is scanned a
+        bounded number of times (run + probe/label sides), never per
+        probe."""
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        emb_scans = [
+            l
+            for l in plan.splitlines()
+            if "Scan parquet" in l and "embeddings" in l
+        ]
+        assert len(emb_scans) <= 8, len(emb_scans)
