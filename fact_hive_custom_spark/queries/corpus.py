@@ -2303,7 +2303,10 @@ def q_llm_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, so the handoff from training to serving (codebook layout,
     code re-assignment, distance-table build) is exact across
     engines, not just recall-measured (ANN_RECALL.md rows show the
-    lift: codes-only recall 0.18 → 0.28 at sf0.01).
+    lift: codes-only recall 0.18 → 0.28 at sf0.01). This keeps the
+    CHEAP default dials (K=16, codes only) as the end-to-end
+    correctness certificate; the measured ≥0.5-recall operating point
+    ships as q_llm_ann_tuned (K=64, T=2, exact re-rank R=100).
 
     Plan: identical to q_llm_ivfpq_topk's pinned shape downstream of
     the codebook (broadcast ADC table, codes-only streaming, salted
