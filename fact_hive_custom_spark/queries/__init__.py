@@ -12,6 +12,7 @@ from fact_hive_custom_spark.queries import (  # noqa: F401
     llm_text,
     media,
     misc,
+    ml_eval,
     optimizer,
     profiling,
     relational,
