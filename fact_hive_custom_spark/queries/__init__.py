@@ -5,6 +5,7 @@ from fact_hive_custom_spark.queries import (  # noqa: F401
     analytics,
     clustering,
     corpus,
+    exact_tests,
     ir_metrics,
     joins,
     layout,

@@ -1768,7 +1768,9 @@ class TestBoundedGlobalWindows:
         "q_orders_size_dist",
         "q_pareto_deciles",
         "q_stat_auc_roc",
+        "q_stat_bh_fdr",
         "q_stat_bootstrap_ci",
+        "q_stat_fisher_exact",
         "q_stat_kruskal",
         "q_stat_survival_km",
         "q_stat_wilcoxon_signed_rank",
