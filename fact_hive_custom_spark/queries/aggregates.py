@@ -1039,3 +1039,266 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_pct")
     )
+
+
+_THETA_K = 256  # KMV sketch size; relative error ~ 1/sqrt(K-2) ≈ 6.3%
+
+
+@register(
+    "q_agg_theta_sketch",
+    oracle=f"""
+    WITH segs AS (
+        SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS seg,
+               o_custkey AS ck
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+          AND year(o_orderdate) IN (1996, 1997)
+    ),
+    hashed AS (
+        SELECT seg, ck,
+               ('0x' || substr(md5('th:' || CAST(ck AS VARCHAR)), 1, 15))
+                   ::BIGINT AS hv,
+               ck % 16 AS shard
+        FROM segs
+    ),
+    shard_sk AS (
+        SELECT * FROM hashed
+        QUALIFY row_number() OVER (
+            PARTITION BY seg, shard ORDER BY hv, ck) <= {_THETA_K}
+    ),
+    seg_sk AS (
+        SELECT * FROM shard_sk
+        QUALIFY row_number() OVER (
+            PARTITION BY seg ORDER BY hv, ck) <= {_THETA_K}
+    ),
+    seg_stats AS (
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_sk,
+               CASE WHEN COUNT(*) < {_THETA_K}
+                    THEN CAST(1 AS BIGINT) << 60
+                    ELSE MAX(hv) END AS theta
+        FROM seg_sk GROUP BY 1
+    ),
+    seg_est AS (
+        SELECT s.seg,
+               CAST(
+                   (SELECT COUNT(*) FROM seg_sk k
+                    WHERE k.seg = s.seg AND k.hv < s.theta)
+                   * (CAST(1 AS HUGEINT) << 60) // s.theta AS BIGINT)
+                   AS est
+        FROM seg_stats s
+    ),
+    un_sk AS (
+        SELECT hv FROM (SELECT DISTINCT hv FROM seg_sk) t
+        QUALIFY row_number() OVER (ORDER BY hv) <= {_THETA_K}
+    ),
+    un_stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sk,
+               CASE WHEN COUNT(*) < {_THETA_K}
+                    THEN CAST(1 AS BIGINT) << 60
+                    ELSE MAX(hv) END AS theta
+        FROM un_sk
+    ),
+    un_est AS (
+        SELECT CAST((SELECT COUNT(*) FROM un_sk k WHERE k.hv < u.theta)
+               * (CAST(1 AS HUGEINT) << 60) // u.theta AS BIGINT) AS est
+        FROM un_stats u
+    ),
+    theta_min AS (
+        SELECT MIN(theta) AS tm FROM seg_stats
+    ),
+    inter_est AS (
+        SELECT CAST(
+            (SELECT COUNT(*) FROM seg_sk a JOIN seg_sk b
+             ON a.hv = b.hv AND a.seg = 1996 AND b.seg = 1997
+             WHERE a.hv < (SELECT tm FROM theta_min))
+            * (CAST(1 AS HUGEINT) << 60) // (SELECT tm FROM theta_min)
+            AS BIGINT) AS est
+    ),
+    exact AS (
+        SELECT
+            CAST(COUNT(DISTINCT ck) FILTER (WHERE seg = 1996) AS BIGINT)
+                AS n_a,
+            CAST(COUNT(DISTINCT ck) FILTER (WHERE seg = 1997) AS BIGINT)
+                AS n_b,
+            CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_union
+        FROM segs
+    ),
+    exact_i AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_inter FROM (
+            SELECT ck FROM segs WHERE seg = 1996
+            INTERSECT
+            SELECT ck FROM segs WHERE seg = 1997
+        ) t
+    )
+    SELECT CAST({_THETA_K} AS BIGINT) AS sketch_k,
+           e.n_a AS n_a_exact, e.n_b AS n_b_exact,
+           e.n_union AS n_union_exact, i.n_inter AS n_inter_exact,
+           (SELECT est FROM seg_est WHERE seg = 1996) AS est_a,
+           (SELECT est FROM seg_est WHERE seg = 1997) AS est_b,
+           (SELECT est FROM un_est) AS est_union,
+           (SELECT est FROM inter_est) AS est_inter,
+           CAST(abs((SELECT est FROM un_est) - e.n_union) * 1000000
+                // e.n_union AS BIGINT) AS err_union_ppm
+    FROM exact e, exact_i i
+    """,
+)
+def q_agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch SET ALGEBRA: estimate the union, intersection,
+    and per-segment cardinalities of two customer segments (customers
+    ordering in 1996 vs 1997 — the returning-customer overlap) from
+    two mergeable bottom-k sketches, never materializing a distinct
+    join. The audience-overlap primitive a 100 TB engine answers from
+    pre-aggregated per-partition sketches: union of KMV sketches IS
+    the bottom-k of the merged sketches (the q_agg_quantile_sketch
+    mergeability argument), and intersection uses the standard
+    restricted-sample estimator c·2^60/θ with θ = min(θ_A, θ_B),
+    counting hashes BOTH sketches retain below θ. When a segment has
+    fewer than K distinct members the sketch degrades to exact
+    (θ = 2^60), so small segments cost nothing in accuracy.
+
+    Like every sketch in the family (CMS, HLL, MinHash, SimHash,
+    bottom-k quantiles), the hash is the deterministic md5-prefix
+    integer both engines compute identically — the sketch itself is
+    oracle-checked, exact counts ride along, and the union error is
+    emitted in ppm (tests assert the ~1/sqrt(K−2) bound).
+
+    Plan: the corpus collapses to distinct (segment, custkey) in one
+    map-combined exchange; per-(segment, shard) bottom-k heaps run as
+    WindowGroupLimit on 16-way salted shards (the quantile-sketch
+    shard/merge discipline — no single-reducer sort of a segment),
+    merges touch ≤ 16·K rows, and every estimator input is ≤ K rows."""
+    d38 = "decimal(38,0)"
+    segs = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_custkey").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+            & F.year("o_orderdate").isin(1996, 1997)
+        )
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("seg"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .distinct()
+    )
+    hashed = segs.select(
+        "seg",
+        "ck",
+        F.expr(
+            "CAST(conv(substr(md5(concat('th:', CAST(ck AS STRING))), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        ).alias("hv"),
+        F.expr("ck % 16").alias("shard"),
+    )
+    from pyspark.sql import Window
+
+    w_shard = Window.partitionBy("seg", "shard").orderBy("hv", "ck")
+    shard_sk = (
+        hashed.withColumn("rn", F.row_number().over(w_shard))
+        .filter(F.col("rn") <= _THETA_K)
+        .drop("rn")
+    )
+    w_seg = Window.partitionBy("seg").orderBy("hv", "ck")
+    seg_sk = (
+        shard_sk.withColumn("rn", F.row_number().over(w_seg))
+        .filter(F.col("rn") <= _THETA_K)
+        .drop("rn", "shard")
+    )
+    two60 = f"CAST(shiftleft(CAST(1 AS BIGINT), 60) AS {d38})"
+    seg_stats = seg_sk.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sk"),
+        F.expr(
+            f"CASE WHEN COUNT(*) < {_THETA_K}"
+            " THEN shiftleft(CAST(1 AS BIGINT), 60)"
+            " ELSE MAX(hv) END"
+        ).alias("theta"),
+    )
+    seg_est = (
+        seg_sk.join(F.broadcast(seg_stats), "seg")
+        .filter(F.col("hv") < F.col("theta"))
+        .groupBy("seg", "theta")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            "seg",
+            "theta",
+            F.expr(f"CAST(CAST(c AS {d38}) * {two60} DIV theta AS BIGINT)")
+            .alias("est"),
+        )
+    )
+    un_sk = seg_sk.select("hv").distinct().orderBy("hv").limit(_THETA_K)
+    un_stats = un_sk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sk"),
+        F.expr(
+            f"CASE WHEN COUNT(*) < {_THETA_K}"
+            " THEN shiftleft(CAST(1 AS BIGINT), 60)"
+            " ELSE MAX(hv) END"
+        ).alias("theta_u"),
+    )
+    un_est = (
+        un_sk.crossJoin(F.broadcast(un_stats))
+        .filter(F.col("hv") < F.col("theta_u"))
+        .groupBy("theta_u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            F.expr(
+                f"CAST(CAST(c AS {d38}) * {two60} DIV theta_u AS BIGINT)"
+            ).alias("est_union")
+        )
+    )
+    theta_min = seg_stats.agg(F.min("theta").alias("tm"))
+    a_sk = seg_sk.filter(F.col("seg") == 1996).select("hv")
+    b_sk = seg_sk.filter(F.col("seg") == 1997).select("hv")
+    inter_est = (
+        a_sk.join(b_sk, "hv")
+        .crossJoin(F.broadcast(theta_min))
+        .filter(F.col("hv") < F.col("tm"))
+        .groupBy("tm")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            F.expr(f"CAST(CAST(c AS {d38}) * {two60} DIV tm AS BIGINT)")
+            .alias("est_inter")
+        )
+    )
+    exact = segs.agg(
+        F.countDistinct(F.when(F.col("seg") == 1996, F.col("ck")))
+        .cast("bigint")
+        .alias("n_a_exact"),
+        F.countDistinct(F.when(F.col("seg") == 1997, F.col("ck")))
+        .cast("bigint")
+        .alias("n_b_exact"),
+        F.countDistinct("ck").cast("bigint").alias("n_union_exact"),
+    )
+    exact_i = (
+        segs.filter(F.col("seg") == 1996)
+        .select("ck")
+        .join(segs.filter(F.col("seg") == 1997).select("ck"), "ck")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter_exact"))
+    )
+    est_a = seg_est.filter(F.col("seg") == 1996).select(
+        F.col("est").alias("est_a")
+    )
+    est_b = seg_est.filter(F.col("seg") == 1997).select(
+        F.col("est").alias("est_b")
+    )
+    return (
+        exact.crossJoin(F.broadcast(exact_i))
+        .crossJoin(F.broadcast(est_a))
+        .crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(un_est))
+        .crossJoin(F.broadcast(inter_est))
+        .select(
+            F.lit(_THETA_K).cast("bigint").alias("sketch_k"),
+            "n_a_exact",
+            "n_b_exact",
+            "n_union_exact",
+            "n_inter_exact",
+            "est_a",
+            "est_b",
+            F.col("est_union"),
+            F.col("est_inter"),
+            F.expr(
+                "CAST(abs(est_union - n_union_exact) * 1000000"
+                " DIV n_union_exact AS BIGINT)"
+            ).alias("err_union_ppm"),
+        )
+    )

@@ -2604,3 +2604,130 @@ def q_orders_monthly_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ym")
     )
+
+
+@register(
+    "q_graph_clustering_coeff",
+    oracle=f"""
+    WITH {_COOC_EDGE_CTES.strip()},
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) t GROUP BY 1
+    ),
+    tri AS MATERIALIZED (
+        SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pernode AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b2 FROM tri
+            UNION ALL SELECT c FROM tri
+        ) t GROUP BY 1
+    ),
+    cc AS (
+        SELECT deg.node,
+               2 * COALESCE(p.t, 0) * 1000000 // (deg.d * (deg.d - 1))
+                   AS c_ppm
+        FROM deg LEFT JOIN pernode p ON p.node = deg.node
+        WHERE deg.d >= 2
+    )
+    SELECT CAST(least(c_ppm // 100000, 10) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(c_ppm) // COUNT(*) AS BIGINT) AS avg_c_ppm
+    FROM cc
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient distribution on the co-occurrence
+    graph: per node, C_i = 2·tri_i / (d_i·(d_i−1)) in exact integer
+    ppm, histogrammed into eleven 0.1-wide buckets with the per-bucket
+    mean — the per-node companion to q_graph_triangles' global count
+    (same graph, same _TRI_CAP semantics: _cooccurrence_edges /
+    _COOC_EDGE_CTES are the single source of truth).
+
+    Counting reuses the triangles plan's degree-oriented intersection
+    (Suri & Vassilvitskii: out-neighborhoods bounded at O(sqrt(m))),
+    but EXPLODES the common-neighbor array instead of summing its
+    size, so each triangle credits all three corners exactly once —
+    per-node counts come from one unionAll + groupBy over the triple
+    stream, whose row count is 3·|triangles| (bounded by the capped
+    wedge count, never materialized wider than the final exchange).
+    Nodes of degree < 2 have no defined coefficient and are excluded
+    on both engines; a node on edges but in no triangle lands in
+    bucket 0 via the left join.
+
+    Plan at 100 TB: identical exchange discipline to q_graph_triangles
+    (canonical-edge dedup exchange reused across degree/orientation
+    consumers by ReuseExchange), plus one (node)-keyed exchange for
+    the per-node counts; the bucket histogram is a ≤11-row final
+    aggregate."""
+    e = _cooccurrence_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    oriented = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.when(F.col("du") <= F.col("dv"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("src"),
+            F.when(F.col("du") <= F.col("dv"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("dst"),
+        )
+    )
+    outs = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("ns")
+    )
+    triples = (
+        oriented.join(outs.withColumnRenamed("ns", "ns_src"), "src")
+        .join(
+            outs.select(F.col("src").alias("dst"), F.col("ns").alias("ns_dst")),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            F.explode(F.array_intersect("ns_src", "ns_dst")).alias("w"),
+        )
+    )
+    pernode = (
+        triples.select(F.col("src").alias("node"))
+        .unionAll(triples.select(F.col("dst").alias("node")))
+        .unionAll(triples.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    cc = (
+        deg.filter(F.col("d") >= 2)
+        .join(pernode, "node", "left")
+        .select(
+            F.expr(
+                "2 * COALESCE(t, 0) * 1000000 DIV (d * (d - 1))"
+            ).alias("c_ppm")
+        )
+    )
+    return (
+        cc.groupBy(
+            F.expr("CAST(least(c_ppm DIV 100000, 10) AS BIGINT)").alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.expr("CAST(SUM(c_ppm) DIV COUNT(*) AS BIGINT)").alias(
+                "avg_c_ppm"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -1176,3 +1176,132 @@ class TestIRMap:
             assert 0 <= r.ap_ppm <= 1_000_000, r
             if r.n_rel_cap > 0:
                 assert r.ap_ppm == r.sum_prec_ppm // r.n_rel_cap, r
+
+
+class TestExactTests:
+    """exact_tests.py: the p-values are exact rationals — re-derive
+    them with Python's arbitrary-precision math.comb and demand
+    equality, not closeness."""
+
+    def test_sign_test_p_matches_math_comb(self, spark):
+        import math
+
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_stat_sign_test"](spark, SF_DIR).collect()
+        assert len(rows) == 25
+        for r in rows:
+            n, k = r.n_pairs, r.k_pos
+            tail = sum(math.comb(n, i) for i in range(min(k, n - k) + 1))
+            p_num = min(2 * tail, 2**n)
+            assert r.p_ppm == 1000000 * p_num // 2**n, r
+
+    def test_fisher_p_matches_math_comb(self, spark):
+        import math
+
+        from fact_hive_custom_spark.queries import QUERIES
+
+        r = QUERIES["q_stat_fisher_exact"](spark, SF_DIR).collect()[0]
+        n, r1, c1, k_obs = r.n_nations, r.n_asia, r.n_above, r.k_obs
+        terms = {
+            k: math.comb(r1, k) * math.comb(n - r1, c1 - k)
+            for k in range(max(0, r1 + c1 - n), min(r1, c1) + 1)
+        }
+        p_num = sum(v for v in terms.values() if v <= terms[k_obs])
+        p_den = math.comb(n, c1)
+        assert (r.p_num, r.p_den) == (p_num, p_den)
+        assert r.p_ppm == 1000000 * p_num // p_den
+        assert 0 <= r.p_ppm <= 1000000
+
+    def test_bh_adjusted_is_monotone_and_dominates_p(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_stat_bh_fdr"](spark, SF_DIR).collect()
+        assert len(rows) == 25
+        prev = 0
+        for r in sorted(rows, key=lambda r: r.p_rank):
+            assert r.p_adj_ppm >= r.p_ppm
+            assert r.p_adj_ppm >= prev  # step-up min is nondecreasing
+            assert r.p_adj_ppm <= 1000000
+            prev = r.p_adj_ppm
+
+    def test_paired_t2_matches_float_formula(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+        from fact_hive_custom_spark.queries.exact_tests import _monthly_diffs
+        from fact_hive_custom_spark.tables import load_table
+
+        got = {
+            r.region: r
+            for r in QUERIES["q_stat_paired_ttest"](spark, SF_DIR).collect()
+        }
+        reg = {
+            r.n_nationkey: r.r_name
+            for r in load_table(spark, SF_DIR, "nation")
+            .join(
+                load_table(spark, SF_DIR, "region"),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .collect()
+        }
+        by_region: dict[str, dict[int, int]] = {}
+        for r in _monthly_diffs(spark, SF_DIR).collect():
+            m = by_region.setdefault(reg[r.nk], {})
+            m[r.mo] = m.get(r.mo, 0) + r.d
+        for name, months in by_region.items():
+            d = list(months.values())
+            n, sx, sxx = len(d), sum(d), sum(x * x for x in d)
+            den = n * sxx - sx * sx
+            expect = 1000000 * sx * sx * (n - 1) // den if den else None
+            assert got[name].t2_ppm == expect, name
+            assert got[name].n_months == 12
+
+
+class TestThetaSketch:
+    """q_agg_theta_sketch: KMV set-algebra estimates must hold their
+    ~1/sqrt(K−2) error bound against the exact counts the query emits
+    alongside (4σ tolerance: K=256 → 25%)."""
+
+    def test_estimates_within_4_sigma(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+
+        r = QUERIES["q_agg_theta_sketch"](spark, SF_DIR).collect()[0]
+        k = r.sketch_k
+        tol = 4.0 / (k - 2) ** 0.5
+        for est, exact in [
+            (r.est_a, r.n_a_exact),
+            (r.est_b, r.n_b_exact),
+            (r.est_union, r.n_union_exact),
+            (r.est_inter, r.n_inter_exact),
+        ]:
+            assert exact > 0
+            assert abs(est - exact) <= max(tol * exact, 2), (est, exact)
+        assert r.err_union_ppm == abs(r.est_union - r.n_union_exact) * 1000000 // r.n_union_exact
+        # set-algebra consistency on the exact side
+        assert r.n_union_exact <= r.n_a_exact + r.n_b_exact
+        assert r.n_inter_exact == r.n_a_exact + r.n_b_exact - r.n_union_exact
+
+
+class TestClusteringCoeff:
+    def test_buckets_partition_deg2_nodes_and_means_in_range(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+        from fact_hive_custom_spark.queries.analytics import (
+            _cooccurrence_edges,
+        )
+
+        rows = QUERIES["q_graph_clustering_coeff"](spark, SF_DIR).collect()
+        assert rows, "graph fixture should have deg>=2 nodes"
+        e = _cooccurrence_edges(spark, SF_DIR)
+        deg2 = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .count()
+            .filter(F.col("count") >= 2)
+            .count()
+        )
+        assert sum(r.n_nodes for r in rows) == deg2
+        for r in rows:
+            assert 0 <= r.bucket <= 10
+            lo = r.bucket * 100000
+            hi = 1000000 if r.bucket == 10 else (r.bucket + 1) * 100000 - 1
+            assert lo <= r.avg_c_ppm <= hi, r
