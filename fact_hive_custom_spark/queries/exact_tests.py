@@ -647,3 +647,167 @@ def q_stat_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t_sign"),
         (t2 > 4844335).alias("significant_05"),
     ).orderBy("region")
+
+
+_PERM_K = 64  # randomization replicates; p resolution 1/(K+1)
+
+
+@register(
+    "q_stat_permutation_test",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_id, event_type = 'click' AS grp,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+          AND event_id IS NOT NULL
+    ),
+    obs AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE grp) AS HUGEINT) AS na,
+               CAST(COUNT(*) FILTER (WHERE NOT grp) AS HUGEINT) AS nb,
+               CAST(SUM(cents) FILTER (WHERE grp) AS HUGEINT) AS sa,
+               CAST(SUM(cents) FILTER (WHERE NOT grp) AS HUGEINT) AS sb
+        FROM x
+    ),
+    reps AS (
+        SELECT j.j,
+               CAST(COUNT(*) FILTER (WHERE bit = 0) AS HUGEINT) AS na,
+               CAST(COUNT(*) FILTER (WHERE bit = 1) AS HUGEINT) AS nb,
+               CAST(SUM(cents) FILTER (WHERE bit = 0) AS HUGEINT) AS sa,
+               CAST(SUM(cents) FILTER (WHERE bit = 1) AS HUGEINT) AS sb
+        FROM x
+        CROSS JOIN (SELECT unnest(generate_series(1, {_PERM_K})) AS j) j
+        CROSS JOIN LATERAL (SELECT
+            ('0x' || substr(md5('pm:' || CAST(x.event_id AS VARCHAR)
+             || ':' || CAST(j.j AS VARCHAR)), 1, 15))::BIGINT % 2 AS bit) b
+        GROUP BY 1
+    ),
+    cmp AS (
+        SELECT r.j,
+               abs(r.sa * r.nb - r.sb * r.na) * (o.na * o.nb)
+               >= abs(o.sa * o.nb - o.sb * o.na) * (r.na * r.nb)
+                   AS extreme
+        FROM reps r CROSS JOIN obs o
+        WHERE r.na > 0 AND r.nb > 0
+    )
+    SELECT (SELECT CAST(na + nb AS BIGINT) FROM obs) AS n_rows,
+           CAST({_PERM_K} AS BIGINT) AS k_perms,
+           (SELECT CAST(sa * nb - sb * na AS DOUBLE)
+                   / CAST(na * nb AS DOUBLE) IS NOT NULL FROM obs)
+               AS d_obs_defined,
+           CAST(COUNT(*) FILTER (WHERE extreme) AS BIGINT) AS n_extreme,
+           CAST(1000000 * (1 + COUNT(*) FILTER (WHERE extreme))
+                // ({_PERM_K} + 1) AS BIGINT) AS p_ppm
+    FROM cmp
+    """,
+)
+def q_stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (Monte-Carlo permutation) test for the mean event
+    value, click vs view: {_PERM_K} deterministic label reassignments
+    (each row's group in replicate j is one md5('pm:id:j') bit — the
+    Bernoulli randomization-inference design, the distributed-friendly
+    sibling of the fixed-margin permutation test, which would need a
+    global sort per replicate), p = (1 + #extreme)/(K+1) in exact ppm.
+    The null needs NO distributional assumption — the complement to
+    q_stat_ttest_welch when values are skewed.
+
+    "At least as extreme" compares |mean_a − mean_b| across replicates
+    with different group sizes by cross-multiplying the exact integer
+    rationals: |s_a·n_b − s_b·n_a|·(N_a·N_b) vs the observed mirror —
+    HUGEINT/DECIMAL(38,0) products, no division until the final ppm.
+    Replicates with an empty side (impossible at any real n) drop out
+    identically on both engines.
+
+    Plan: the K-fold expansion is the q_stat_bootstrap_ci shape — a
+    projection (explode of a constant sequence) fused into the scan,
+    never shuffled; the exchange carries K×partitions partial
+    (n_a, n_b, s_a, s_b) quadruples. At 100 TB the cost is K extra
+    map-side hash-and-adds per row, not K corpus copies."""
+    x = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "view")
+            & F.col("value").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            "event_id",
+            (F.col("event_type") == "click").alias("grp"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    obs = x.agg(
+        F.sum(F.when(F.col("grp"), 1).otherwise(0)).cast(_D38).alias("na"),
+        F.sum(F.when(~F.col("grp"), 1).otherwise(0)).cast(_D38).alias("nb"),
+        F.sum(F.when(F.col("grp"), F.col("cents")).otherwise(0))
+        .cast(_D38)
+        .alias("sa"),
+        F.sum(F.when(~F.col("grp"), F.col("cents")).otherwise(0))
+        .cast(_D38)
+        .alias("sb"),
+    )
+    bit = (
+        "CAST(conv(substr(md5(concat('pm:', CAST(event_id AS STRING), ':',"
+        " CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2"
+    )
+    reps = (
+        x.select(
+            "event_id",
+            "cents",
+            F.explode(F.expr(f"sequence(1, {_PERM_K})")).alias("j"),
+        )
+        .select("j", "cents", F.expr(bit).alias("bit"))
+        .groupBy("j")
+        .agg(
+            F.sum(F.when(F.col("bit") == 0, 1).otherwise(0))
+            .cast(_D38)
+            .alias("na"),
+            F.sum(F.when(F.col("bit") == 1, 1).otherwise(0))
+            .cast(_D38)
+            .alias("nb"),
+            F.sum(F.when(F.col("bit") == 0, F.col("cents")).otherwise(0))
+            .cast(_D38)
+            .alias("sa"),
+            F.sum(F.when(F.col("bit") == 1, F.col("cents")).otherwise(0))
+            .cast(_D38)
+            .alias("sb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+    )
+    o = obs.select(
+        F.col("na").alias("o_na"),
+        F.col("nb").alias("o_nb"),
+        F.col("sa").alias("o_sa"),
+        F.col("sb").alias("o_sb"),
+    )
+    cmp = reps.crossJoin(F.broadcast(o)).select(
+        "o_na",
+        "o_nb",
+        "o_sa",
+        "o_sb",
+        F.expr(
+            "abs(sa * nb - sb * na) * (o_na * o_nb)"
+            " >= abs(o_sa * o_nb - o_sb * o_na) * (na * nb)"
+        ).alias("extreme"),
+    )
+    return cmp.groupBy().agg(
+        F.max(F.expr("CAST(o_na + o_nb AS BIGINT)")).alias("n_rows"),
+        F.lit(_PERM_K).cast("bigint").alias("k_perms"),
+        F.max(
+            F.expr(
+                "CAST(o_sa * o_nb - o_sb * o_na AS DOUBLE)"
+                " / CAST(o_na * o_nb AS DOUBLE) IS NOT NULL"
+            )
+        ).alias("d_obs_defined"),
+        F.sum(F.when(F.col("extreme"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_extreme"),
+    ).select(
+        "n_rows",
+        "k_perms",
+        "d_obs_defined",
+        "n_extreme",
+        F.expr(
+            f"CAST(1000000 * (1 + n_extreme) DIV ({_PERM_K} + 1) AS BIGINT)"
+        ).alias("p_ppm"),
+    )

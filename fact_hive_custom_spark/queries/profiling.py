@@ -195,3 +195,112 @@ def q_llm_safety_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("verdict", "lang")
     )
+
+
+_DP_N = 1048576  # 2^20 uniform grid for the inverse-CDF draw
+
+
+@register(
+    "q_llm_dp_histogram",
+    oracle=f"""
+    WITH g AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        GROUP BY 1
+    ),
+    noise AS (
+        SELECT source, n_docs, sum_chars,
+               ('0x' || substr(md5('dp:' || source || ':docs'), 1, 15))
+                   ::BIGINT AS h_docs,
+               ('0x' || substr(md5('dp:' || source || ':chars'), 1, 15))
+                   ::BIGINT AS h_chars
+        FROM g
+    ),
+    drawn AS (
+        SELECT source, n_docs, sum_chars,
+               (CASE WHEN (h_docs // {_DP_N}) % 2 = 0 THEN 1 ELSE -1 END)
+               * (CAST(floor(ln({_DP_N}) * 1000000 + 0.5) AS BIGINT)
+                  - CAST(floor(ln(CAST(h_docs % {_DP_N} + 1 AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT)) AS noise_docs_e6,
+               (CASE WHEN (h_chars // {_DP_N}) % 2 = 0 THEN 1 ELSE -1 END)
+               * (CAST(floor(ln({_DP_N}) * 1000000 + 0.5) AS BIGINT)
+                  - CAST(floor(ln(CAST(h_chars % {_DP_N} + 1 AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT)) AS noise_chars_e6
+        FROM noise
+    )
+    SELECT source, n_docs,
+           greatest(CAST(0 AS BIGINT), n_docs * 1000000 + noise_docs_e6)
+               AS noisy_docs_e6,
+           sum_chars,
+           greatest(CAST(0 AS BIGINT),
+                    sum_chars * 1000000 + noise_chars_e6)
+               AS noisy_chars_e6,
+           CAST(1000000 AS BIGINT) AS epsilon_e6
+    FROM drawn
+    ORDER BY source
+    """,
+)
+def q_llm_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism histogram release: per-source document and
+    character counts with calibrated Laplace(1/ε) noise, ε = 1 — the
+    differential-privacy release shape for publishing corpus
+    composition in a dataset card without exposing exact membership
+    counts (each count is a sensitivity-1 query, so Laplace(1/ε) gives
+    ε-DP per cell). Noise is drawn by inverse CDF from the md5-derived
+    uniform: |X| = −(1/ε)·ln(u/N) = (L(N) − L(u))/1e6 with u uniform
+    on [1, 2^20] and the sign a further hash bit — every ln is of an
+    EXACT INTEGER and pinned to floor(ln·1e6 + 0.5) (the survival_km /
+    chisq single-double discipline), so the draw is bit-identical
+    across engines and the mechanism itself is oracle-checked.
+
+    Honesty note (in lieu of a security claim): a hash-seeded draw is
+    REPRODUCIBLE noise — the right property for a differential-testing
+    fixture, the wrong one for production privacy, where the uniform
+    must come from a secret RNG. The operator's value is the
+    distributed mechanism shape: noise is a per-GROUP scalar
+    projection after the aggregate, so the DP release costs nothing
+    beyond the count query itself at any corpus size.
+
+    Plan: one map-combined groupBy(source) — the only corpus exchange —
+    then constant-width arithmetic on the ≤ |sources| result rows."""
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull() & F.col("n_chars").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+    def _h(metric: str) -> str:
+        return (
+            f"CAST(conv(substr(md5(concat('dp:', source, ':{metric}')),"
+            " 1, 15), 16, 10) AS BIGINT)"
+        )
+
+    def _noise(h: str) -> str:
+        return (
+            f"(CASE WHEN ({h} DIV {_DP_N}) % 2 = 0 THEN 1 ELSE -1 END)"
+            f" * (CAST(floor(ln({_DP_N}) * 1000000 + 0.5) AS BIGINT)"
+            f" - CAST(floor(ln(CAST({h} % {_DP_N} + 1 AS DOUBLE))"
+            " * 1000000 + 0.5) AS BIGINT))"
+        )
+
+    return g.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "greatest(CAST(0 AS BIGINT),"
+            f" n_docs * 1000000 + {_noise(_h('docs'))})"
+        ).alias("noisy_docs_e6"),
+        "sum_chars",
+        F.expr(
+            "greatest(CAST(0 AS BIGINT),"
+            f" sum_chars * 1000000 + {_noise(_h('chars'))})"
+        ).alias("noisy_chars_e6"),
+        F.lit(1000000).cast("bigint").alias("epsilon_e6"),
+    ).orderBy("source")

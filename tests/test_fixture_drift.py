@@ -259,6 +259,8 @@ def test_reencoded_events_parity(spark, reencoded_events_dir, name):
 # All now quarantine NULL ts/props/value identically on both engines.
 NULLABLE_EVT_QUERIES = [
     "q_stat_ttest_welch",
+    "q_stat_permutation_test",
+    "q_graph_clustering_coeff",
     "q_fn_map",
     "q_fn_json",
     "q_event_transitions",
@@ -359,6 +361,11 @@ NULLABLE_ORD_QUERIES = [
     "q_orders_cohort_ltv",
     "q_orders_mix_trend",
     "q_orders_repeat_rate",
+    # round-11 orders consumers
+    "q_stat_sign_test",
+    "q_stat_bh_fdr",
+    "q_stat_paired_ttest",
+    "q_agg_theta_sketch",
 ]
 
 
@@ -471,6 +478,7 @@ NULL_DOCMETA_QUERIES = [
     "q_fn_url",
     "q_llm_diversity",
     "q_llm_edit_distance",
+    "q_llm_dp_histogram",
 ]
 
 
@@ -540,6 +548,7 @@ def test_malformed_props_parity(spark, malformed_props_dir, name):
 # rows (2026-08-14): all 12 consumers already robust; locked here.
 NULL_DIM_QUERIES = [
     "q_join_spatial_grid",
+    "q_stat_fisher_exact",
     "q_win_ntile",
     "q_cbo_join_reorder",
     "q_join_broadcast",

@@ -1305,3 +1305,92 @@ class TestClusteringCoeff:
             lo = r.bucket * 100000
             hi = 1000000 if r.bucket == 10 else (r.bucket + 1) * 100000 - 1
             assert lo <= r.avg_c_ppm <= hi, r
+
+
+class TestPermutationTest:
+    def test_p_matches_python_rederivation(self, spark):
+        """Re-derive the full randomization test in pure Python
+        (hashlib md5 bits, exact integers) on the tiny fixture and
+        demand the identical p_ppm."""
+        import hashlib
+
+        from fact_hive_custom_spark.queries import QUERIES
+        from fact_hive_custom_spark.queries.exact_tests import _PERM_K
+        from fact_hive_custom_spark.tables import load_table
+
+        got = QUERIES["q_stat_permutation_test"](spark, SF_TINY).collect()[0]
+        rows = (
+            load_table(spark, SF_TINY, "events")
+            .filter(
+                F.col("event_type").isin("click", "view")
+                & F.col("value").isNotNull()
+                & F.col("event_id").isNotNull()
+            )
+            .select(
+                "event_id",
+                (F.col("event_type") == "click").alias("grp"),
+                F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            )
+            .collect()
+        )
+
+        def md5bit(eid, j):
+            h = hashlib.md5(f"pm:{eid}:{j}".encode()).hexdigest()[:15]
+            return int(h, 16) % 2
+
+        na = sum(1 for r in rows if r.grp)
+        nb = len(rows) - na
+        sa = sum(r.cents for r in rows if r.grp)
+        sb = sum(r.cents for r in rows if not r.grp)
+        obs = abs(sa * nb - sb * na)
+        n_extreme = 0
+        for j in range(1, _PERM_K + 1):
+            naj = nbj = saj = sbj = 0
+            for r in rows:
+                if md5bit(r.event_id, j) == 0:
+                    naj += 1
+                    saj += r.cents
+                else:
+                    nbj += 1
+                    sbj += r.cents
+            if naj > 0 and nbj > 0:
+                if abs(saj * nbj - sbj * naj) * (na * nb) >= obs * (naj * nbj):
+                    n_extreme += 1
+        assert got.n_rows == len(rows)
+        assert got.n_extreme == n_extreme
+        assert got.p_ppm == 1000000 * (1 + n_extreme) // (_PERM_K + 1)
+        # a genuine group difference in the fixture should not look
+        # typical under the null... but don't over-assert: just range
+        assert 0 < got.p_ppm <= 1000000
+
+
+class TestDpHistogram:
+    def test_noise_matches_python_laplace_draw(self, spark):
+        import hashlib
+        import math
+
+        from fact_hive_custom_spark.queries import QUERIES
+        from fact_hive_custom_spark.queries.profiling import _DP_N
+
+        def L(z):
+            return math.floor(math.log(z) * 1000000 + 0.5)
+
+        def noise(src, metric):
+            h = int(
+                hashlib.md5(f"dp:{src}:{metric}".encode()).hexdigest()[:15],
+                16,
+            )
+            sign = 1 if (h // _DP_N) % 2 == 0 else -1
+            return sign * (L(_DP_N) - L(h % _DP_N + 1))
+
+        rows = QUERIES["q_llm_dp_histogram"](spark, SF_DIR).collect()
+        assert len(rows) == 20
+        signs = set()
+        for r in rows:
+            nd = noise(r.source, "docs")
+            nc = noise(r.source, "chars")
+            assert r.noisy_docs_e6 == max(0, r.n_docs * 1000000 + nd)
+            assert r.noisy_chars_e6 == max(0, r.sum_chars * 1000000 + nc)
+            signs.add(nd > 0)
+            assert r.epsilon_e6 == 1000000
+        assert signs == {True, False}, "both noise signs should occur"
