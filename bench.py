@@ -115,6 +115,13 @@ HEADLINE = [
     "q_llm_ann_tuned",
     "q_agg_quantile_sketch",
     "q_ir_ndcg",
+    # round-11b: the K-fold randomization expansion (fused into the
+    # scan as a projection — a regression materializing K corpus
+    # copies shows as a K× step) and the KMV set-algebra sketch
+    # (salted shard/merge bottom-k — a regression to a single-reducer
+    # segment sort serializes the distinct relation through one task)
+    "q_stat_permutation_test",
+    "q_agg_theta_sketch",
 ]
 
 
