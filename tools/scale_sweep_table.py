@@ -23,7 +23,11 @@ def main() -> None:
     bench = {}
     if len(sys.argv) > 2:
         with open(sys.argv[2]) as f:
-            bench = json.load(f).get("queries", {})
+            doc = json.load(f)
+        # the driver wraps bench.py's JSON line under "parsed"
+        bench = doc.get("queries") or doc.get("parsed", {}).get(
+            "queries", {}
+        )
 
     durations: dict[str, float] = {}
     passed = failed = None
