@@ -1841,3 +1841,83 @@ class TestRound11Plans:
             if "Scan parquet" in l and "embeddings" in l
         ]
         assert len(emb_scans) <= 8, len(emb_scans)
+
+
+class TestRound11Pins:
+    """Plan-shape pins for the round-11b operators: each locks the
+    scale property its docstring claims."""
+
+    def test_permutation_expansion_is_not_shuffled(self, spark):
+        """The 64-fold replicate expansion must be a PROJECTION fused
+        before the aggregation (one scan-side Generate/explode), with
+        the only exchange carrying the per-replicate partial
+        quadruples — never 64 shuffled corpus copies. Pin: exactly the
+        Generate node on the scan side, exchanges stay at the two
+        aggregations (replicates + observed), and no exchange sits
+        between the Generate and its partial aggregate."""
+        plan = plan_of(spark, "q_stat_permutation_test")
+        lines = plan.splitlines()
+        gens = [i for i, l in enumerate(lines) if "Generate explode" in l]
+        assert len(gens) == 1, "expected exactly one explode"
+        # walk UP (lower index = closer to root) from the Generate: the
+        # first agg boundary must appear before any Exchange, proving
+        # the partial aggregation consumes the expansion map-side
+        above = lines[: gens[0]]
+        last_agg = max(
+            (i for i, l in enumerate(above) if "HashAggregate" in l),
+            default=None,
+        )
+        assert last_agg is not None, "no aggregate above the explode"
+        between = above[last_agg + 1 :]
+        assert not any("Exchange" in l for l in between), (
+            "exchange between explode and its partial aggregate:\n"
+            + "\n".join(between)
+        )
+
+    def test_theta_sketch_bottom_k_is_window_group_limited(self, spark):
+        """The per-(segment, shard) and per-segment bottom-k heaps must
+        plan as WindowGroupLimit (rank-filter pushed into the window),
+        so no task ever sorts more than shard-local rows + the merge
+        never exceeds shards×K."""
+        plan = plan_of(spark, "q_agg_theta_sketch")
+        assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+        # the union-sketch top-K is a bounded heap, not a global sort
+        assert "TakeOrderedAndProject" in plan
+
+    def test_clustering_coeff_reuses_edge_exchange(self, spark):
+        """The canonical-edge dedup exchange must be computed once and
+        reused across the degree / orientation / triple consumers
+        (the q_graph_triangles ReuseExchange discipline). Reuse is an
+        AQE runtime decision, so finalize the adaptive plan by
+        executing (the plan_audit recipe) before asserting."""
+        df = QUERIES["q_graph_clustering_coeff"](spark, SF_DIR)
+        jqe = df._jdf.queryExecution()
+        jqe.executedPlan().execute().count()
+        plan = jqe.executedPlan().toString()
+        assert "ReusedExchange" in plan, plan[:1500]
+
+    def test_dp_histogram_single_exchange(self, spark):
+        """The DP release costs one map-combined groupBy(source): one
+        hash exchange, zero single-partition exchanges, no Python."""
+        df = QUERIES["q_llm_dp_histogram"](spark, SF_DIR)
+        plan = plans.executed_plan(df)
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "SinglePartition" not in plan.replace(
+            "rangepartitioning", ""
+        ) or "Exchange SinglePartition" not in plan
+        assert not plans.uses_python(df)
+
+    def test_exact_tests_collapse_before_combinatorics(self, spark):
+        """sign test / BH / Fisher / paired t: the corpus-side
+        aggregation (orders->nation-month revenue, customer->nation
+        balances) must be partial (map-side combined) — the
+        combinatorial tail then runs on the collapsed relation."""
+        for name in (
+            "q_stat_sign_test",
+            "q_stat_bh_fdr",
+            "q_stat_fisher_exact",
+            "q_stat_paired_ttest",
+        ):
+            plan = plan_of(spark, name)
+            assert "HashAggregate" in plan, name
+            assert not plans.uses_python(QUERIES[name](spark, SF_DIR)), name
