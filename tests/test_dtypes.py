@@ -31,4 +31,4 @@ def test_all_oracle_output_dtypes_match(spark):
 def test_registry_size_unchanged():
     # The audit walks every registered query — pin the count so a
     # silent registry regression can't shrink the audit's coverage.
-    assert len(QUERIES) >= 303
+    assert len(QUERIES) >= 360
