@@ -493,3 +493,72 @@ class TestDfloorGuard:
             + " AS q"
         ).collect()[0]
         assert row.q is None
+
+
+class TestExactTestAlgebra:
+    """Pure-arithmetic invariants of the round-11 exact-test family —
+    checked against Python's arbitrary-precision integers for ANY
+    margins, not just the fixture's."""
+
+    @given(
+        n=st.integers(0, 12),
+        k=st.integers(0, 12),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_sign_test_tail_symmetric_and_bounded(self, n, k):
+        import math
+
+        k = min(k, n)
+        tail = sum(math.comb(n, i) for i in range(min(k, n - k) + 1))
+        p_num = min(2 * tail, 2**n)
+        p = 1000000 * p_num // 2**n
+        # p is a probability; symmetric in k vs n-k; p=1e6 at the center
+        assert 0 < p <= 1000000
+        tail2 = sum(math.comb(n, i) for i in range(min(n - k, k) + 1))
+        assert tail == tail2
+        if n % 2 == 0 and k == n // 2:
+            assert p == 1000000
+
+    @given(
+        n=st.integers(1, 25),
+        r1=st.integers(0, 25),
+        k_shift=st.integers(0, 25),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_fisher_tail_is_valid_probability(self, n, r1, k_shift):
+        import math
+
+        r1 = min(r1, n)
+        c1 = n // 2
+        lo, hi = max(0, r1 + c1 - n), min(r1, c1)
+        k_obs = lo + (k_shift % (hi - lo + 1))
+        terms = {
+            k: math.comb(r1, k) * math.comb(n - r1, c1 - k)
+            for k in range(lo, hi + 1)
+        }
+        p_num = sum(v for v in terms.values() if v <= terms[k_obs])
+        p_den = math.comb(n, c1)
+        # Vandermonde: the full support sums to C(n, c1) exactly
+        assert sum(terms.values()) == p_den
+        assert 0 < p_num <= p_den
+        # the observed table is always included in its own tail
+        assert p_num >= terms[k_obs]
+
+    @given(
+        ps=st.lists(st.integers(0, 1000000), min_size=1, max_size=25),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_bh_stepup_properties(self, ps):
+        m = len(ps)
+        ranked = sorted(ps)
+        raw = [
+            min(1000000, p * m // (i + 1)) for i, p in enumerate(ranked)
+        ]
+        adj = [min(raw[i:]) for i in range(m)]
+        for i in range(m):
+            assert adj[i] >= ranked[i]  # adjusted dominates raw p
+            assert adj[i] <= 1000000
+            if i:
+                assert adj[i] >= adj[i - 1]  # monotone nondecreasing
+        # the largest p is never shrunk below itself: adj[-1] == raw[-1]
+        assert adj[-1] == raw[-1] == min(1000000, ranked[-1])
