@@ -939,6 +939,8 @@ _QSK_K = 256  # sketch size: bottom-k sample, ±~4·sqrt(q(1-q)/k) rank error
                    || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS hv,
                l_orderkey, l_linenumber
         FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_shipdate IS NOT NULL
+          AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
     ),
     shard_sk AS (
         SELECT * FROM v
@@ -995,7 +997,16 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     from pyspark.sql import Window
 
-    v = li.select(
+    # NULL quarantine (fixture-drift rule, SURVEY.md §7.4): a NULL
+    # price or key would enter the sketch with a NULL cents/hv, and
+    # the engines order NULLs oppositely (Spark FIRST, DuckDB LAST) —
+    # caught by tests/test_fixture_drift.py on the NULL-laden lineitem
+    v = li.filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_shipdate").isNotNull()
+        & F.col("l_orderkey").isNotNull()
+        & F.col("l_linenumber").isNotNull()
+    ).select(
         F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
             "val_cents"
         ),

@@ -112,6 +112,12 @@ EMB_QUERIES = [
     "q_llm_centroids",
     "q_llm_cosine_dedup",
     "q_llm_multimodal",
+    # round-11 embeddings consumers: the tuned ANN serving point and
+    # the retrieval-grading tail over the exact cosine run
+    "q_llm_ann_tuned",
+    "q_ir_ndcg",
+    "q_ir_mrr",
+    "q_ir_map",
 ]
 
 
@@ -260,6 +266,13 @@ def test_reencoded_events_parity(spark, reencoded_events_dir, name):
 NULLABLE_EVT_QUERIES = [
     "q_stat_ttest_welch",
     "q_stat_permutation_test",
+    # round-11 classifier-eval family (events.value as the score)
+    "q_stat_brier",
+    "q_stat_log_loss",
+    "q_stat_pr_auc",
+    "q_stat_f1_sweep",
+    "q_stat_mcnemar",
+    "q_stat_cohens_kappa",
     "q_graph_clustering_coeff",
     "q_fn_map",
     "q_fn_json",
@@ -408,6 +421,7 @@ NULLABLE_LI_QUERIES = [
     "q_join_inner",
     "q_join_asof",
     "q_win_running",
+    "q_agg_quantile_sketch",
     "q_fn_try_arith",
     "q_agg_listagg",
     "q_agg_mode",
