@@ -946,16 +946,19 @@ _QSK_K = 256  # sketch size: bottom-k sample, ±~4·sqrt(q(1-q)/k) rank error
         SELECT * FROM v
         QUALIFY row_number() OVER (
             PARTITION BY shard
-            ORDER BY hv, l_orderkey, l_linenumber) <= {_QSK_K}
+            ORDER BY hv, l_orderkey, l_linenumber, val_cents)
+                <= {_QSK_K}
     ),
     merged AS (
         SELECT * FROM shard_sk
         QUALIFY row_number() OVER (
-            ORDER BY hv, l_orderkey, l_linenumber) <= {_QSK_K}
+            ORDER BY hv, l_orderkey, l_linenumber, val_cents)
+                <= {_QSK_K}
     ),
     ranked AS (
         SELECT val_cents,
-               row_number() OVER (ORDER BY val_cents, hv) AS vr
+               row_number() OVER (
+                   ORDER BY val_cents, hv, l_orderkey, l_linenumber) AS vr
         FROM merged
     ),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM v),
@@ -1018,19 +1021,28 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
+    # (hv, l_orderkey, l_linenumber) alone is NOT a total order: the
+    # fixture carries duplicate (orderkey, linenumber) pairs with
+    # different prices, so the md5 hash ties exactly and the bottom-k
+    # boundary would pick among tied rows arbitrarily (caught as a
+    # run-to-run flip by the NULL-lineitem drift test). val_cents
+    # completes the key on both engines.
     wsh = Window.partitionBy("shard").orderBy(
-        "hv", "l_orderkey", "l_linenumber"
+        "hv", "l_orderkey", "l_linenumber", "val_cents"
     )
     shard_sk = (
         v.withColumn("rn", F.row_number().over(wsh))
         .filter(F.col("rn") <= _QSK_K)
         .drop("rn")
     )
-    merged = shard_sk.orderBy("hv", "l_orderkey", "l_linenumber").limit(
-        _QSK_K
-    )
+    merged = shard_sk.orderBy(
+        "hv", "l_orderkey", "l_linenumber", "val_cents"
+    ).limit(_QSK_K)
     ranked = merged.withColumn(
-        "vr", F.row_number().over(Window.orderBy("val_cents", "hv"))
+        "vr",
+        F.row_number().over(
+            Window.orderBy("val_cents", "hv", "l_orderkey", "l_linenumber")
+        ),
     ).select("val_cents", "vr")
     n = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     sel = spark.range(1).select(
