@@ -117,3 +117,32 @@ class TestQueryExecutionListener:
         spark.range(3).collect()
         time.sleep(2)
         assert len(listener.records) == n, "listener fired after uninstall"
+
+
+class TestRound11MeasuredInvariants:
+    """Measured SQLMetric invariants for the round-11b headline
+    queries — numbers, not plan strings."""
+
+    def test_permutation_expansion_never_shuffles_the_corpus(self, spark):
+        """The 64-replicate expansion must stay map-side: the shuffle
+        carries only per-replicate partial quadruples (K × partitions
+        rows), never the 64× exploded corpus."""
+        from fact_hive_custom_spark.queries import QUERIES
+
+        df = QUERIES["q_stat_permutation_test"](spark, SF_DIR)
+        s = metrics.execution_metrics(df)["summary"]
+        assert s["rows_scanned"] > 0
+        # partials: <= K * shuffle partitions * few aggregates; the
+        # exploded corpus would be scanned_rows * 64 >> this bound
+        assert s["shuffle_records_written"] < 10_000, s
+
+    def test_theta_sketch_shuffles_distinct_keys_not_rows(self, spark):
+        """The only corpus-width exchange is the distinct
+        (segment, custkey) collapse — bounded by distinct keys, never
+        the raw order rows scanned."""
+        from fact_hive_custom_spark.queries import QUERIES
+
+        df = QUERIES["q_agg_theta_sketch"](spark, SF_DIR)
+        s = metrics.execution_metrics(df)["summary"]
+        assert s["rows_scanned"] > 0
+        assert s["shuffle_records_written"] < s["rows_scanned"], s
