@@ -1160,8 +1160,10 @@ _THETA_K = 256  # KMV sketch size; relative error ~ 1/sqrt(K-2) ≈ 6.3%
            (SELECT est FROM seg_est WHERE seg = 1997) AS est_b,
            (SELECT est FROM un_est) AS est_union,
            (SELECT est FROM inter_est) AS est_inter,
-           CAST(abs((SELECT est FROM un_est) - e.n_union) * 1000000
-                // e.n_union AS BIGINT) AS err_union_ppm
+           CASE WHEN e.n_union = 0 THEN NULL
+                ELSE CAST(abs((SELECT est FROM un_est) - e.n_union)
+                     * 1000000 // e.n_union AS BIGINT)
+           END AS err_union_ppm
     FROM exact e, exact_i i
     """,
 )
@@ -1236,16 +1238,20 @@ def q_agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE MAX(hv) END"
         ).alias("theta"),
     )
-    seg_est = (
+    seg_counts = (
         seg_sk.join(F.broadcast(seg_stats), "seg")
         .filter(F.col("hv") < F.col("theta"))
-        .groupBy("seg", "theta")
+        .groupBy("seg")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    seg_est = (
+        seg_stats.join(seg_counts, "seg", "left")
         .select(
             "seg",
-            "theta",
-            F.expr(f"CAST(CAST(c AS {d38}) * {two60} DIV theta AS BIGINT)")
-            .alias("est"),
+            F.expr(
+                f"CAST(CAST(coalesce(c, CAST(0 AS BIGINT)) AS {d38})"
+                f" * {two60} DIV theta AS BIGINT)"
+            ).alias("est"),
         )
     )
     un_sk = seg_sk.select("hv").distinct().orderBy("hv").limit(_THETA_K)
@@ -1257,11 +1263,17 @@ def q_agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE MAX(hv) END"
         ).alias("theta_u"),
     )
+    # Totality: un_stats/theta_min are global aggs (always exactly one
+    # row); LEFT-joining the ≤K-row sketch onto that single row under
+    # the hv<θ predicate keeps the scalar side one row even when the
+    # sketch (or a whole segment) is empty — matching the oracle's
+    # scalar subqueries, which always return one row (r11 ADVICE).
     un_est = (
-        un_sk.crossJoin(F.broadcast(un_stats))
-        .filter(F.col("hv") < F.col("theta_u"))
+        un_stats.join(
+            F.broadcast(un_sk), F.col("hv") < F.col("theta_u"), "left"
+        )
         .groupBy("theta_u")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.count("hv").cast("bigint").alias("c"))
         .select(
             F.expr(
                 f"CAST(CAST(c AS {d38}) * {two60} DIV theta_u AS BIGINT)"
@@ -1272,11 +1284,13 @@ def q_agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_sk = seg_sk.filter(F.col("seg") == 1996).select("hv")
     b_sk = seg_sk.filter(F.col("seg") == 1997).select("hv")
     inter_est = (
-        a_sk.join(b_sk, "hv")
-        .crossJoin(F.broadcast(theta_min))
-        .filter(F.col("hv") < F.col("tm"))
+        theta_min.join(
+            F.broadcast(a_sk.join(b_sk, "hv")),
+            F.col("hv") < F.col("tm"),
+            "left",
+        )
         .groupBy("tm")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.count("hv").cast("bigint").alias("c"))
         .select(
             F.expr(f"CAST(CAST(c AS {d38}) * {two60} DIV tm AS BIGINT)")
             .alias("est_inter")
@@ -1297,11 +1311,13 @@ def q_agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(segs.filter(F.col("seg") == 1997).select("ck"), "ck")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter_exact"))
     )
-    est_a = seg_est.filter(F.col("seg") == 1996).select(
-        F.col("est").alias("est_a")
+    # max() over the ≤1-row filtered frame = "the value, or NULL if the
+    # segment is absent" — exactly the oracle's scalar-subquery shape.
+    est_a = seg_est.filter(F.col("seg") == 1996).agg(
+        F.max("est").alias("est_a")
     )
-    est_b = seg_est.filter(F.col("seg") == 1997).select(
-        F.col("est").alias("est_b")
+    est_b = seg_est.filter(F.col("seg") == 1997).agg(
+        F.max("est").alias("est_b")
     )
     return (
         exact.crossJoin(F.broadcast(exact_i))
@@ -1320,8 +1336,9 @@ def q_agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_union"),
             F.col("est_inter"),
             F.expr(
-                "CAST(abs(est_union - n_union_exact) * 1000000"
-                " DIV n_union_exact AS BIGINT)"
+                "CASE WHEN n_union_exact = 0 THEN NULL"
+                " ELSE CAST(abs(est_union - n_union_exact) * 1000000"
+                " DIV n_union_exact AS BIGINT) END"
             ).alias("err_union_ppm"),
         )
     )

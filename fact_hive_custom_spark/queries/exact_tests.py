@@ -233,7 +233,9 @@ def q_stat_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     shift between 1996 and 1997? n = non-tied months, k = months up,
     and the two-sided p-value is the EXACT binomial tail
     min(1, 2·Σ_{{i≤min(k,n−k)}} C(n,i)/2^n) — an integer rational with
-    denominator 2^12, emitted as exact ppm. No normal approximation:
+    denominator 2^n where n counts the NON-TIED months (≤ 12; tied
+    months drop out of the test), emitted as exact ppm. No normal
+    approximation:
     with n ≤ 12 pairs the asymptotic z test (q_stat_prop_ztest's
     regime) is invalid, which is exactly when analysts reach for the
     sign test.
@@ -692,9 +694,10 @@ _PERM_K = 64  # randomization replicates; p resolution 1/(K+1)
     )
     SELECT (SELECT CAST(na + nb AS BIGINT) FROM obs) AS n_rows,
            CAST({_PERM_K} AS BIGINT) AS k_perms,
-           (SELECT CAST(sa * nb - sb * na AS DOUBLE)
-                   / CAST(na * nb AS DOUBLE) IS NOT NULL FROM obs)
-               AS d_obs_defined,
+           (SELECT CASE WHEN na * nb = 0 THEN NULL
+                   ELSE CAST(sa * nb - sb * na AS DOUBLE)
+                        / CAST(na * nb AS DOUBLE) END IS NOT NULL
+            FROM obs) AS d_obs_defined,
            CAST(COUNT(*) FILTER (WHERE extreme) AS BIGINT) AS n_extreme,
            CAST(1000000 * (1 + COUNT(*) FILTER (WHERE extreme))
                 // ({_PERM_K} + 1) AS BIGINT) AS p_ppm
@@ -781,33 +784,36 @@ def q_stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sb").alias("o_sb"),
     )
     cmp = reps.crossJoin(F.broadcast(o)).select(
-        "o_na",
-        "o_nb",
-        "o_sa",
-        "o_sb",
         F.expr(
             "abs(sa * nb - sb * na) * (o_na * o_nb)"
             " >= abs(o_sa * o_nb - o_sb * o_na) * (na * nb)"
         ).alias("extreme"),
     )
-    return cmp.groupBy().agg(
-        F.max(F.expr("CAST(o_na + o_nb AS BIGINT)")).alias("n_rows"),
-        F.lit(_PERM_K).cast("bigint").alias("k_perms"),
-        F.max(
-            F.expr(
-                "CAST(o_sa * o_nb - o_sb * o_na AS DOUBLE)"
-                " / CAST(o_na * o_nb AS DOUBLE) IS NOT NULL"
-            )
-        ).alias("d_obs_defined"),
+    # Totality (r11 ADVICE): source n_rows / d_obs_defined from obs
+    # (a global agg — always one row) rather than from cmp, which is
+    # EMPTY when a group is absent or every replicate lands one-sided;
+    # the extreme-count rides in via a broadcast 1-row global agg with
+    # coalesce(·, 0) covering the empty-cmp case, and the observed
+    # mean difference is guarded CASE WHEN na*nb = 0 THEN NULL exactly
+    # like the oracle (Spark and DuckDB disagree on x/0 otherwise).
+    ext = cmp.groupBy().agg(
         F.sum(F.when(F.col("extreme"), 1).otherwise(0))
         .cast("bigint")
-        .alias("n_extreme"),
-    ).select(
-        "n_rows",
-        "k_perms",
-        "d_obs_defined",
-        "n_extreme",
+        .alias("n_extreme_raw")
+    )
+    return obs.crossJoin(F.broadcast(ext)).select(
+        F.expr("CAST(na + nb AS BIGINT)").alias("n_rows"),
+        F.lit(_PERM_K).cast("bigint").alias("k_perms"),
         F.expr(
-            f"CAST(1000000 * (1 + n_extreme) DIV ({_PERM_K} + 1) AS BIGINT)"
+            "CASE WHEN na * nb = 0 THEN NULL"
+            " ELSE CAST(sa * nb - sb * na AS DOUBLE)"
+            " / CAST(na * nb AS DOUBLE) END IS NOT NULL"
+        ).alias("d_obs_defined"),
+        F.expr("coalesce(n_extreme_raw, CAST(0 AS BIGINT))").alias(
+            "n_extreme"
+        ),
+        F.expr(
+            "CAST(1000000 * (1 + coalesce(n_extreme_raw, CAST(0 AS BIGINT)))"
+            f" DIV ({_PERM_K} + 1) AS BIGINT)"
         ).alias("p_ppm"),
     )

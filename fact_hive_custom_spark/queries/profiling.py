@@ -245,11 +245,19 @@ _DP_N = 1048576  # 2^20 uniform grid for the inverse-CDF draw
 )
 def q_llm_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laplace-mechanism histogram release: per-source document and
-    character counts with calibrated Laplace(1/ε) noise, ε = 1 — the
+    character counts with Laplace(1/ε) noise, ε = 1 — the
     differential-privacy release shape for publishing corpus
-    composition in a dataset card without exposing exact membership
-    counts (each count is a sensitivity-1 query, so Laplace(1/ε) gives
-    ε-DP per cell). Noise is drawn by inverse CDF from the md5-derived
+    composition in a dataset card. The ε-DP calibration claim applies
+    to the DOC-COUNT cell only: COUNT(*) is a sensitivity-1 query, so
+    Laplace(1/ε) gives ε-DP for that cell. The sum_chars cell has
+    sensitivity max(n_chars) (one document can move the sum by its
+    whole length), so its identically-scaled noise is NOT ε-DP-
+    calibrated — a production release would clamp n_chars to a cap C
+    and scale the noise by C. And the exact n_docs/sum_chars columns
+    ride along beside the noisy ones because this is a differential-
+    testing fixture (both engines must agree on the pre-noise values),
+    not a privacy release — no privacy property holds for the row as
+    emitted. Noise is drawn by inverse CDF from the md5-derived
     uniform: |X| = −(1/ε)·ln(u/N) = (L(N) − L(u))/1e6 with u uniform
     on [1, 2^20] and the sign a further hash bit — every ln is of an
     EXACT INTEGER and pinned to floor(ln·1e6 + 0.5) (the survival_km /
