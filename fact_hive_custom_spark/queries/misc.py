@@ -508,3 +508,148 @@ def q_metrics_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_sql_hive_layout",
+    oracle="""
+    SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(1 AS BIGINT) AS n_partitions,
+           CAST(0 AS BIGINT) AS sort_inversions,
+           CAST(0 AS BIGINT) AS cluster_by_violations
+    FROM lineitem
+    WHERE l_suppkey IS NOT NULL AND l_orderkey IS NOT NULL
+    GROUP BY 1
+    ORDER BY suppkey
+    """,
+)
+def q_sql_hive_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive dialect trio DISTRIBUTE BY / SORT BY / CLUSTER BY: the
+    classic Hive layout clauses, EXECUTED and then audited inside the
+    same query. DISTRIBUTE BY k hashes rows to reducers (an Exchange
+    hashpartitioning, no sort); SORT BY orders rows WITHIN each
+    partition only (a partition-local Sort — `Sort [...], false, 0` in
+    the plan, never a global sort); CLUSTER BY k is the contraction of
+    DISTRIBUTE BY k SORT BY k. A Hive user writes these to pre-shape
+    data for bucketed writes or local top-k; the layout itself is not
+    row-content-observable, so the query makes the CONTRACT observable:
+    per distribution key it emits the partition count each key landed
+    in (DISTRIBUTE BY guarantees exactly 1 — RepartitionByExpression
+    hashes a key to one reducer, and unlike REBALANCE, AQE never splits
+    it) and the count of adjacent sort-key inversions inside each
+    partition (SORT BY guarantees 0), alongside a per-key revenue
+    digest the oracle reproduces independently. A second small relation
+    runs through CLUSTER BY and contributes a single violation counter
+    (spread keys + local inversions, contract value 0).
+
+    The partition/position witness is spark_partition_id() +
+    monotonically_increasing_id() captured directly above the layout
+    operators (non-deterministic expressions pin there — Catalyst will
+    not push them through the exchange), and the inversion check is a
+    lag() window over (pid, pos).
+
+    Plan: the layout is one hash exchange + one partition-local sort of
+    the narrow 4-column projection; the audit adds one pid-keyed window
+    exchange of the same narrow rows and a map-combined groupBy — at
+    100 TB the audit costs one extra narrow shuffle, and the layout
+    under test costs exactly what DISTRIBUTE BY costs, which is the
+    point (tests/test_plans.py pins hashpartitioning + local sort)."""
+    from pyspark.sql import Window
+
+    li_view = f"li_hive_{abs(hash(sf_dir)) % 10**8}"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(li_view)
+    laid = spark.sql(
+        f"""
+        SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+               l_orderkey AS orderkey,
+               CAST(l_linenumber AS BIGINT) AS linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM {li_view}
+        WHERE l_suppkey IS NOT NULL AND l_orderkey IS NOT NULL
+        DISTRIBUTE BY suppkey
+        SORT BY suppkey, orderkey, linenumber
+        """
+    )
+    tagged = laid.select(
+        "suppkey",
+        "cents",
+        F.spark_partition_id().alias("pid"),
+        F.monotonically_increasing_id().alias("pos"),
+        F.struct("suppkey", "orderkey", "linenumber").alias("skey"),
+    )
+    w = Window.partitionBy("pid").orderBy("pos")
+    inv = tagged.withColumn("prev", F.lag("skey").over(w)).select(
+        "suppkey",
+        "cents",
+        "pid",
+        F.when(
+            F.col("prev").isNotNull() & (F.col("prev") > F.col("skey")), 1
+        )
+        .otherwise(0)
+        .alias("inv"),
+    )
+    per_key = inv.groupBy("suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.countDistinct("pid").cast("bigint").alias("n_partitions"),
+        F.sum("inv").cast("bigint").alias("sort_inversions"),
+    )
+
+    sup_view = f"sup_hive_{abs(hash(sf_dir)) % 10**8}"
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(sup_view)
+    clustered = spark.sql(
+        f"""
+        SELECT CAST(s_nationkey AS BIGINT) AS nk
+        FROM {sup_view}
+        WHERE s_nationkey IS NOT NULL
+        CLUSTER BY nk
+        """
+    )
+    ct = clustered.select(
+        "nk",
+        F.spark_partition_id().alias("pid"),
+        F.monotonically_increasing_id().alias("pos"),
+    )
+    wc = Window.partitionBy("pid").orderBy("pos")
+    cviol = (
+        ct.withColumn("prev", F.lag("nk").over(wc))
+        .select(
+            "nk",
+            "pid",
+            F.when(
+                F.col("prev").isNotNull() & (F.col("prev") > F.col("nk")), 1
+            )
+            .otherwise(0)
+            .alias("inv"),
+        )
+        .groupBy("nk")
+        .agg(
+            F.countDistinct("pid").alias("np"),
+            F.sum("inv").alias("iv"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("np") > 1, 1).otherwise(0) + F.col("iv")
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("cluster_by_violations")
+        )
+    )
+    return (
+        per_key.crossJoin(F.broadcast(cviol))
+        .select(
+            "suppkey",
+            "n_rows",
+            "sum_cents",
+            "n_partitions",
+            "sort_inversions",
+            "cluster_by_violations",
+        )
+        .orderBy("suppkey")
+    )

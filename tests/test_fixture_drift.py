@@ -442,6 +442,8 @@ NULLABLE_LI_QUERIES = [
     "q_basket_lift",
     "q_agg_histogram2d",
     "q_tpch_q21",
+    # round-12 lineitem consumers
+    "q_sql_hive_layout",
 ]
 
 

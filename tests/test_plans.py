@@ -1921,3 +1921,32 @@ class TestRound11Pins:
             plan = plan_of(spark, name)
             assert "HashAggregate" in plan, name
             assert not plans.uses_python(QUERIES[name](spark, SF_DIR)), name
+
+
+class TestRound12Plans:
+    def test_hive_layout_is_hash_exchange_plus_local_sort(self, spark):
+        """DISTRIBUTE BY must lower to a REPARTITION_BY_COL hash
+        exchange and SORT BY to a partition-LOCAL sort (`false, 0`) on
+        the full sort-key list — never a global sort; CLUSTER BY must
+        produce the same pair on its single key (the q_join_sort_merge
+        pinning discipline)."""
+        plan = plan_of(spark, "q_sql_hive_layout")
+        lines = plan.splitlines()
+        # DISTRIBUTE BY suppkey and CLUSTER BY nk: user-requested
+        # repartitions, not optimizer-inserted ones.
+        rep = [l for l in lines if "REPARTITION_BY_COL" in l]
+        assert len(rep) == 2, plan
+        assert any("suppkey" in l for l in rep), rep
+        assert any("nk" in l for l in rep), rep
+        # SORT BY suppkey, orderkey, linenumber: local (global=false).
+        local_sorts = [l for l in lines if "Sort [" in l and ", false, 0" in l]
+        assert any(
+            "suppkey" in l and "orderkey" in l and "linenumber" in l
+            for l in local_sorts
+        ), local_sorts
+        # CLUSTER BY nk's local sort.
+        assert any("nk#" in l for l in local_sorts), local_sorts
+        # The ONLY global sort is the final deterministic ORDER BY.
+        global_sorts = [l for l in lines if "Sort [" in l and ", true, 0" in l]
+        assert len(global_sorts) == 1, global_sorts
+        assert not plans.uses_python(QUERIES["q_sql_hive_layout"](spark, SF_DIR))
