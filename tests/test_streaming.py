@@ -412,3 +412,129 @@ class TestCheckpointRestartRecovery:
         rows = {(r["key"], r["val"]) for r in out.collect()}
         assert rows == {("k1", 1), ("k2", 2), ("k3", 4)}, rows
         assert out.count() == 3  # k2 emitted exactly once, pre-restart
+
+
+class TestChainedWindowsRestartRecovery:
+    """Kill-and-resume for the TWO-stateful-operator chain
+    (q_stream_chained_windows's 10-min window -> hourly rollup): a
+    cold stop mid-stream and a brand-new query object on the same
+    checkpoint must recover BOTH levels' state stores — pre-restart
+    sub-window partials must merge with post-restart events into the
+    same hourly rows a single uninterrupted run (the batch oracle)
+    produces, with nothing re-emitted and nothing double-counted.
+    State-store schema compatibility across restarts is exactly where
+    multi-stateful-operator streaming breaks in production."""
+
+    def _chained(self, spark, src):
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "0 seconds")
+        )
+        lvl1 = stream.groupBy(F.window("ts", "10 minutes")).agg(
+            F.count(F.lit(1)).alias("n10")
+        )
+        return (
+            lvl1.groupBy(F.window(F.col("window"), "1 hour"))
+            .agg(
+                F.sum("n10").cast("bigint").alias("n"),
+                F.count(F.lit(1)).cast("bigint").alias("n_subwindows"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "n",
+                "n_subwindows",
+            )
+        )
+
+    def test_chained_windows_state_survives_restart(self, spark, tmp_path):
+        import glob
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "sink")
+        os.makedirs(src)
+
+        def start_query():
+            return (
+                self._chained(spark, src)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        n_fed = 0
+        fed: list[tuple] = []
+
+        def feed(query, rows):
+            nonlocal n_fed
+            n_fed += 1
+            fed.extend(rows)
+            df = spark.createDataFrame(rows, schema=SCHEMA)
+            stage = str(tmp_path / f"stage_{n_fed}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(src, f"batch_{n_fed}.parquet"))
+            query.processAllAvailable()
+
+        q1 = start_query()
+        # hour 10: two sub-windows (10:00/10:05 share one, 10:25 its
+        # own); hour 11 opens with one event — its state must survive.
+        feed(q1, [(_t(10), "a", 1), (_t(10, 5), "a", 1), (_t(10, 25), "a", 1), (_t(11, 15), "a", 1)])
+        # second batch: watermark from batch 1 (11:15) has passed hour
+        # 10's end, so its row finalizes HERE, pre-restart; hour 11
+        # accumulates two more sub-windows of open state.
+        feed(q1, [(_t(11, 35), "a", 1), (_t(11, 45), "a", 1)])
+        q1.stop()  # cold stop — two operators' state + offsets on disk
+
+        pre = spark.read.parquet(sink)
+        pre_rows = {
+            (r.window_start, r.n, r.n_subwindows) for r in pre.collect()
+        }
+        assert pre_rows == {(_t(10), 3, 2)}, pre_rows  # hour 10 settled pre-restart
+
+        # NEW query object, same checkpoint: both levels must resume.
+        q2 = start_query()
+        # hour 11 gains its fourth sub-window post-restart; the flush
+        # event advances the watermark past hour 11's end...
+        feed(q2, [(_t(11, 55), "a", 1), (_t(13, 30), "a", 1)])
+        # ...and one more batch lets the append-mode emission happen
+        # (windows finalize against the PREVIOUS batch's watermark).
+        feed(q2, [(_t(13, 40), "a", 1)])
+        q2.stop()
+
+        out = spark.read.parquet(sink)
+        got = {(r.window_start, r.n, r.n_subwindows) for r in out.collect()}
+
+        # single-run batch oracle over everything fed, with the same
+        # append-mode finalization contract (window end <= max ts)
+        all_df = spark.createDataFrame(fed, schema=SCHEMA)
+        max_ts = all_df.agg(F.max("ts")).collect()[0][0]
+        oracle = {
+            (r.window_start, r.n, r.n_subwindows)
+            for r in (
+                all_df.groupBy(F.window("ts", "10 minutes"))
+                .agg(F.count(F.lit(1)).alias("n10"))
+                .groupBy(F.window(F.col("window"), "1 hour"))
+                .agg(
+                    F.sum("n10").cast("bigint").alias("n"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_subwindows"),
+                )
+                .select(
+                    F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    "n",
+                    "n_subwindows",
+                )
+                .filter(F.col("window_end") <= F.lit(max_ts))
+                .collect()
+            )
+        }
+        assert oracle == {(_t(10), 3, 2), (_t(11), 4, 4)}  # fixture sanity
+        assert got == oracle, (got, oracle)
+        # exactly-once: the pre-restart hour was NOT re-emitted, and
+        # hour 11 merged pre+post state into ONE row
+        assert out.count() == 2, out.collect()
