@@ -1470,7 +1470,30 @@ def _pq_lloyd(sub: DataFrame, csub: DataFrame, rounds: int) -> DataFrame:
     return csub
 
 
-def _pq_parts(emb: DataFrame, train_rounds: int = 0, pq_k: int | None = None):
+def _opq_perm_expr(col: str, pq_m: int, sub: int) -> str:
+    """OPQ-lite fixed stride permutation (Spark SQL): new position p
+    (0-based) takes old dim (p DIV sub) + (p MOD sub)·M + 1, so
+    subspace m receives the strided dims {m+1, m+1+M, m+1+2M, …}
+    instead of a contiguous block — the zero-training stand-in for
+    OPQ's learned rotation (Ge et al. 2014): it decorrelates subspaces
+    when adjacent dimensions co-vary. L2 is permutation-invariant, so
+    the exact re-rank and the pq_exact_l2_topk ground truth are
+    untouched. Deterministic and shared verbatim with the DuckDB
+    oracle (list_extract mirror)."""
+    d = pq_m * sub
+    return (
+        f"transform(sequence(0, {d - 1}), p -> element_at({col},"
+        f" CAST(p DIV {sub} + (p % {sub}) * {pq_m} + 1 AS INT)))"
+    )
+
+
+def _pq_parts(
+    emb: DataFrame,
+    train_rounds: int = 0,
+    pq_k: int | None = None,
+    pq_m: int | None = None,
+    opq: bool = False,
+):
     """Spark-side PQ building blocks shared by q_llm_pq_codes,
     q_llm_ivfpq_topk and q_llm_pq_rerank: returns (q, sub, csub,
     best) — the int8-quantized vector relation, the subvector
@@ -1481,9 +1504,16 @@ def _pq_parts(emb: DataFrame, train_rounds: int = 0, pq_k: int | None = None):
     codebook upgrade; q_llm_pq_train oracle-checks the trajectory,
     ANN_RECALL.md measures the recall lift). `pq_k` overrides the
     centroids-per-subspace dial (default _PQ_K=16; ANN_RECALL.md
-    measures K=64 — a 6-bit code, still 8 code-bytes/vector)."""
+    measures K=64 — a 6-bit code, still 8 code-bytes/vector).
+    `pq_m` overrides the subspace count (default _PQ_M=8; M=16 gives
+    4-dim subspaces and 16 code-bytes/vector — finer quantization at
+    2× code storage). `opq` applies the fixed stride permutation
+    (_opq_perm_expr) before the subspace split."""
     if pq_k is None:
         pq_k = _PQ_K
+    if pq_m is None:
+        pq_m = _PQ_M
+    pq_sub = (_PQ_M * _PQ_SUB) // pq_m
     g = emb.agg(
         F.max(
             F.expr(
@@ -1503,6 +1533,10 @@ def _pq_parts(emb: DataFrame, train_rounds: int = 0, pq_k: int | None = None):
             ).alias("qs"),
         )
     )
+    if opq:
+        q = q.select(
+            "vec_id", F.expr(_opq_perm_expr("qs", pq_m, pq_sub)).alias("qs")
+        )
     # Deliberately NOT cached across Lloyd rounds: measured at sf0.1
     # (3 passes), persisting the quantized relation made training
     # SLOWER — median 5.3 s vs 3.7 s — because materializing
@@ -1519,21 +1553,21 @@ def _pq_parts(emb: DataFrame, train_rounds: int = 0, pq_k: int | None = None):
     )
     sub = q.select(
         "vec_id",
-        F.explode(F.expr(f"sequence(1, {_PQ_M})")).alias("m"),
+        F.explode(F.expr(f"sequence(1, {pq_m})")).alias("m"),
         "qs",
     ).select(
         "vec_id",
         F.col("m").cast("bigint").alias("m"),
-        F.expr(f"slice(qs, (m - 1) * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv"),
+        F.expr(f"slice(qs, (m - 1) * {pq_sub} + 1, {pq_sub})").alias("sv"),
     )
     csub = cent.select(
         "cid",
-        F.explode(F.expr(f"sequence(1, {_PQ_M})")).alias("m"),
+        F.explode(F.expr(f"sequence(1, {pq_m})")).alias("m"),
         "cqs",
     ).select(
         "cid",
         F.col("m").cast("bigint").alias("m"),
-        F.expr(f"slice(cqs, (m - 1) * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv"),
+        F.expr(f"slice(cqs, (m - 1) * {pq_sub} + 1, {pq_sub})").alias("cv"),
     )
     if train_rounds:
         csub = _pq_lloyd(sub, csub, train_rounds)
@@ -1563,6 +1597,8 @@ def pq_adc_topk(
     nprobe: int | None = None,
     train_rounds: int = 0,
     pq_k: int | None = None,
+    pq_m: int | None = None,
+    opq: bool = False,
 ) -> DataFrame:
     """Reusable PQ/ADC serving core (q_llm_ivfpq_topk, q_llm_pq_rerank,
     tools/ann_recall.py): top-k neighbors per probe (vec_id < n_probes)
@@ -1591,8 +1627,13 @@ def pq_adc_topk(
 
     `train_rounds` > 0 Lloyd-refines the subspace codebooks before
     codes are assigned (_pq_lloyd) — the ADC distance table is built
-    against the TRAINED centroids, everything downstream unchanged."""
-    q, sub, csub, best = _pq_parts(emb, train_rounds=train_rounds, pq_k=pq_k)
+    against the TRAINED centroids, everything downstream unchanged.
+    `pq_m`/`opq` pass through to _pq_parts (subspace-count dial and
+    the OPQ-lite stride permutation; the exact re-rank is
+    permutation-invariant so only the ADC stage sees either)."""
+    q, sub, csub, best = _pq_parts(
+        emb, train_rounds=train_rounds, pq_k=pq_k, pq_m=pq_m, opq=opq
+    )
     probes = sub.filter(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"), "m", F.col("sv").alias("pv")
     )

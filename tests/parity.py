@@ -248,7 +248,11 @@ def _rows_close(s_rows, d_rows, rtol):
 
 
 def compare(
-    spark, name: str, sf_dir: str = DEFAULT_SF_DIR, rtol: float = 0.0
+    spark,
+    name: str,
+    sf_dir: str = DEFAULT_SF_DIR,
+    rtol: float = 0.0,
+    digest_threshold: int | None = None,
 ) -> tuple[bool, str]:
     """Run query `name` on Spark and DuckDB; return (ok, detail).
 
@@ -259,12 +263,26 @@ def compare(
     (e.g. the flagship's SUM at sf1.0 is ~2.8e10, where the two
     engines' 4-dp rounds differ by ~1e-4 — a 4e-15 relative artifact of
     IEEE754, not a semantic divergence; measured 2026-08-13). Integers,
-    strings, timestamps, row counts, and schemas stay exact."""
+    strings, timestamps, row counts, and schemas stay exact.
+
+    `digest_threshold` (scale runs only): when the Spark result exceeds
+    this many rows, neither result set is dragged through pandas —
+    both engines compute an in-engine digest instead (per-column
+    null counts / sums / min / max plus an order-insensitive md5 row
+    hash over the exactly-comparable columns; see compare_digest).
+    Detection costs one limit(threshold+1) probe, which IS the full
+    materialization for every query at or under the threshold."""
     from fact_hive_custom_spark.queries import ORACLE, QUERIES
 
     sdf = QUERIES[name](spark, sf_dir)
     s_cols = list(sdf.columns)
-    s_rows = _pandas_rows(sdf.toPandas())
+    if digest_threshold is not None:
+        probe = sdf.limit(digest_threshold + 1).toPandas()
+        if len(probe) > digest_threshold:
+            return compare_digest(spark, name, sf_dir, rtol=rtol)
+        s_rows = _pandas_rows(probe)
+    else:
+        s_rows = _pandas_rows(sdf.toPandas())
 
     if name not in ORACLE:
         # The driver records an absent oracle as `err: no_oracle` — keep
@@ -310,3 +328,164 @@ def compare(
             f"(cols sorted: {sorted(s_cols)})",
         )
     return True, f"ok ({len(s_rows)} rows)"
+
+
+# ---------------------------------------------------------------------------
+# In-engine digest comparison for multi-million-row scale outputs
+# (round-11 verdict item 4): neither engine's result set is dragged
+# through pandas — each computes, in its OWN SQL, per-column null
+# counts / sums / min / max plus an order-insensitive md5 row hash over
+# the exactly-comparable columns, and only the two one-row digests are
+# compared. Identical failure sensitivity for every integer / string /
+# timestamp / date / bool cell (they all enter the exact row hash) and
+# count/sum/min/max sensitivity for float cells (which the rtol path
+# only compared blurred anyway).
+
+
+_DIGEST_FSUM_FACTOR = 1000.0  # full-column double sums accumulate
+# order-of-addition error ~n·eps beyond the per-cell rtol; scale the
+# sum tolerance, keep min/max (single cells) at the caller's rtol.
+
+
+def _digest_spec(cols, s_types, d_types):
+    """Per-column digest plan: list of (alias, kind, spark_sql,
+    duck_sql) aggregate entries plus the two engines' row-hash input
+    expressions. kind: 'exact' | 'float' | 'fsum'. Returns None for a
+    column bucket digest mode cannot express (caller falls back)."""
+    aggs = []
+    s_hash, d_hash = [], []
+    for c in sorted(cols):
+        sb = _spark_bucket(s_types[c])
+        sq, dq = f"`{c}`", f'"{c}"'
+        if sb == "ts":
+            se, de, b = f"unix_micros({sq})", f"epoch_us({dq})", "int"
+        elif sb == "date":
+            se, de, b = f"CAST({sq} AS STRING)", f"CAST({dq} AS VARCHAR)", "str"
+        elif sb == "bytes":
+            se, de, b = f"hex({sq})", f"hex({dq})", "str"
+        elif sb == "bool":
+            se, de, b = f"CAST({sq} AS STRING)", f"CAST({dq} AS VARCHAR)", "bool"
+        elif sb in ("int", "float", "str"):
+            se, de, b = sq, dq, sb
+        else:
+            return None  # array/struct/map — not digestable
+        i = len(aggs)
+        aggs.append((f"a{i}", "exact", f"COUNT({se})", f"COUNT({de})"))
+        if b == "int":
+            i = len(aggs)
+            aggs.append((f"a{i}", "exact",
+                         f"SUM(CAST({se} AS DECIMAL(38,0)))",
+                         f"SUM(CAST({de} AS HUGEINT))"))
+            for fn in ("MIN", "MAX"):
+                i = len(aggs)
+                aggs.append((f"a{i}", "exact", f"{fn}({se})", f"{fn}({de})"))
+            s_hash.append(f"CAST({se} AS STRING)")
+            d_hash.append(f"CAST({de} AS VARCHAR)")
+        elif b == "float":
+            i = len(aggs)
+            aggs.append((f"a{i}", "fsum",
+                         f"SUM(CAST({se} AS DOUBLE))",
+                         f"SUM(CAST({de} AS DOUBLE))"))
+            for fn in ("MIN", "MAX"):
+                i = len(aggs)
+                aggs.append((f"a{i}", "float",
+                             f"{fn}(CAST({se} AS DOUBLE))",
+                             f"{fn}(CAST({de} AS DOUBLE))"))
+        elif b == "str":
+            for fn in ("MIN", "MAX"):
+                i = len(aggs)
+                aggs.append((f"a{i}", "exact", f"{fn}({se})", f"{fn}({de})"))
+            s_hash.append(se)
+            d_hash.append(de)
+        else:  # bool: COUNT above + the row hash carry it fully
+            s_hash.append(se)
+            d_hash.append(de)
+    return aggs, s_hash, d_hash
+
+
+def _digest_cell_eq(kind, sv, dv, rtol):
+    """One digest cell: exact kinds normalize Decimal/int and compare
+    equal; float kinds isclose at the caller's rtol (sums scaled)."""
+    if sv is None and dv is None:
+        return True
+    if sv is None or dv is None:
+        return False
+    if kind == "exact":
+        for norm in (lambda v: int(v) if isinstance(v, decimal.Decimal) else v,):
+            sv, dv = norm(sv), norm(dv)
+        return sv == dv
+    sf_, df_ = float(sv), float(dv)
+    if math.isnan(sf_) and math.isnan(df_):
+        return True
+    tol = max(rtol, 1e-12)
+    if kind == "fsum":
+        tol *= _DIGEST_FSUM_FACTOR
+    return math.isclose(sf_, df_, rel_tol=tol, abs_tol=tol)
+
+
+def compare_digest(
+    spark, name: str, sf_dir: str = DEFAULT_SF_DIR, rtol: float = 0.0
+) -> tuple[bool, str]:
+    """Digest-mode comparison (see module note above). Falls back to
+    the full pandas compare() for schemas digest mode cannot express
+    (array/struct columns)."""
+    import uuid
+
+    from fact_hive_custom_spark.queries import ORACLE, QUERIES
+
+    sdf = QUERIES[name](spark, sf_dir)
+    con = duck_connection(sf_dir)
+    rel = con.sql(ORACLE[name])
+    s_types = dict(sdf.dtypes)
+    d_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+    if sorted(s_types) != sorted(d_types.keys()):
+        return False, (
+            f"schema mismatch: spark={sorted(s_types)} duck={sorted(d_types)}"
+        )
+    for c in s_types:
+        sb, db = _spark_bucket(s_types[c]), _duck_bucket(d_types[c])
+        if sb != db:
+            return False, f"dtype bucket mismatch on {c}: {sb} vs {db}"
+
+    spec = _digest_spec(list(s_types), s_types, d_types)
+    if spec is None:
+        return compare(spark, name, sf_dir, rtol=rtol)
+    aggs, s_hash, d_hash = spec
+
+    s_sel = [f"{s} AS {a}" for a, _k, s, _d in aggs] + ["COUNT(*) AS n_rows"]
+    d_sel = [f"{d} AS {a}" for a, _k, _s, d in aggs] + ["COUNT(*) AS n_rows"]
+    kinds = [k for _a, k, _s, _d in aggs] + ["exact"]
+    labels = [f"{a}<{s}>" for a, _k, s, _d in aggs] + ["n_rows"]
+    if s_hash:
+        nul = "chr(1)"
+        s_cat = ", ".join(f"coalesce({e}, {nul})" for e in s_hash)
+        d_cat = ", ".join(f"coalesce({e}, {nul})" for e in d_hash)
+        s_sel.append(
+            "SUM(CAST(conv(substr(md5(concat_ws(chr(31), "
+            f"{s_cat})), 1, 15), 16, 10) AS DECIMAL(38,0))) AS rowhash"
+        )
+        # hex literal parses via BIGINT (15 hex chars = 60 bits); the
+        # SUM accumulates in HUGEINT so multi-million-row totals fit.
+        d_sel.append(
+            "SUM(CAST(('0x' || substr(md5(concat_ws(chr(31), "
+            f"{d_cat})), 1, 15))::BIGINT AS HUGEINT)) AS rowhash"
+        )
+        kinds.append("exact")
+        labels.append("rowhash")
+
+    view = f"digest_{uuid.uuid4().hex[:8]}"
+    sdf.createOrReplaceTempView(view)
+    s_row = spark.sql(f"SELECT {', '.join(s_sel)} FROM {view}").collect()[0]
+    d_row = con.execute(
+        f"SELECT {', '.join(d_sel)} FROM ({ORACLE[name]}) __digest_t"
+    ).fetchone()
+
+    bad = [
+        f"{lab}: spark={sv!r} duck={dv!r}"
+        for lab, kind, sv, dv in zip(labels, kinds, s_row, d_row)
+        if not _digest_cell_eq(kind, sv, dv, rtol)
+    ]
+    if bad:
+        return False, f"digest mismatch ({len(bad)} cells): " + "; ".join(bad[:5])
+    n = s_row[len(aggs)]
+    return True, f"ok (digest mode, {n} rows, rtol={rtol})"
