@@ -1349,41 +1349,66 @@ _PQ_K = 16
 # Shared oracle CTE chain: contract → global scale → int8 grid →
 # centroid table → subvector explodes → per-(vector, subspace,
 # centroid) integer L2² → per-(vector, subspace) argmin code.
-# Parameterized on the centroids-per-subspace dial so the tuned
-# K=64 serving query (q_llm_ann_tuned) shares the exact machinery.
-def _pq_cte_prefix(pq_k: int = _PQ_K) -> str:
+# Parameterized on the centroids-per-subspace dial (pq_k), the
+# subspace-count dial (pq_m — M=16 gives 4-dim cells), and the
+# OPQ-lite stride permutation (opq — the DuckDB mirror of
+# _opq_perm_expr) so the tuned serving query (q_llm_ann_tuned)
+# shares the exact machinery at any measured operating point.
+def _pq_cte_prefix(
+    pq_k: int = _PQ_K, pq_m: int = _PQ_M, opq: bool = False
+) -> str:
+    d = _PQ_M * _PQ_SUB
+    pq_sub = d // pq_m
+    if opq:
+        qs_expr = (
+            f"list_transform(generate_series(0, {d - 1}),"
+            " p -> list_extract(qs0, CAST(p // "
+            f"{pq_sub} + (p % {pq_sub}) * {pq_m} + 1 AS INT)))"
+        )
+        q_cte = f"""q0 AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor((CAST(x AS DOUBLE) * 127) / gscale + 0.5)
+                        AS BIGINT)) AS qs0
+        FROM emb, g WHERE gscale > 0
+    ),
+    q AS (
+        SELECT vec_id, {qs_expr} AS qs FROM q0
+    )"""
+    else:
+        q_cte = """q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor((CAST(x AS DOUBLE) * 127) / gscale + 0.5)
+                        AS BIGINT)) AS qs
+        FROM emb, g WHERE gscale > 0
+    )"""
     return f"""emb AS ({EMB_CONTRACT_SQL}),
     g AS (
         SELECT max(list_max(list_transform(embedding,
                    x -> abs(CAST(x AS DOUBLE))))) AS gscale
         FROM emb
     ),
-    q AS (
-        SELECT vec_id,
-               list_transform(embedding,
-                   x -> CAST(floor((CAST(x AS DOUBLE) * 127) / gscale + 0.5)
-                        AS BIGINT)) AS qs
-        FROM emb, g WHERE gscale > 0
-    ),
+    {q_cte},
     cent AS (
         SELECT vec_id AS cid, qs AS cqs FROM q
         QUALIFY row_number() OVER (ORDER BY vec_id) <= {pq_k}
     ),
     sub AS (
         SELECT vec_id, CAST(m AS BIGINT) AS m,
-               list_slice(qs, (CAST(m AS INT) - 1) * {_PQ_SUB} + 1,
-                          CAST(m AS INT) * {_PQ_SUB}) AS sv
-        FROM q, unnest(generate_series(1, {_PQ_M})) AS t(m)
+               list_slice(qs, (CAST(m AS INT) - 1) * {pq_sub} + 1,
+                          CAST(m AS INT) * {pq_sub}) AS sv
+        FROM q, unnest(generate_series(1, {pq_m})) AS t(m)
     ),
     csub AS (
         SELECT cid, CAST(m AS BIGINT) AS m,
-               list_slice(cqs, (CAST(m AS INT) - 1) * {_PQ_SUB} + 1,
-                          CAST(m AS INT) * {_PQ_SUB}) AS cv
-        FROM cent, unnest(generate_series(1, {_PQ_M})) AS t(m)
+               list_slice(cqs, (CAST(m AS INT) - 1) * {pq_sub} + 1,
+                          CAST(m AS INT) * {pq_sub}) AS cv
+        FROM cent, unnest(generate_series(1, {pq_m})) AS t(m)
     ),
     d AS (
         SELECT s.vec_id, s.m, c.cid,
-               CAST(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+               CAST(list_sum(list_transform(range(1, {pq_sub} + 1),
                    i -> (list_extract(s.sv, CAST(i AS INT))
                          - list_extract(c.cv, CAST(i AS INT)))
                         * (list_extract(s.sv, CAST(i AS INT))
@@ -2360,40 +2385,55 @@ def q_llm_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ANN_TUNED_K = 64  # centroids/subspace (6-bit codes, still 8 bytes/vec)
+_ANN_TUNED_K = 64  # centroids/subspace (6-bit codes)
 _ANN_TUNED_T = 2  # Lloyd training rounds per subspace
 _ANN_TUNED_R = 100  # ADC candidates re-ranked exactly per probe
+_ANN_TUNED_M = 8  # subspaces (code bytes/vector)
+_ANN_TUNED_OPQ = False  # OPQ-lite stride permutation before split
 
 
-@register(
-    "q_llm_ann_tuned",
-    oracle=f"""
-    WITH {_pq_cte_prefix(_ANN_TUNED_K)},
+def _ann_tuned_oracle(
+    pq_k: int = _ANN_TUNED_K,
+    pq_m: int = _ANN_TUNED_M,
+    t_rounds: int = _ANN_TUNED_T,
+    rerank_r: int = _ANN_TUNED_R,
+    opq: bool = _ANN_TUNED_OPQ,
+) -> str:
+    """The q_llm_ann_tuned oracle at ANY (K, M, T, R, OPQ) operating
+    point: _pq_cte_prefix at (K, M, OPQ), a chain of T Lloyd-round
+    CTEs (each mirroring _pq_lloyd bit for bit), ADC over the trained
+    codebook, top-R shortlist, exact full-vector re-rank, top-5."""
+    d = _PQ_M * _PQ_SUB
+    pq_sub = d // pq_m
+    train = ",\n    ".join(
+        _pq_train_round_cte(f"c{i}", str(i + 1)) for i in range(t_rounds)
+    )
+    return f"""
+    WITH {_pq_cte_prefix(pq_k, pq_m, opq)},
     subl AS (
         SELECT vec_id, m, CAST(d AS BIGINT) AS dim,
                sv[CAST(d AS INT)] + 127 AS u
-        FROM sub, unnest(generate_series(1, {_PQ_SUB})) AS t(d)
+        FROM sub, unnest(generate_series(1, {pq_sub})) AS t(d)
     ),
     c0 AS (
         SELECT cid, m, CAST(d AS BIGINT) AS dim,
                cv[CAST(d AS INT)] + 127 AS c
-        FROM csub, unnest(generate_series(1, {_PQ_SUB})) AS t(d)
+        FROM csub, unnest(generate_series(1, {pq_sub})) AS t(d)
     ),
-    {_pq_train_round_cte('c0', '1')},
-    {_pq_train_round_cte('c1', '2')},
-    csub2 AS (
+    {train},
+    csubf AS (
         SELECT cid, m, list(c - 127 ORDER BY dim) AS cv
-        FROM c2 GROUP BY cid, m
+        FROM c{t_rounds} GROUP BY cid, m
     ),
     d2 AS (
         SELECT s.vec_id, s.m, c.cid,
-               CAST(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+               CAST(list_sum(list_transform(range(1, {pq_sub} + 1),
                    i -> (list_extract(s.sv, CAST(i AS INT))
                          - list_extract(c.cv, CAST(i AS INT)))
                         * (list_extract(s.sv, CAST(i AS INT))
                            - list_extract(c.cv, CAST(i AS INT)))))
                     AS BIGINT) AS dist
-        FROM sub s JOIN csub2 c USING (m)
+        FROM sub s JOIN csubf c USING (m)
     ),
     best2 AS (
         SELECT vec_id, m,
@@ -2406,13 +2446,13 @@ _ANN_TUNED_R = 100  # ADC candidates re-ranked exactly per probe
     ),
     dt AS (
         SELECT p.probe_id, p.m, c.cid,
-               CAST(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+               CAST(list_sum(list_transform(range(1, {pq_sub} + 1),
                    i -> (list_extract(p.pv, CAST(i AS INT))
                          - list_extract(c.cv, CAST(i AS INT)))
                         * (list_extract(p.pv, CAST(i AS INT))
                            - list_extract(c.cv, CAST(i AS INT)))))
                     AS BIGINT) AS pdist
-        FROM probes p JOIN csub2 c USING (m)
+        FROM probes p JOIN csubf c USING (m)
     ),
     adc AS (
         SELECT t.probe_id, b.vec_id AS neighbor_id,
@@ -2427,12 +2467,12 @@ _ANN_TUNED_R = 100  # ADC candidates re-ranked exactly per probe
                    PARTITION BY probe_id
                    ORDER BY adc_dist, neighbor_id) AS arnk
         FROM adc
-        QUALIFY arnk <= {_ANN_TUNED_R}
+        QUALIFY arnk <= {rerank_r}
     ),
     ex AS (
         SELECT c.probe_id, c.neighbor_id, c.adc_dist,
                CAST(list_sum(list_transform(
-                   range(1, {_PQ_M * _PQ_SUB} + 1),
+                   range(1, {d} + 1),
                    i -> (list_extract(qp.qs, CAST(i AS INT))
                          - list_extract(qn.qs, CAST(i AS INT)))
                         * (list_extract(qp.qs, CAST(i AS INT))
@@ -2448,7 +2488,12 @@ _ANN_TUNED_R = 100  # ADC candidates re-ranked exactly per probe
                ORDER BY exact_dist, neighbor_id) AS BIGINT) AS rnk
     FROM ex
     QUALIFY rnk <= 5
-    """,
+    """
+
+
+@register(
+    "q_llm_ann_tuned",
+    oracle=_ann_tuned_oracle(),
 )
 def q_llm_ann_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MEASURED ANN serving operating point, promoted to a
@@ -2481,6 +2526,8 @@ def q_llm_ann_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank_r=_ANN_TUNED_R,
         train_rounds=_ANN_TUNED_T,
         pq_k=_ANN_TUNED_K,
+        pq_m=_ANN_TUNED_M,
+        opq=_ANN_TUNED_OPQ,
     )
 
 
