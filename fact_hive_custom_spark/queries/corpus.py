@@ -2385,9 +2385,18 @@ def q_llm_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The shipped operating point — re-tuned in round 12 from the measured
+# dial sweep (ANN_RECALL.md): R=400 lifts recall@5 from 0.610 to
+# 0.848 @ sf1.0 (0.984 @ sf0.1) at UNCHANGED code storage and ADC
+# cost — the re-rank touches only R·|probes| full vectors, the
+# cheapest ≥0.75 rung. The next rung is M=16 (0.894 @ R=100,
+# 0.952 @ R=200) at 2× code bytes and 2× ADC adds; OPQ-lite and T≥3
+# both measured neutral on this isotropic worst-case geometry (OPQ
+# decorrelates subspaces only when adjacent dims co-vary; Lloyd
+# plateaus by T=2) — both stay available as dials.
 _ANN_TUNED_K = 64  # centroids/subspace (6-bit codes)
 _ANN_TUNED_T = 2  # Lloyd training rounds per subspace
-_ANN_TUNED_R = 100  # ADC candidates re-ranked exactly per probe
+_ANN_TUNED_R = 400  # ADC candidates re-ranked exactly per probe
 _ANN_TUNED_M = 8  # subspaces (code bytes/vector)
 _ANN_TUNED_OPQ = False  # OPQ-lite stride permutation before split
 
@@ -2497,19 +2506,25 @@ def _ann_tuned_oracle(
 )
 def q_llm_ann_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MEASURED ANN serving operating point, promoted to a
-    registered query (round-10 verdict item 2): trained PQ with every
-    dial at its costed ≥0.5-recall setting — K=64 centroids/subspace
-    (6-bit codes, still 8 code-bytes/vector), T=2 integer Lloyd
-    training rounds, ADC top-R=100 shortlist re-ranked with EXACT
-    integer L2 over the full quantized vectors, final top-5 per probe.
-    ANN_RECALL.md's dial sweep measured this exact configuration at
-    recall@5 0.610 @ sf1.0 / 0.822 @ sf0.1 on worst-case near-random
-    vectors (vs the 0.046 codes-only K=16 floor) — the first
-    operating point past the ≥0.5 usability bar, shipped as the
-    default rather than documented as an aspiration. The oracle is
-    exact (same trained trajectory, same shortlist, same re-rank), so
-    the tuned path is hash-checked end-to-end, not just
-    recall-measured.
+    registered query (round-10 verdict item 2; re-tuned round 12):
+    trained PQ with every dial at its costed setting — K=64
+    centroids/subspace (6-bit codes, still 8 code-bytes/vector), T=2
+    integer Lloyd training rounds, ADC top-R=400 shortlist re-ranked
+    with EXACT integer L2 over the full quantized vectors, final
+    top-5 per probe. ANN_RECALL.md's round-12 dial sweep measured
+    this exact configuration at recall@5 0.848 @ sf1.0 / 0.984 @
+    sf0.1 on worst-case near-random vectors (vs 0.610 at the retired
+    R=100 point and the 0.046 codes-only K=16 floor) — R is the
+    cheapest ≥0.75 rung because deepening the re-rank touches only
+    R·|probes| full vectors while code storage and the ADC scan are
+    unchanged; the measured next rung (M=16 subspaces: 0.894 @ R=100,
+    0.952 @ R=200) costs 2× code bytes + 2× ADC adds on every corpus
+    vector, and OPQ-lite / T≥3 measured neutral on this isotropic
+    geometry (both remain dials: pq_adc_topk(pq_m=, opq=,
+    train_rounds=)). The oracle is exact (same trained trajectory,
+    same shortlist, same re-rank — _ann_tuned_oracle() builds it at
+    any operating point), so the tuned path is hash-checked
+    end-to-end, not just recall-measured.
 
     Plan: q_llm_pq_trained_topk's pinned shape with bigger constants —
     K·M codebook rows stay broadcast-sized (64·8=512), the ADC stage
