@@ -6,6 +6,7 @@ from fact_hive_custom_spark.queries import (  # noqa: F401
     clustering,
     corpus,
     exact_tests,
+    inequality,
     ir_metrics,
     joins,
     layout,
