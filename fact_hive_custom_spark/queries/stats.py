@@ -3575,3 +3575,223 @@ def q_stat_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 + 0.5) AS BIGINT) END"
         ).alias("ln_or_e6"),
     )
+
+
+@register(
+    "q_stat_gtest",
+    oracle="""
+    WITH e AS (
+        SELECT user_id % 2 AS variant, event_type AS outcome
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    obs AS (
+        SELECT variant, outcome, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM e GROUP BY variant, outcome
+    ),
+    tot AS (
+        SELECT variant, outcome, obs,
+               CAST(SUM(obs) OVER (PARTITION BY variant) AS BIGINT) AS r,
+               CAST(SUM(obs) OVER (PARTITION BY outcome) AS BIGINT) AS c,
+               CAST(SUM(obs) OVER () AS BIGINT) AS n
+        FROM obs
+    ),
+    cells AS (
+        SELECT variant, outcome, obs,
+               CAST(floor(ln(CAST(obs AS DOUBLE) * n
+                             / (CAST(r AS DOUBLE) * c))
+                    * 1000000 + 0.5) AS BIGINT) AS term_e6
+        FROM tot
+    )
+    SELECT variant, outcome, obs, term_e6,
+           CAST(2 * SUM(CAST(obs AS HUGEINT) * term_e6) OVER ()
+                AS BIGINT) AS g_e6
+    FROM cells
+    """,
+)
+def q_stat_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood-ratio test) of independence on the same
+    (user_id-parity variant x event_type) contingency table as
+    q_stat_chisq: G = 2*sum O*ln(O*N/(R*C)). Where chi-square sums
+    squared deviations, G sums scaled log-likelihood terms and
+    PARTITIONS ADDITIVELY across table collapses - the property that
+    lets an experimentation platform reconcile per-country G values
+    against the pooled table, which chi-square cannot do. Emits each
+    cell's observed count and e6 log-term plus the table-wide G.
+
+    Cross-engine determinism: one DOUBLE ln per cell, argument
+    composed identically on both engines (obs*n as DOUBLE over
+    r AS DOUBLE * c - never two divisions), floor-pinned to e6 per
+    the q_llm_charfreq_kl discipline; G is then 2*sum obs*term_e6 in
+    exact integers (HUGEINT/DECIMAL(38,0) headroom: obs*|term| <
+    1e9*2e7 per cell). A zero cell cannot occur in the output (obs
+    rows exist only for observed combinations; the sparse-table
+    convention 0*ln(0) = 0 is the SQL GROUP BY itself).
+
+    Scale: identical to q_stat_chisq - one map-side-combined groupBy
+    shrinks the event log to |variants| x |outcomes| cells; the
+    marginal windows run over that tiny frame. At 100 TB the only
+    cost is the counting shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    obs = (
+        ev.select(
+            (F.col("user_id") % 2).alias("variant"),
+            F.col("event_type").alias("outcome"),
+        )
+        .groupBy("variant", "outcome")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    )
+    tot = obs.select(
+        "variant",
+        "outcome",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("variant")).cast("bigint").alias("r"),
+        F.sum("obs").over(Window.partitionBy("outcome")).cast("bigint").alias("c"),
+        F.sum("obs").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    cells = tot.select(
+        "variant",
+        "outcome",
+        "obs",
+        F.expr(
+            "CAST(floor(ln(CAST(obs AS DOUBLE) * n"
+            " / (CAST(r AS DOUBLE) * c)) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("term_e6"),
+    )
+    return cells.select(
+        "variant",
+        "outcome",
+        "obs",
+        "term_e6",
+        F.expr(
+            "CAST(2 * SUM(CAST(obs AS DECIMAL(38,0)) * term_e6)"
+            " OVER () AS BIGINT)"
+        ).alias("g_e6"),
+    )
+
+
+@register(
+    "q_stat_friedman",
+    oracle="""
+    WITH cell AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS block,
+               o_orderpriority AS treatment,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+          AND o_totalprice IS NOT NULL
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT block, treatment, v,
+               2 * rank() OVER (PARTITION BY block ORDER BY v)
+               + COUNT(*) OVER (PARTITION BY block, v) - 1 AS r2
+        FROM cell
+    ),
+    rsum AS (
+        SELECT treatment,
+               CAST(SUM(r2) AS BIGINT) AS rank2_sum,
+               CAST(COUNT(*) AS BIGINT) AS b
+        FROM ranked GROUP BY treatment
+    ),
+    dims AS (
+        SELECT CAST(MAX(b) AS BIGINT) AS b,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(rank2_sum AS HUGEINT) * rank2_sum)
+                    AS HUGEINT) AS sq
+        FROM rsum
+    )
+    SELECT r.treatment, r.rank2_sum,
+           CAST(d.b AS BIGINT) AS n_blocks,
+           CAST(d.k - 1 AS BIGINT) AS df,
+           CAST(3 * sq * 1000000 // (d.b * d.k * (d.k + 1))
+                - 3 * d.b * (d.k + 1) * 1000000 AS BIGINT) AS friedman_e6
+    FROM rsum r CROSS JOIN dims d
+    ORDER BY r.treatment
+    """,
+)
+def q_stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: do the five order priorities earn
+    systematically different monthly revenue across the twelve 1996
+    blocks? The nonparametric repeated-measures ANOVA - rank the k=5
+    treatments within each month-block, then
+    chi2_F = 12/(b*k*(k+1)) * sum R_j^2 - 3*b*(k+1) on the per-
+    treatment rank sums, df = k-1. Emits each treatment's (doubled)
+    rank sum plus the shared statistic.
+
+    Tie handling is exact midranks kept INTEGER by doubling:
+    r2 = 2*rank + ties - 1 equals twice the average rank of a tied
+    group (revenue-cent ties are then handled identically on both
+    engines, not assumed away), and sum R_j^2 = sum (r2_j/2)^2 folds the
+    /4 into the closed form: chi2_F = 3*sum r2_j^2/(b*k*(k+1)) -
+    3*b*(k+1), all integer until the single e6 floor division
+    (_dfloor; numerator 3*sq*1e6 is a sum of squares, non-negative).
+
+    Scale: the cell table map-combines the order log to b*k = 60
+    rows; ranks, rank sums, and the statistic all run on that frame.
+    At 100 TB the only data-sized cost is the first groupBy - the
+    classic giant-input/tiny-state shape (q_stat_survival_km
+    family)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    cell = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("block"),
+        F.col("o_orderpriority").alias("treatment"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    ranked = cell.select(
+        "block",
+        "treatment",
+        "v",
+        (
+            2 * F.rank().over(Window.partitionBy("block").orderBy("v"))
+            + F.count(F.lit(1)).over(Window.partitionBy("block", "v"))
+            - 1
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    rsum = ranked.groupBy("treatment").agg(
+        F.sum("r2").cast("bigint").alias("rank2_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+    )
+    d38 = "DECIMAL(38,0)"
+    dims = rsum.agg(
+        F.max("b").cast("bigint").alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.expr(f"CAST(rank2_sum AS {d38}) * rank2_sum"))
+        .cast(d38)
+        .alias("sq"),
+    )
+    return (
+        rsum.select("treatment", "rank2_sum")
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "treatment",
+            "rank2_sum",
+            F.col("b").alias("n_blocks"),
+            (F.col("k") - 1).cast("bigint").alias("df"),
+            F.expr(
+                "CAST("
+                + _dfloor(
+                    f"3 * sq * 1000000",
+                    f"CAST(b AS {d38}) * k * (k + 1)",
+                )
+                + f" - CAST(3 AS {d38}) * b * (k + 1) * 1000000 AS BIGINT)"
+            ).alias("friedman_e6"),
+        )
+        .orderBy("treatment")
+    )
