@@ -334,3 +334,92 @@ def q_ir_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE sum_prec_ppm DIV n_rel_cap END AS BIGINT)"
         ).alias("ap_ppm"),
     ).orderBy("probe_id")
+
+
+@register(
+    "q_ir_prec_recall",
+    oracle=f"""
+    WITH {_IR_RANKED_CTE},
+    labcnt AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM emb WHERE label IS NOT NULL GROUP BY label
+    ),
+    hits AS (
+        SELECT probe_id, ANY_VALUE(plab) AS plab,
+               CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+                   AS rel_at_k
+        FROM ranked GROUP BY probe_id
+    ),
+    graded AS (
+        SELECT h.probe_id, h.rel_at_k,
+               CAST(GREATEST(COALESCE(l.n, 0) - 1, 0) AS BIGINT)
+                   AS total_rel
+        FROM hits h LEFT JOIN labcnt l ON h.plab = l.label
+    )
+    SELECT probe_id, rel_at_k, total_rel,
+           CAST(rel_at_k * 1000000 // {_IR_K} AS BIGINT) AS prec_ppm,
+           CAST(CASE WHEN total_rel = 0 THEN 0
+                ELSE rel_at_k * 1000000 // total_rel END AS BIGINT)
+               AS recall_ppm,
+           CAST(2 * rel_at_k * 1000000 // ({_IR_K} + total_rel)
+                AS BIGINT) AS f1_ppm
+    FROM graded
+    ORDER BY probe_id
+    """,
+)
+def q_ir_prec_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@k / Recall@k / F1@k per labeled probe over the exact
+    cosine retrieval run — the third leg of the IR-eval family
+    (q_ir_mrr ranks the first hit, q_ir_ndcg grades positions, this
+    grades set overlap). total_rel is the corpus-wide same-label
+    count minus the probe itself (uncapped — recall is against ALL
+    relevant documents, the standard definition); precision divides
+    by the fixed k. The F1 uses the closed integer form
+    2·rel/(k + total_rel), algebraically exactly 2PR/(P+R) for these
+    P and R, so the ppm value needs ONE integer division (no
+    composed rounding error, no 0/0 guard beyond total_rel = 0 where
+    rel is necessarily 0).
+
+    Plan: identical cost shape to q_ir_mrr — the retrieval run is one
+    corpus pass with broadcast probes and the salted two-stage top-k;
+    the label-count marginal is a 10-row broadcast; everything after
+    groups ≤ NQ·k rows. At 100 TB the metric rides the run it
+    grades."""
+    r = _ranked_run(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir)
+    labcnt = (
+        emb.filter(F.col("label").isNotNull())
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    hits = r.groupBy("probe_id").agg(
+        F.any_value(F.col("plab")).alias("plab"),
+        F.sum(F.when(F.col("rel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("rel_at_k"),
+    )
+    graded = hits.join(
+        F.broadcast(labcnt), hits["plab"] == labcnt["label"], "left"
+    ).select(
+        "probe_id",
+        "rel_at_k",
+        F.expr("CAST(GREATEST(COALESCE(n, 0) - 1, 0) AS BIGINT)").alias(
+            "total_rel"
+        ),
+    )
+    return graded.select(
+        "probe_id",
+        "rel_at_k",
+        "total_rel",
+        F.expr(f"CAST(rel_at_k * 1000000 DIV {_IR_K} AS BIGINT)").alias(
+            "prec_ppm"
+        ),
+        F.expr(
+            "CAST(CASE WHEN total_rel = 0 THEN 0"
+            " ELSE rel_at_k * 1000000 DIV total_rel END AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            f"CAST(2 * rel_at_k * 1000000 DIV ({_IR_K} + total_rel)"
+            " AS BIGINT)"
+        ).alias("f1_ppm"),
+    ).orderBy("probe_id")
