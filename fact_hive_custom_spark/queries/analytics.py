@@ -2731,3 +2731,104 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_graph_adamic_adar",
+    oracle=f"""
+    WITH {_COOC_EDGE_CTES.strip()},
+    adj AS (
+        SELECT u AS node, v AS nbr FROM e
+        UNION ALL SELECT v AS node, u AS nbr FROM e
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+    centers AS (SELECT node, d FROM deg WHERE d <= 64),
+    wedges AS (
+        SELECT a.nbr AS na, b.nbr AS nb,
+               CAST(floor(1000000000 / ln(CAST(c.d AS DOUBLE)) + 0.5)
+                    AS BIGINT) AS term_e9
+        FROM adj a
+        JOIN centers c USING (node)
+        JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+    ),
+    scored AS (
+        SELECT na, nb, CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST(SUM(term_e9) AS BIGINT) AS aa_e9
+        FROM wedges GROUP BY na, nb
+    )
+    SELECT na AS user_a, nb AS user_b, n_common, aa_e9
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = s.na AND e.v = s.nb)
+    ORDER BY aa_e9 DESC, user_a, user_b
+    LIMIT 50
+    """,
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the co-occurrence graph:
+    non-adjacent user pairs scored by AA = sum over common neighbors z
+    of 1/ln(deg z) - the degree-weighted refinement of
+    q_graph_link_predict's Jaccard (a shared OBSCURE contact is
+    stronger evidence than a shared hub). Each wedge center
+    contributes a term_e9 = floor(1e9/ln(d) + 0.5) computed ONCE per
+    center from its exact degree (one DOUBLE ln, floor-pinned - the
+    charfreq_kl discipline), so the pair score is an exact integer
+    sum immune to addition order. A common neighbor has >= 2
+    neighbors by construction, so ln(d) >= ln 2 and the term is
+    always defined.
+
+    Plan: shared capped edge builder (one source of truth with the
+    rest of the q_graph_* family), wedges expand from per-node SORTED
+    neighbor sets bounded by the same degree-64 hub guard as
+    link_predict (a hub's wedges are uninformative AND cost deg^2 -
+    same rule, same constant), existing edges anti-join out, and the
+    top-50 is a TakeOrdered under the (aa_e9, a, b) total order. The
+    center's term broadcasts WITH the wedge row (no extra join:
+    size(ns) is the degree), so the whole score pipeline adds zero
+    shuffles beyond link_predict's."""
+    e = _cooccurrence_edges(spark, sf_dir)
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    sets = (
+        adj.groupBy("node")
+        .agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
+        # degree-1 nodes yield no wedges anyway, but their ln(1) = 0
+        # would put an Infinity through the ANSI bigint cast if the
+        # projection ever evaluates before the generator prunes them.
+        .filter((F.size("ns") <= 64) & (F.size("ns") >= 2))
+    )
+    wedges = (
+        sets.select(
+            F.expr(
+                "CAST(floor(1000000000 / ln(CAST(size(ns) AS DOUBLE))"
+                " + 0.5) AS BIGINT)"
+            ).alias("term_e9"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) ->"
+                    " transform(slice(ns, i + 2, size(ns)),"
+                    " y -> struct(x AS na, y AS nb))))"
+                )
+            ).alias("p"),
+        )
+        .select("p.na", "p.nb", "term_e9")
+    )
+    scored = wedges.groupBy("na", "nb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum("term_e9").cast("bigint").alias("aa_e9"),
+    )
+    non_edges = scored.join(
+        e,
+        (scored["na"] == e["u"]) & (scored["nb"] == e["v"]),
+        "left_anti",
+    )
+    return (
+        non_edges.select(
+            F.col("na").alias("user_a"),
+            F.col("nb").alias("user_b"),
+            "n_common",
+            "aa_e9",
+        )
+        .orderBy(F.desc("aa_e9"), "user_a", "user_b")
+        .limit(50)
+    )
