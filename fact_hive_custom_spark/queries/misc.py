@@ -653,3 +653,99 @@ def q_sql_hive_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+@register(
+    "q_sql_qualify",
+    oracle="""
+    SELECT CAST(o_custkey AS BIGINT) AS custkey,
+           CAST(o_orderkey AS BIGINT) AS orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+    FROM orders
+    WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+    QUALIFY rn <= 2
+    ORDER BY custkey, rn
+    """,
+)
+def q_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY-clause semantics: each customer's top-2 orders by
+    price - the window-filter idiom DuckDB/Snowflake/BigQuery spell
+    as QUALIFY and open-source Spark SQL spells as a ranked subquery
+    with an outer WHERE (the mechanical translation a user migrating
+    in either direction writes). The ORACLE runs the literal QUALIFY;
+    the Spark side runs the subquery form; identical rows prove the
+    dialect mapping exact (the q_sql_hive_layout charter clause,
+    pointed the other way: engine-specific syntax, engine-neutral
+    semantics).
+
+    Plan: Catalyst rewrites rank-filter-over-window into
+    WindowGroupLimit (Spark 3.5+): each shuffle partition keeps a
+    per-key top-2 heap BEFORE the full sort, so the exchange carries
+    at most 2 rows per customer instead of every order - the
+    difference between a window and a top-k at 100 TB
+    (tests/test_plans.py pins the WindowGroupLimit node)."""
+    o_view = f"ord_q_{abs(hash(sf_dir)) % 10**8}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(o_view)
+    return spark.sql(
+        f"""
+        SELECT custkey, orderkey, cents, rn FROM (
+            SELECT CAST(o_custkey AS BIGINT) AS custkey,
+                   CAST(o_orderkey AS BIGINT) AS orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+                       AS rn
+            FROM {o_view}
+            WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        ) WHERE rn <= 2
+        ORDER BY custkey, rn
+        """
+    )
+
+
+@register(
+    "q_sql_lateral_view",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 50
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.text IS NULL THEN NULL
+                ELSE t.i - 1 END AS BIGINT) AS pos,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE d.toks[t.i] END AS token
+    FROM d, unnest(generate_series(
+        1, CASE WHEN d.text IS NULL THEN 1 ELSE len(d.toks) END)) AS t(i)
+    ORDER BY doc_id, pos NULLS FIRST
+    """,
+)
+def q_sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive LATERAL VIEW OUTER posexplode - the Hive-dialect
+    row-generator a migrating Hive user types in week one (the
+    q_sql_hive_layout clause family, generator edition). Spark runs
+    the LITERAL Hive syntax; the oracle reproduces the semantics with
+    a correlated unnest + explicit OUTER row (NULL text keeps its
+    carrier row with NULL pos/token - exactly posexplode_outer's
+    contract; an EMPTY string is ['']: one empty token at pos 0 on
+    both engines, the split convention shared repo-wide).
+
+    Plan: a generator is map-side only - no shuffle, no sort until
+    the presentation ORDER BY; the doc_id < 50 filter reaches the
+    parquet scan, so the explode touches 50 documents regardless of
+    corpus size. At 100 TB LATERAL VIEW costs exactly the selected
+    rows' fan-out."""
+    d_view = f"docs_lv_{abs(hash(sf_dir)) % 10**8}"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(d_view)
+    return spark.sql(
+        f"""
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, token
+        FROM (SELECT doc_id, text FROM {d_view} WHERE doc_id < 50) d
+        LATERAL VIEW OUTER posexplode(split(d.text, ' ')) x AS pos, token
+        ORDER BY doc_id, pos NULLS FIRST
+        """
+    )

@@ -1824,7 +1824,9 @@ class TestRound11Plans:
         assert "TakeOrderedAndProject" in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
-    @pytest.mark.parametrize("name", ["q_ir_mrr", "q_ir_ndcg", "q_ir_map"])
+    @pytest.mark.parametrize(
+        "name", ["q_ir_mrr", "q_ir_ndcg", "q_ir_map", "q_ir_prec_recall"]
+    )
     def test_ir_grading_tail_is_bounded(self, spark, name):
         """The retrieval run is the cosine_topk pinned shape (probes
         broadcast, salted two-stage top-k); the grading tail adds only
@@ -1950,3 +1952,98 @@ class TestRound12Plans:
         global_sorts = [l for l in lines if "Sort [" in l and ", true, 0" in l]
         assert len(global_sorts) == 1, global_sorts
         assert not plans.uses_python(QUERIES["q_sql_hive_layout"](spark, SF_DIR))
+
+
+class TestRound12bPins:
+    """Plan-shape pins for the round-12 widening batch: each locks
+    the scale property its docstring claims."""
+
+    def test_qualify_is_window_group_limited(self, spark):
+        """The ranked-subquery QUALIFY translation must plan as a
+        Partial WindowGroupLimit BELOW the hash exchange and a Final
+        one above it — each map task ships at most 2 rows per
+        customer, never the full order log — and the rank window then
+        sees only the survivors."""
+        plan = plan_of(spark, "q_sql_qualify")
+        lines = plan.splitlines()
+        partial = [i for i, l in enumerate(lines)
+                   if "WindowGroupLimit" in l and "Partial" in l]
+        final = [i for i, l in enumerate(lines)
+                 if "WindowGroupLimit" in l and "Final" in l]
+        assert partial and final, plan[:2000]
+        # Final sits above (lower index than) the exchange; Partial below.
+        exch = [i for i, l in enumerate(lines)
+                if "Exchange hashpartitioning" in l]
+        assert exch and final[0] < exch[0] < partial[0], (
+            final, exch, partial)
+        assert not plans.uses_python(QUERIES["q_sql_qualify"](spark, SF_DIR))
+
+    def test_lateral_view_is_shuffle_free_generate(self, spark):
+        """LATERAL VIEW OUTER posexplode must lower to a single outer
+        Generate with ZERO hash exchanges (the only exchange is the
+        presentation ORDER BY's range partitioning) and the doc_id
+        filter pushed to the parquet scan."""
+        plan = plan_of(spark, "q_sql_lateral_view")
+        assert "Generate posexplode" in plan, plan[:1500]
+        assert "Exchange hashpartitioning" not in plan
+        assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)" in plan.replace(
+            " ", ""
+        ) or "LessThan(doc_id,50)" in plan.replace(" ", ""), plan[:2500]
+        assert not plans.uses_python(
+            QUERIES["q_sql_lateral_view"](spark, SF_DIR)
+        )
+
+    def test_gini_single_rank_window(self, spark):
+        """Gini costs one segment-partitioned rank window over
+        two-scalar rows plus map-combined aggregates — exactly one
+        Window node, no Python, no cartesian."""
+        plan = plan_of(spark, "q_stat_gini")
+        assert plan.count("Window [") == 1 or plan.count(" Window ") >= 1
+        assert "CartesianProduct" not in plan
+        assert not plans.uses_python(QUERIES["q_stat_gini"](spark, SF_DIR))
+
+    def test_theil_has_no_window(self, spark):
+        """Theil is two map-combined aggregations and a broadcast of
+        the |segments|-row totals — no window, no sort before the
+        presentation ORDER BY, no Python."""
+        plan = plan_of(spark, "q_stat_theil")
+        assert "Window" not in plan or "WindowGroupLimit" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert not plans.uses_python(QUERIES["q_stat_theil"](spark, SF_DIR))
+
+    def test_hhi_dim_joins_broadcast(self, spark):
+        """The lineitem→supplier and →nation dim joins must broadcast
+        (never sort-merge the fact table against a dim), leaving the
+        revenue groupBy as the only fact-sized exchange."""
+        plan = plan_of(spark, "q_stat_hhi")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert not plans.uses_python(QUERIES["q_stat_hhi"](spark, SF_DIR))
+
+    def test_gtest_collapses_like_chisq(self, spark):
+        """The G-test shares q_stat_chisq's shape: one map-combined
+        groupBy to |variants|×|outcomes| cells; the marginal windows
+        run over that tiny frame, all JVM-side."""
+        plan = plan_of(spark, "q_stat_gtest")
+        assert "HashAggregate" in plan
+        assert not plans.uses_python(QUERIES["q_stat_gtest"](spark, SF_DIR))
+
+    def test_friedman_collapses_to_cell_table(self, spark):
+        """Friedman's order-log aggregation must be map-combined; the
+        rank windows and statistic run on the b×k = 60-row cell
+        frame, all JVM-side."""
+        plan = plan_of(spark, "q_stat_friedman")
+        assert "HashAggregate" in plan
+        assert not plans.uses_python(QUERIES["q_stat_friedman"](spark, SF_DIR))
+
+    def test_adamic_adar_is_bounded_wedge_expansion(self, spark):
+        """AA wedges expand from per-node sorted neighbor sets (one
+        Generate), never an unbounded adjacency⋈adjacency shuffle; the
+        top-50 is a bounded TakeOrdered heap; no Python."""
+        plan = plan_of(spark, "q_graph_adamic_adar")
+        assert "Generate explode" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        assert not plans.uses_python(
+            QUERIES["q_graph_adamic_adar"](spark, SF_DIR)
+        )
