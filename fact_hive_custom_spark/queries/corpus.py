@@ -2915,3 +2915,137 @@ def q_llm_kn_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cont"), "word")
         .limit(50)
     )
+
+
+@register(
+    "q_llm_lm_interp",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+        FROM toks
+    ),
+    dbg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+    c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM dbg WHERE doc_id % 2 = 0 GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+    ),
+    uni AS (
+        SELECT tok AS w2, CAST(COUNT(*) AS BIGINT) AS cu FROM (
+            SELECT unnest(t) AS tok FROM toks WHERE doc_id % 2 = 0
+        ) GROUP BY tok
+    ),
+    tv AS (
+        SELECT CAST(SUM(cu) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM uni
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               CAST(floor(-ln(
+                   CASE WHEN COALESCE(c1.c1, 0) > 0 THEN
+                       0.75 * COALESCE(c12.c12, 0) / c1.c1 ELSE 0.0 END
+                   + 0.25 * (COALESCE(uni.cu, 0) + 1.0)
+                     / (tv.t + tv.v + 1.0)) * 1000000 + 0.5) AS BIGINT)
+                   AS nll_e6
+        FROM dbg d
+        LEFT JOIN c12 ON d.w1 = c12.w1 AND d.w2 = c12.w2
+        LEFT JOIN c1 ON d.w1 = c1.w1
+        LEFT JOIN uni ON d.w2 = uni.w2
+        CROSS JOIN tv
+        WHERE d.doc_id % 2 = 1
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nll_e6) // COUNT(*) AS BIGINT) AS avg_nll_e6
+    FROM scored GROUP BY doc_id
+    ORDER BY avg_nll_e6 DESC, doc_id LIMIT 20
+    """,
+)
+def q_llm_lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out interpolated bigram LM eval: train Jelinek-Mercer
+    counts on EVEN doc_ids, score ODD doc_ids with
+    p(w2|w1) = 0.75*c12/c1 + 0.25*(cu+1)/(T+V+1) - the proper
+    train/eval split q_llm_bigram_ppl (self-scored, add-one) does not
+    have, and the linear-interpolation smoothing family KenLM-style
+    filters actually use (unigram back-off floor handles unseen
+    bigrams AND unseen unigrams, so every probability is > 0 and the
+    surprisal total). Emits the 20 highest-perplexity held-out
+    documents.
+
+    Float discipline: one DOUBLE expression per scored bigram,
+    composed character-identically on both engines (the CASE's bigram
+    term, then the add-one unigram term), floor-pinned to e6 BEFORE
+    the per-doc integer sum - the q_llm_bigram_ppl law, extended to
+    an interpolated model.
+
+    Plan: bigrams explode map-side; train counts map-combine on
+    (w1, w2), w1, and w2; the 1-row (T, V) broadcast-attaches; the
+    held-out stream left-joins counts on the SAME keys the counting
+    shuffles produced, and the final per-doc sum moves (doc_id, int)
+    pairs. Top-20 is TakeOrderedAndProject. Text never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    dbg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                "             element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    train = dbg.filter(F.col("doc_id") % 2 == 0)
+    c12 = train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    uni = (
+        toks.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode("toks").alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    )
+    tv = uni.agg(
+        F.sum("cu").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    scored = (
+        dbg.filter(F.col("doc_id") % 2 == 1)
+        .join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(uni, "w2", "left")
+        .crossJoin(F.broadcast(tv))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(floor(-ln("
+                " CASE WHEN COALESCE(c1, 0) > 0 THEN"
+                " 0.75 * COALESCE(c12, 0) / c1 ELSE 0.0 END"
+                " + 0.25 * (COALESCE(cu, 0) + 1.0)"
+                " / (t + v + 1.0)) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("nll_e6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.expr("CAST(SUM(nll_e6) DIV COUNT(*) AS BIGINT)").alias(
+                "avg_nll_e6"
+            ),
+        )
+        .orderBy(F.desc("avg_nll_e6"), "doc_id")
+        .limit(20)
+    )

@@ -1745,3 +1745,170 @@ def q_llm_xval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "q_llm_js_divergence",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    sc AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS a
+        FROM tok GROUP BY source, token
+    ),
+    st AS (
+        SELECT source, CAST(SUM(a) AS BIGINT) AS a_tot
+        FROM sc GROUP BY source
+    ),
+    ct AS (
+        SELECT token, CAST(SUM(a) AS BIGINT) AS c FROM sc GROUP BY token
+    ),
+    tt AS (SELECT CAST(SUM(a) AS BIGINT) AS t FROM sc),
+    cells AS (
+        SELECT sc.source, sc.token, sc.a,
+               ct.c - sc.a AS b,
+               st.a_tot AS aa,
+               tt.t - st.a_tot AS bb
+        FROM sc JOIN st USING (source)
+                JOIN ct USING (token)
+                CROSS JOIN tt
+    ),
+    terms AS (
+        SELECT source, aa, bb,
+               CAST(floor(ln(2.0 * a * bb / (CAST(a AS DOUBLE) * bb
+                                             + CAST(b AS DOUBLE) * aa))
+                    * 1000000 + 0.5) AS BIGINT) AS lp_e6,
+               CASE WHEN b > 0 THEN
+                   CAST(floor(ln(2.0 * b * aa / (CAST(a AS DOUBLE) * bb
+                                                 + CAST(b AS DOUBLE) * aa))
+                        * 1000000 + 0.5) AS BIGINT) END AS lq_e6,
+               a, b
+        FROM cells WHERE bb > 0
+    ),
+    sums AS (
+        SELECT source,
+               CAST(MAX(aa) AS BIGINT) AS n_tok_src,
+               CAST(MAX(bb) AS BIGINT) AS n_tok_rest,
+               CAST(SUM(CAST(a AS HUGEINT) * lp_e6) AS HUGEINT) AS np,
+               CAST(SUM(CASE WHEN b > 0
+                    THEN CAST(b AS HUGEINT) * lq_e6 ELSE 0 END)
+                    AS HUGEINT) AS nq
+        FROM terms GROUP BY source
+    )
+    SELECT source, n_tok_src, n_tok_rest,
+           CAST(CASE WHEN np >= 0 THEN np // (2 * CAST(n_tok_src AS HUGEINT))
+                ELSE -((-np) // (2 * CAST(n_tok_src AS HUGEINT))) END
+              + CASE WHEN nq >= 0 THEN nq // (2 * CAST(n_tok_rest AS HUGEINT))
+                ELSE -((-nq) // (2 * CAST(n_tok_rest AS HUGEINT))) END
+              AS BIGINT) AS js_e6
+    FROM sums ORDER BY source
+    """,
+)
+def q_llm_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence of the token distribution
+    against the REST of the corpus - the symmetric, bounded (<= ln 2)
+    drift score dataset cards report where q_llm_charfreq_kl's KL is
+    asymmetric and unbounded. JS(P||Q) = 1/2 KL(P||M) + 1/2 KL(Q||M),
+    M = (P+Q)/2, with P = the source's distribution and Q = the
+    complement's, computed from ONE shared count table (b = corpus
+    count minus source count - the rest-distribution needs no second
+    scan).
+
+    Exactness: each cell's ln(p/m) = ln(2aB/(aB+bA)) and
+    ln(q/m) = ln(2bA/(aB+bA)) is ONE DOUBLE ln of integer products
+    composed character-identically on both engines (a*B <= ~5e14 at
+    sf1.0, inside the 2^53 exact-integer window; past that, pre-scale
+    the counts - documented trade-off), floor-pinned to e6; the
+    weighted sums then run in exact integers and the two final
+    divisions are sign-symmetric truncation spelled as the same CASE
+    on both engines (cells where p < m go negative even though each
+    KL total is >= 0 - the theil_e6 lesson). Cells with a = 0
+    contribute only via the rest-side (they do not exist in the
+    per-source rows: GROUP BY is the sparse convention); b = 0 cells
+    skip the q-term (q = 0 contributes zero to KL(Q||M)). A source
+    comprising the ENTIRE corpus (B = 0) is dropped - JS against an
+    empty complement is undefined, identically on both engines.
+
+    Plan: one tokenize scan map-combines to (source, token) cells;
+    the source and corpus marginals re-aggregate the CELL table (not
+    the corpus); everything downstream is algebra on |sources| rows.
+    Same cost shape as q_llm_charfreq_kl: the tokenize shuffle IS the
+    query."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    sc = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    st = sc.groupBy("source").agg(F.sum("a").cast("bigint").alias("a_tot"))
+    ct = sc.groupBy("token").agg(F.sum("a").cast("bigint").alias("c"))
+    tt = sc.agg(F.sum("a").cast("bigint").alias("t"))
+    cells = (
+        sc.join(st, "source")
+        .join(ct, "token")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "source",
+            "token",
+            "a",
+            (F.col("c") - F.col("a")).alias("b"),
+            F.col("a_tot").alias("aa"),
+            (F.col("t") - F.col("a_tot")).alias("bb"),
+        )
+        .filter(F.col("bb") > 0)
+    )
+    terms = cells.select(
+        "source",
+        "aa",
+        "bb",
+        "a",
+        "b",
+        F.expr(
+            "CAST(floor(ln(2.0 * a * bb / (CAST(a AS DOUBLE) * bb"
+            " + CAST(b AS DOUBLE) * aa)) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("lp_e6"),
+        F.expr(
+            "CASE WHEN b > 0 THEN"
+            " CAST(floor(ln(2.0 * b * aa / (CAST(a AS DOUBLE) * bb"
+            " + CAST(b AS DOUBLE) * aa)) * 1000000 + 0.5) AS BIGINT) END"
+        ).alias("lq_e6"),
+    )
+    d38 = "DECIMAL(38,0)"
+    sums = terms.groupBy("source").agg(
+        F.max("aa").cast("bigint").alias("n_tok_src"),
+        F.max("bb").cast("bigint").alias("n_tok_rest"),
+        F.sum(F.expr(f"CAST(a AS {d38}) * lp_e6")).cast(d38).alias("np"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN b > 0 THEN CAST(b AS {d38}) * lq_e6"
+                f" ELSE CAST(0 AS {d38}) END"
+            )
+        )
+        .cast(d38)
+        .alias("nq"),
+    )
+    from fact_hive_custom_spark.queries.stats import _dfloor
+
+    def _symdiv(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN {num} >= 0 THEN " + _dfloor(num, den)
+            + f" ELSE -(" + _dfloor(f"-({num})", den) + ") END"
+        )
+
+    return sums.select(
+        "source",
+        "n_tok_src",
+        "n_tok_rest",
+        F.expr(
+            "CAST("
+            + _symdiv("np", f"2 * CAST(n_tok_src AS {d38})")
+            + " + "
+            + _symdiv("nq", f"2 * CAST(n_tok_rest AS {d38})")
+            + " AS BIGINT)"
+        ).alias("js_e6"),
+    ).orderBy("source")
