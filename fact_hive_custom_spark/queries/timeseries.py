@@ -2371,3 +2371,138 @@ def q_ts_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_ts_holt_linear",
+    oracle="""
+    WITH RECURSIVE cell AS (
+        SELECT o_orderpriority AS priority, o_orderdate AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+          AND o_totalprice IS NOT NULL
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1996-07-01'
+        GROUP BY 1, 2
+    ),
+    pts AS (
+        SELECT priority, day, v,
+               CAST(row_number() OVER (
+                   PARTITION BY priority ORDER BY day) AS BIGINT) AS t
+        FROM cell
+    ),
+    rec AS (
+        SELECT priority, t, day, v,
+               CAST(v AS BIGINT) AS level, CAST(0 AS BIGINT) AS trend
+        FROM pts WHERE t = 1
+        UNION ALL
+        SELECT p.priority, p.t, p.day, p.v,
+               CAST(floor((p.v + r.level + r.trend) / 2.0) AS BIGINT),
+               CAST(floor((floor((p.v + r.level + r.trend) / 2.0)
+                           - r.level + r.trend) / 2.0) AS BIGINT)
+        FROM rec r JOIN pts p
+          ON p.priority = r.priority AND p.t = r.t + 1
+    )
+    SELECT priority, t, day, v, level, trend,
+           CAST(level + trend AS BIGINT) AS forecast_next
+    FROM rec
+    ORDER BY priority, t
+    """,
+)
+def q_ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) of daily
+    revenue per order priority over 1996-H1, alpha = beta = 1/2 - the
+    trend-aware upgrade of q_ts_ewma, emitting every day's smoothed
+    level, trend, and one-step-ahead forecast. A linear recurrence
+    has no closed windowed form, so the engines diverge in HOW they
+    iterate while agreeing bit-for-bit on WHAT: state stays in exact
+    bigint cents and each half-step is floor(x / 2.0) on an
+    integer-valued DOUBLE (exact: the values sit far inside the 2^53
+    window, binary halving is lossless, and floor is floor on both
+    engines - no DIV truncation semantics in sight). Init l_1 = v_1,
+    b_1 = 0; then l_t = floor((v_t + l + b)/2), b_t =
+    floor((l_t - l + b)/2) over the OBSERVED-day sequence.
+
+    Spark runs the recurrence as an aggregate() fold over each
+    series' date-sorted (day, v) array - one lambda, JVM-side, no
+    Python, no driver loop; the DuckDB oracle runs the SAME
+    recurrence as a recursive CTE. Third shape: an independent
+    pure-Python re-derivation in tests/test_operators.py.
+
+    Scale: the per-series fold is the applyInPandas-free form of
+    "sequential per key, parallel across keys" - series fit executor
+    memory by construction (a year of daily points per key); the
+    corpus-sized work is ONE map-combined groupBy to |series|x|days|
+    cells. For series too long to collect per key, checkpoint the
+    state per calendar shard and chain (SCALING.md trade-off note);
+    at 60M orders this plan never materializes more than 181 structs
+    per series."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    cell = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    series = cell.groupBy("priority").agg(
+        F.sort_array(
+            F.collect_list(F.struct("day", "v"))
+        ).alias("pts")
+    )
+    # fold state: rows = the emitted array, l/b = current level/trend,
+    # t = position. l1 must be inlined twice in the trend update
+    # (lambdas have no let-binding).
+    folded = series.select(
+        "priority",
+        F.expr(
+            """
+            aggregate(
+              slice(pts, 2, greatest(size(pts) - 1, 0)),
+              named_struct(
+                'rows', array(named_struct(
+                    't', CAST(1 AS BIGINT), 'day', pts[0].day,
+                    'v', pts[0].v, 'level', pts[0].v,
+                    'trend', CAST(0 AS BIGINT))),
+                'l', pts[0].v, 'b', CAST(0 AS BIGINT),
+                't', CAST(1 AS BIGINT)),
+              (acc, x) -> named_struct(
+                'rows', concat(acc.rows, array(named_struct(
+                    't', acc.t + 1, 'day', x.day, 'v', x.v,
+                    'level', CAST(floor((x.v + acc.l + acc.b) / 2.0)
+                                  AS BIGINT),
+                    'trend', CAST(floor((floor((x.v + acc.l + acc.b) / 2.0)
+                                         - acc.l + acc.b) / 2.0)
+                                  AS BIGINT)))),
+                'l', CAST(floor((x.v + acc.l + acc.b) / 2.0) AS BIGINT),
+                'b', CAST(floor((floor((x.v + acc.l + acc.b) / 2.0)
+                                 - acc.l + acc.b) / 2.0) AS BIGINT),
+                't', acc.t + 1),
+              acc -> acc.rows)
+            """
+        ).alias("rows"),
+    )
+    return (
+        folded.select("priority", F.explode("rows").alias("r"))
+        .select(
+            "priority",
+            F.col("r.t").alias("t"),
+            F.col("r.day").alias("day"),
+            F.col("r.v").alias("v"),
+            F.col("r.level").alias("level"),
+            F.col("r.trend").alias("trend"),
+            (F.col("r.level") + F.col("r.trend"))
+            .cast("bigint")
+            .alias("forecast_next"),
+        )
+        .orderBy("priority", "t")
+    )

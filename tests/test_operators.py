@@ -1394,3 +1394,130 @@ class TestDpHistogram:
             signs.add(nd > 0)
             assert r.epsilon_e6 == 1000000
         assert signs == {True, False}, "both noise signs should occur"
+
+
+class TestRound12Rederivations:
+    """Independent third implementations of the round-12 operators:
+    pure Python over collected base rows, exact-integer equality
+    against the Spark result (the round-11 math.comb layer's
+    discipline, extended)."""
+
+    def test_holt_linear_matches_python_recurrence(self, spark):
+        import math
+
+        from fact_hive_custom_spark.queries import QUERIES
+        from fact_hive_custom_spark.tables import load_table
+
+        rows = QUERIES["q_ts_holt_linear"](spark, SF_DIR).collect()
+        assert rows, "holt output should be non-empty"
+        # rebuild every series from raw orders with pure Python ints
+        o = (
+            load_table(spark, SF_DIR, "orders")
+            .filter(
+                "o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL"
+                " AND o_totalprice IS NOT NULL"
+                " AND o_orderdate >= DATE '1996-01-01'"
+                " AND o_orderdate < DATE '1996-07-01'"
+            )
+            .collect()
+        )
+        cells: dict = {}
+        for r in o:
+            key = (r.o_orderpriority, r.o_orderdate)
+            cents = int(
+                (r.o_totalprice * 100).quantize(1)
+                if hasattr(r.o_totalprice, "quantize")
+                else round(r.o_totalprice * 100)
+            )
+            cells[key] = cells.get(key, 0) + cents
+        series: dict = {}
+        for (prio, day), v in sorted(cells.items()):
+            series.setdefault(prio, []).append((day, v))
+        expect = {}
+        for prio, pts in series.items():
+            l, b = pts[0][1], 0
+            expect[(prio, 1)] = (pts[0][0], pts[0][1], l, b)
+            for t, (day, v) in enumerate(pts[1:], start=2):
+                l1 = math.floor((v + l + b) / 2)
+                b1 = math.floor((l1 - l + b) / 2)
+                l, b = l1, b1
+                expect[(prio, t)] = (day, v, l, b)
+        assert len(rows) == len(expect)
+        for r in rows:
+            day, v, l, b = expect[(r.priority, r.t)]
+            assert (r.day, r.v, r.level, r.trend) == (day, v, l, b), r
+            assert r.forecast_next == l + b
+
+    def test_gini_matches_python_rank_formula(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+
+        got = {
+            r.segment: r for r in QUERIES["q_stat_gini"](spark, SF_DIR).collect()
+        }
+        from fact_hive_custom_spark.tables import load_table
+
+        o = load_table(spark, SF_DIR, "orders").filter(
+            "o_custkey IS NOT NULL AND o_totalprice IS NOT NULL"
+        )
+        c = load_table(spark, SF_DIR, "customer").filter(
+            "c_mktsegment IS NOT NULL"
+        )
+        spend_rows = (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment", "o_custkey")
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .alias("x")
+            )
+            .collect()
+        )
+        by_seg: dict = {}
+        for r in spend_rows:
+            by_seg.setdefault(r.c_mktsegment, []).append(int(r.x))
+        assert set(by_seg) == set(got)
+        for seg, xs in by_seg.items():
+            xs.sort()
+            n, s = len(xs), sum(xs)
+            six = sum(i * x for i, x in enumerate(xs, start=1))
+            gini = (2 * six - (n + 1) * s) * 1_000_000 // (n * s)
+            r = got[seg]
+            assert (r.n_customers, r.sum_cents, r.gini_e6) == (n, s, gini), seg
+
+    def test_js_divergence_is_bounded_and_symmetric_parts(self, spark):
+        import math
+
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_llm_js_divergence"](spark, SF_DIR).collect()
+        assert rows
+        ln2_e6 = math.floor(math.log(2) * 1_000_000 + 0.5)
+        for r in rows:
+            # JS in nats is bounded by ln 2; allow the e6 rounding hair
+            assert -5 <= r.js_e6 <= ln2_e6 + 5, r
+            assert r.n_tok_src > 0 and r.n_tok_rest > 0
+
+    def test_friedman_rank_sums_are_complete(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_stat_friedman"](spark, SF_DIR).collect()
+        k = len(rows)
+        assert k >= 2
+        b = rows[0].n_blocks
+        # doubled midranks per block sum to k(k+1), so totals must
+        # sum to b*k*(k+1) regardless of ties
+        assert sum(r.rank2_sum for r in rows) == b * k * (k + 1)
+        assert all(r.df == k - 1 for r in rows)
+        assert len({r.friedman_e6 for r in rows}) == 1
+
+    def test_prec_recall_f1_identity(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_ir_prec_recall"](spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert r.prec_ppm == r.rel_at_k * 1_000_000 // 10
+            if r.total_rel:
+                assert r.recall_ppm == r.rel_at_k * 1_000_000 // r.total_rel
+            else:
+                assert r.recall_ppm == 0 and r.rel_at_k == 0
+            assert r.f1_ppm == 2 * r.rel_at_k * 1_000_000 // (10 + r.total_rel)
