@@ -1,8 +1,8 @@
 """Concentration / inequality statistics — the revenue-distribution
 diagnostics a marketplace analytics team runs per segment and per
-market: Gini coefficient (customer-spend inequality), Theil T index
-(its decomposable cousin), and the Herfindahl–Hirschman index
-(supplier market concentration, the antitrust screen).
+market: Theil T index (the decomposable inequality measure; the plain
+Gini lives at q_agg_gini, stats.py:508) and the Herfindahl–Hirschman
+index (supplier market concentration, the antitrust screen).
 
 House discipline throughout: money stays in exact bigint cents, every
 statistic lands in an e6/e12-scaled integer, the ONLY floating-point
@@ -27,107 +27,6 @@ from fact_hive_custom_spark.queries.stats import _dfloor
 from fact_hive_custom_spark.tables import load_table
 
 _D38 = "DECIMAL(38,0)"
-
-
-@register(
-    "q_stat_gini",
-    oracle="""
-    WITH spend AS (
-        SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
-               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
-                    AS BIGINT) AS x
-        FROM orders o
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        WHERE o.o_custkey IS NOT NULL AND o.o_totalprice IS NOT NULL
-          AND c.c_mktsegment IS NOT NULL
-        GROUP BY 1, 2
-    ),
-    ranked AS (
-        SELECT segment, x,
-               row_number() OVER (
-                   PARTITION BY segment ORDER BY x, custkey) AS i
-        FROM spend
-    ),
-    agg AS (
-        SELECT segment,
-               CAST(COUNT(*) AS HUGEINT) AS n,
-               CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
-               CAST(SUM(CAST(i AS HUGEINT) * x) AS HUGEINT) AS six
-        FROM ranked GROUP BY segment
-    )
-    SELECT segment,
-           CAST(n AS BIGINT) AS n_customers,
-           CAST(s AS BIGINT) AS sum_cents,
-           CAST((2 * six - (n + 1) * s) * 1000000 // (n * s) AS BIGINT)
-               AS gini_e6
-    FROM agg ORDER BY segment
-    """,
-)
-def q_stat_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini coefficient of customer spend per market segment — the
-    classic inequality score ("how concentrated is our revenue across
-    customers?") behind whale-risk reviews. Uses the exact rank
-    formula G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over the ascending
-    spend order: all integer arithmetic, no float anywhere. The
-    custkey tiebreak only fixes WHICH row carries a rank — within a
-    tied spend group the rank-sum is permutation-invariant, so tied
-    spends cannot make engines disagree (the q_llm_length_percentiles
-    argument).
-
-    Plan: one map-combined groupBy to per-customer spend, a
-    segment-partitioned rank window over (x, custkey) pairs (two
-    scalars per row in the exchange), then a second map-combined
-    aggregate to |segments| rows. Cross terms Σ i·x reach ~1e24·1e6
-    at sf1.0, so the moment sums and the final quotient run in
-    DECIMAL(38,0)/HUGEINT via _dfloor (numerator 2Σix−(n+1)Σx ≥ 0:
-    Gini is non-negative, so the non-negative-operand contract
-    holds). At 100 TB the rank window is the classic distributed
-    exact-rank split: pre-bucket by spend range per segment and
-    offset ranks; everything else is map-combined."""
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
-    )
-    c = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment").isNotNull()
-    )
-    spend = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .groupBy(
-            F.col("c_mktsegment").alias("segment"),
-            F.col("o_custkey").alias("custkey"),
-        )
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("x")
-        )
-    )
-    ranked = spend.select(
-        "segment",
-        "x",
-        F.row_number()
-        .over(Window.partitionBy("segment").orderBy("x", "custkey"))
-        .cast("bigint")
-        .alias("i"),
-    )
-    agg = ranked.groupBy("segment").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("s"),
-        F.sum(F.expr(f"CAST(i AS {_D38}) * x")).cast(_D38).alias("six"),
-    )
-    return agg.select(
-        "segment",
-        F.col("n").alias("n_customers"),
-        F.col("s").alias("sum_cents"),
-        F.expr(
-            "CAST("
-            + _dfloor(
-                f"(2 * six - (CAST(n AS {_D38}) + 1) * s) * 1000000",
-                f"CAST(n AS {_D38}) * s",
-            )
-            + " AS BIGINT)"
-        ).alias("gini_e6"),
-    ).orderBy("segment")
 
 
 @register(

@@ -99,6 +99,10 @@ DOC_QUERIES = [
     "q_agg_hll_custom",
     "q_llm_xval_split",
     "q_fn_regexp",
+    # round-12 document consumers
+    "q_llm_lm_interp",
+    "q_llm_js_divergence",
+    "q_sql_lateral_view",
 ]
 
 # Queries over the embeddings table (element/label dtype sensitive).
@@ -274,6 +278,9 @@ NULLABLE_EVT_QUERIES = [
     "q_stat_mcnemar",
     "q_stat_cohens_kappa",
     "q_graph_clustering_coeff",
+    # round-12 events consumers
+    "q_stat_gtest",
+    "q_graph_adamic_adar",
     "q_fn_map",
     "q_fn_json",
     "q_event_transitions",
@@ -379,6 +386,11 @@ NULLABLE_ORD_QUERIES = [
     "q_stat_bh_fdr",
     "q_stat_paired_ttest",
     "q_agg_theta_sketch",
+    # round-12 orders consumers
+    "q_stat_theil",
+    "q_stat_friedman",
+    "q_ts_holt_linear",
+    "q_sql_qualify",
 ]
 
 
@@ -438,6 +450,8 @@ NULLABLE_LI_QUERIES = [
     "q_ship_delay_hist",
     "q_sql_pipe",
     "q_tpch_q14",
+    # round-12 lineitem consumer
+    "q_stat_hhi",
     "q_tpch_q6",
     "q_basket_lift",
     "q_agg_histogram2d",

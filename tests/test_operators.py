@@ -1448,40 +1448,43 @@ class TestRound12Rederivations:
             assert (r.day, r.v, r.level, r.trend) == (day, v, l, b), r
             assert r.forecast_next == l + b
 
-    def test_gini_matches_python_rank_formula(self, spark):
+    def test_hhi_matches_python_integer_formula(self, spark):
         from fact_hive_custom_spark.queries import QUERIES
-
-        got = {
-            r.segment: r for r in QUERIES["q_stat_gini"](spark, SF_DIR).collect()
-        }
         from fact_hive_custom_spark.tables import load_table
 
-        o = load_table(spark, SF_DIR, "orders").filter(
-            "o_custkey IS NOT NULL AND o_totalprice IS NOT NULL"
+        got = {
+            r.nation: r for r in QUERIES["q_stat_hhi"](spark, SF_DIR).collect()
+        }
+        li = load_table(spark, SF_DIR, "lineitem").filter(
+            "l_suppkey IS NOT NULL AND l_extendedprice IS NOT NULL"
         )
-        c = load_table(spark, SF_DIR, "customer").filter(
-            "c_mktsegment IS NOT NULL"
+        sup = load_table(spark, SF_DIR, "supplier").filter(
+            "s_nationkey IS NOT NULL"
         )
-        spend_rows = (
-            o.join(c, o["o_custkey"] == c["c_custkey"])
-            .groupBy("c_mktsegment", "o_custkey")
+        nat = {
+            r.n_nationkey: r.n_name
+            for r in load_table(spark, SF_DIR, "nation").collect()
+        }
+        rev_rows = (
+            li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+            .groupBy("s_nationkey", "l_suppkey")
             .agg(
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-                .alias("x")
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                .alias("r")
             )
             .collect()
         )
-        by_seg: dict = {}
-        for r in spend_rows:
-            by_seg.setdefault(r.c_mktsegment, []).append(int(r.x))
-        assert set(by_seg) == set(got)
-        for seg, xs in by_seg.items():
-            xs.sort()
-            n, s = len(xs), sum(xs)
-            six = sum(i * x for i, x in enumerate(xs, start=1))
-            gini = (2 * six - (n + 1) * s) * 1_000_000 // (n * s)
-            r = got[seg]
-            assert (r.n_customers, r.sum_cents, r.gini_e6) == (n, s, gini), seg
+        by_nation: dict = {}
+        for r in rev_rows:
+            by_nation.setdefault(nat[r.s_nationkey], []).append(int(r.r))
+        assert set(by_nation) == set(got)
+        for nation, rs in by_nation.items():
+            s = sum(rs)
+            shares = [r * 1_000_000_000 // s for r in rs]
+            hhi = sum(sh * sh for sh in shares) // 1_000_000
+            row = got[nation]
+            assert (row.n_suppliers, row.rev_cents, row.hhi_e12) == (
+                len(rs), s, hhi), nation
 
     def test_js_divergence_is_bounded_and_symmetric_parts(self, spark):
         import math

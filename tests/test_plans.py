@@ -1993,15 +1993,6 @@ class TestRound12bPins:
             QUERIES["q_sql_lateral_view"](spark, SF_DIR)
         )
 
-    def test_gini_single_rank_window(self, spark):
-        """Gini costs one segment-partitioned rank window over
-        two-scalar rows plus map-combined aggregates — exactly one
-        Window node, no Python, no cartesian."""
-        plan = plan_of(spark, "q_stat_gini")
-        assert plan.count("Window [") == 1 or plan.count(" Window ") >= 1
-        assert "CartesianProduct" not in plan
-        assert not plans.uses_python(QUERIES["q_stat_gini"](spark, SF_DIR))
-
     def test_theil_has_no_window(self, spark):
         """Theil is two map-combined aggregations and a broadcast of
         the |segments|-row totals — no window, no sort before the
