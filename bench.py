@@ -122,6 +122,15 @@ HEADLINE = [
     # segment sort serializes the distinct relation through one task)
     "q_stat_permutation_test",
     "q_agg_theta_sketch",
+    # round-12: the held-out interpolated-LM scoring join (the eval
+    # bigram stream left-joins three count tables on the keys their
+    # counting shuffles produced — a regression re-keying the corpus
+    # or re-exploding train text shows as a step change) and the
+    # QUALIFY translation (WindowGroupLimit Partial/Final — a
+    # regression back to the full window ships every order through
+    # the exchange instead of ≤2 rows per customer)
+    "q_llm_lm_interp",
+    "q_sql_qualify",
 ]
 
 
