@@ -59,20 +59,29 @@ def _asof_directional(
     # a ROWS frame (see module docstring). Backward: frame ends at the
     # current row (or -1 when strict, with rights sorted after lefts);
     # forward is the exact mirror.
+    # Both directions run as a RUNNING [UNBOUNDED PRECEDING, current-1|0]
+    # frame: forward traverses the REVERSED total order instead of using
+    # a [current, UNBOUNDED FOLLOWING] frame — Spark evaluates the
+    # following-frame first_value by re-scanning the partition tail per
+    # row, O(run²) in the gap between right rows (measured 62 s vs 11 s
+    # per column on a 10.5 M-row grid — the round-12 q_ts_gapfill
+    # finding; at 100 TB a single by-key's series makes the quadratic
+    # fatal). "First right at-or-after in ascending order" IS "last
+    # right at-or-before in descending order" when every sort key is
+    # mirrored, so the reversed pass is semantically identical.
     side_order: Column
     if forward:
-        side_order = F.col("__side").asc() if strict else F.col("__side").desc()
-        frame = (1 if strict else 0, Window.unboundedFollowing)
-        pick = F.first
+        # mirror of the backward order: ts desc, side mirrored, tiebreak
+        # desc; at an equal ts the side that sorted AFTER lefts ascending
+        # must sort BEFORE them descending (and vice versa).
+        side_order = F.col("__side").desc() if strict else F.col("__side").asc()
+        order = [F.col(ts).desc(), side_order, F.col(tiebreak).desc()]
     else:
         side_order = F.col("__side").desc() if strict else F.col("__side").asc()
-        frame = (Window.unboundedPreceding, -1 if strict else 0)
-        pick = F.last
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(ts).asc(), side_order, F.col(tiebreak).asc())
-        .rowsBetween(*frame)
-    )
+        order = [F.col(ts).asc(), side_order, F.col(tiebreak).asc()]
+    frame = (Window.unboundedPreceding, -1 if strict else 0)
+    pick = F.last
+    w = Window.partitionBy(*by).orderBy(*order).rowsBetween(*frame)
     carried = [
         pick(F.col(f"__carry_{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
         for c in carry

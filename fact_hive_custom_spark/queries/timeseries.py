@@ -143,10 +143,20 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The backward fill is a RUNNING frame over the REVERSED sort, not
+    # a [CURRENT ROW, UNBOUNDED FOLLOWING] frame: Spark evaluates the
+    # following-frame first_value by re-scanning the partition tail
+    # per row — O(gap run²), measured 62 s vs 11 s per column on the
+    # 10.5 M-row sf1.0 grid (3 backward columns ≈ the whole 200 s
+    # wall; round-12 sweep finding). first non-null at-or-after in
+    # ascending order IS last non-null at-or-before in descending
+    # order, so the reversed running frame is semantically identical
+    # and linear; the extra descending sort of the same partition is
+    # one cheap pass.
     wn = (
         Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ob = F.col("s")
     marked = F.when(ob.isNotNull(), F.col("bucket"))
@@ -154,9 +164,9 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.withColumn("pv_s", F.last("s", ignorenulls=True).over(wp))
         .withColumn("pv_n", F.last("n", ignorenulls=True).over(wp))
         .withColumn("pb", F.last(marked, ignorenulls=True).over(wp))
-        .withColumn("nv_s", F.first("s", ignorenulls=True).over(wn))
-        .withColumn("nv_n", F.first("n", ignorenulls=True).over(wn))
-        .withColumn("nb", F.first(marked, ignorenulls=True).over(wn))
+        .withColumn("nv_s", F.last("s", ignorenulls=True).over(wn))
+        .withColumn("nv_n", F.last("n", ignorenulls=True).over(wn))
+        .withColumn("nb", F.last(marked, ignorenulls=True).over(wn))
     )
     value_e4 = F.expr(
         "CASE WHEN s IS NOT NULL THEN (2 * s + n) DIV (2 * n)"
