@@ -2038,3 +2038,20 @@ class TestRound12bPins:
         assert not plans.uses_python(
             QUERIES["q_graph_adamic_adar"](spark, SF_DIR)
         )
+
+    def test_theta_join_inputs_are_collapsed_histograms(self, spark):
+        """q_join_theta's theta join must consume the per-(brand, size)
+        count cells, never raw part rows — the pair set is O(Σ n_k²)
+        on raw rows (~8e10 pairs at sf1.0, measured 154 s) vs the
+        1 250-cell weighted join (6.4 s). Pin: a join carrying the
+        size band condition with an aggregate BELOW it on each side,
+        and the scan pruned to the two join scalars."""
+        plan = plan_of(spark, "q_join_theta")
+        lines = plan.splitlines()
+        join_idx = [i for i, l in enumerate(lines)
+                    if ("HashJoin" in l or "SortMergeJoin" in l)]
+        assert join_idx, plan[:1500]
+        below = "\n".join(lines[join_idx[0]:])
+        assert below.count("HashAggregate") >= 2, below[:1500]
+        assert "ReadSchema: struct<p_brand:string,p_size:int>" in plan
+        assert not plans.uses_python(QUERIES["q_join_theta"](spark, SF_DIR))
