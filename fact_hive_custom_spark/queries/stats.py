@@ -3795,3 +3795,89 @@ def q_stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("treatment")
     )
+
+
+@register(
+    "q_stat_wilson_ci",
+    oracle="""
+    WITH e AS (
+        SELECT user_id % 2 AS variant,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    agg AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(hit) AS BIGINT) AS x
+        FROM e GROUP BY variant
+    )
+    SELECT variant, n, x,
+           CAST(x * 1000000 // n AS BIGINT) AS rate_ppm,
+           CAST(floor(
+               ((CAST(x AS DOUBLE) / n + 3.8416 / (2.0 * n))
+                / (1.0 + 3.8416 / n)
+                - 1.96 * sqrt((CAST(x AS DOUBLE) / n)
+                              * (1.0 - CAST(x AS DOUBLE) / n) / n
+                              + 3.8416 / (4.0 * n * n))
+                  / (1.0 + 3.8416 / n)) * 1000000 + 0.5) AS BIGINT)
+               AS wilson_lo_e6,
+           CAST(floor(
+               ((CAST(x AS DOUBLE) / n + 3.8416 / (2.0 * n))
+                / (1.0 + 3.8416 / n)
+                + 1.96 * sqrt((CAST(x AS DOUBLE) / n)
+                              * (1.0 - CAST(x AS DOUBLE) / n) / n
+                              + 3.8416 / (4.0 * n * n))
+                  / (1.0 + 3.8416 / n)) * 1000000 + 0.5) AS BIGINT)
+               AS wilson_hi_e6
+    FROM agg ORDER BY variant
+    """,
+)
+def q_stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score interval for each variant's purchase-through
+    rate - the small-sample-correct CI an experimentation platform
+    reports beside q_stat_prop_ztest's test decision (the normal
+    interval collapses badly near 0/1 rates; Wilson inverts the score
+    test instead). z = 1.96 and z^2 = 3.8416 are LITERALS embedded
+    identically on both engines.
+
+    Determinism note: unlike ln (platform libm, pinned per-cell
+    elsewhere), sqrt is IEEE-754 CORRECTLY ROUNDED on every platform,
+    so the whole interval is composed in DOUBLE with a single
+    character-identical expression on both engines and floor-pinned
+    to e6 only at the end - the one float pipeline in the repo that
+    needs no intermediate pin, and the docstring says WHY.
+
+    Plan: one map-combined groupBy collapses the event log to
+    |variants| (n, x) pairs; the interval is per-row scalar algebra
+    on that tiny frame. The counting shuffle is the query."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    agg = (
+        ev.select(
+            (F.col("user_id") % 2).alias("variant"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("hit"),
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("hit").cast("bigint").alias("x"),
+        )
+    )
+    lo = (
+        "CAST(floor(((CAST(x AS DOUBLE) / n + 3.8416 / (2.0 * n))"
+        " / (1.0 + 3.8416 / n)"
+        " - 1.96 * sqrt((CAST(x AS DOUBLE) / n)"
+        " * (1.0 - CAST(x AS DOUBLE) / n) / n"
+        " + 3.8416 / (4.0 * n * n)) / (1.0 + 3.8416 / n))"
+        " * 1000000 + 0.5) AS BIGINT)"
+    )
+    hi = lo.replace("- 1.96 * sqrt", "+ 1.96 * sqrt")
+    return agg.select(
+        "variant",
+        "n",
+        "x",
+        F.expr("CAST(x * 1000000 DIV n AS BIGINT)").alias("rate_ppm"),
+        F.expr(lo).alias("wilson_lo_e6"),
+        F.expr(hi).alias("wilson_hi_e6"),
+    ).orderBy("variant")

@@ -2516,3 +2516,167 @@ def q_ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "t")
     )
+
+
+_LB_LAGS = 5
+_LB_RESCALE = 10000000  # fixed divisor on the n-scaled centered values
+
+
+@register(
+    "q_ts_ljung_box",
+    oracle=f"""
+    WITH day AS (
+        SELECT o_orderdate AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1
+    ),
+    dims AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s
+        FROM day
+    ),
+    y AS (
+        SELECT d, (CAST(n AS HUGEINT) * x - s) // {_LB_RESCALE} AS yr,
+               n, row_number() OVER (ORDER BY d) AS t
+        FROM day CROSS JOIN dims
+    ),
+    lagged AS (
+        SELECT t, n, yr,
+               lead(yr, 1) OVER (ORDER BY t) AS y1,
+               lead(yr, 2) OVER (ORDER BY t) AS y2,
+               lead(yr, 3) OVER (ORDER BY t) AS y3,
+               lead(yr, 4) OVER (ORDER BY t) AS y4,
+               lead(yr, 5) OVER (ORDER BY t) AS y5
+        FROM y
+    ),
+    mom AS (
+        SELECT CAST(MAX(n) AS HUGEINT) AS n,
+               CAST(SUM(yr * yr) AS HUGEINT) AS b,
+               CAST(SUM(yr * y1) AS HUGEINT) AS a1,
+               CAST(SUM(yr * y2) AS HUGEINT) AS a2,
+               CAST(SUM(yr * y3) AS HUGEINT) AS a3,
+               CAST(SUM(yr * y4) AS HUGEINT) AS a4,
+               CAST(SUM(yr * y5) AS HUGEINT) AS a5
+        FROM lagged
+    ),
+    lags AS (
+        SELECT n, b, k,
+               CASE k WHEN 1 THEN a1 WHEN 2 THEN a2 WHEN 3 THEN a3
+                      WHEN 4 THEN a4 ELSE a5 END AS a
+        FROM mom, unnest(generate_series(1, {_LB_LAGS})) AS t(k)
+    ),
+    terms AS (
+        SELECT CAST(k AS BIGINT) AS lag,
+               CAST(CASE WHEN a >= 0 THEN 1 ELSE -1 END AS BIGINT)
+                   AS r_sign,
+               CAST(a * a * 1000000 // (b * b) AS BIGINT) AS r2_ppm,
+               CAST(n * (n + 2) * (a * a * 1000000 // (b * b))
+                    // ((n - k) * 1000000) * 1000000
+                  + n * (n + 2) * (a * a * 1000000 // (b * b))
+                    % ((n - k) * 1000000) * 1000000
+                    // ((n - k) * 1000000) AS BIGINT) AS q_term_e6
+        FROM lags
+    )
+    SELECT lag, r_sign, r2_ppm, q_term_e6,
+           CAST(SUM(q_term_e6) OVER (ORDER BY lag) AS BIGINT) AS q_cum_e6
+    FROM terms ORDER BY lag
+    """,
+)
+def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily-revenue series:
+    Q(m) = n(n+2) * sum_{k=1..m} r_k^2/(n-k) over lags 1..5 - the "is
+    this series white noise?" gate run before trusting q_ts_anomaly's
+    independence assumption or fitting q_ts_holt_linear's trend.
+
+    Exact-integer discipline end to end (NO float anywhere): center by
+    the n-scaled identity y_t = n*x_t - S (integers; the /n^2 cancels
+    in every ratio), rescale by the fixed divisor 1e7 once
+    (deterministic integer division, identical both engines - the
+    q_ts_autocorr overflow rule: raw y^2 sums reach ~1e30 and their
+    squares would blow past DECIMAL38), then r_k^2 = A_k^2*1e6 DIV B^2
+    <= 1e6 by Cauchy-Schwarz, and each Q term multiplies by the
+    integer n(n+2) before a two-step remainder-carrying division by
+    (n-k)*1e6 (quotient*1e6 + remainder*1e6 DIV divisor - exact to the
+    e6 floor without 1e45-scale intermediates). Emits per-lag rows
+    with the cumulative Q so every prefix Q(1..m) is readable.
+
+    Plan: the order log map-combines to ~2 400 day rows (bounded by
+    the calendar, independent of sf); the lead windows, moment sums,
+    and the 5-row lag expansion all run on that frame - the classic
+    giant-input/tiny-state shape. The counting shuffle is the
+    query."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    day = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    d38 = "DECIMAL(38,0)"
+    dims = day.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    y = day.crossJoin(F.broadcast(dims)).select(
+        "d",
+        "n",
+        F.expr(
+            f"CAST((CAST(n AS {d38}) * x - s) DIV {_LB_RESCALE} AS BIGINT)"
+        ).alias("yr"),
+    )
+    w = Window.orderBy("d")
+    lagged = y.select(
+        "n",
+        "yr",
+        *[F.lead("yr", k).over(w).alias(f"y{k}") for k in range(1, _LB_LAGS + 1)],
+    )
+    mom = lagged.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.expr(f"CAST(yr AS {d38}) * yr")).cast(d38).alias("b"),
+        *[
+            F.sum(F.expr(f"CAST(yr AS {d38}) * y{k}")).cast(d38).alias(f"a{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    lags = mom.select(
+        "n",
+        "b",
+        F.explode(F.expr(f"sequence(1, {_LB_LAGS})")).alias("k"),
+        *[F.col(f"a{k}") for k in range(1, _LB_LAGS + 1)],
+    ).select(
+        "n",
+        "b",
+        "k",
+        F.expr(
+            "CASE k WHEN 1 THEN a1 WHEN 2 THEN a2 WHEN 3 THEN a3"
+            " WHEN 4 THEN a4 ELSE a5 END"
+        ).alias("a"),
+    )
+    terms = lags.select(
+        F.col("k").cast("bigint").alias("lag"),
+        F.expr("CAST(CASE WHEN a >= 0 THEN 1 ELSE -1 END AS BIGINT)").alias(
+            "r_sign"
+        ),
+        F.expr("CAST(a * a * 1000000 DIV (b * b) AS BIGINT)").alias("r2_ppm"),
+        F.expr(
+            f"CAST(CAST(n AS {d38}) * (n + 2) * (a * a * 1000000 DIV (b * b))"
+            " DIV ((n - k) * 1000000) * 1000000"
+            f" + CAST(n AS {d38}) * (n + 2) * (a * a * 1000000 DIV (b * b))"
+            " % ((n - k) * 1000000) * 1000000"
+            " DIV ((n - k) * 1000000) AS BIGINT)"
+        ).alias("q_term_e6"),
+    )
+    return terms.select(
+        "lag",
+        "r_sign",
+        "r2_ppm",
+        "q_term_e6",
+        F.sum("q_term_e6")
+        .over(Window.orderBy("lag"))
+        .cast("bigint")
+        .alias("q_cum_e6"),
+    ).orderBy("lag")

@@ -281,6 +281,7 @@ NULLABLE_EVT_QUERIES = [
     # round-12 events consumers
     "q_stat_gtest",
     "q_graph_adamic_adar",
+    "q_stat_wilson_ci",
     "q_fn_map",
     "q_fn_json",
     "q_event_transitions",
@@ -391,6 +392,7 @@ NULLABLE_ORD_QUERIES = [
     "q_stat_friedman",
     "q_ts_holt_linear",
     "q_sql_qualify",
+    "q_ts_ljung_box",
 ]
 
 

@@ -2055,3 +2055,14 @@ class TestRound12bPins:
         assert below.count("HashAggregate") >= 2, below[:1500]
         assert "ReadSchema: struct<p_brand:string,p_size:int>" in plan
         assert not plans.uses_python(QUERIES["q_join_theta"](spark, SF_DIR))
+
+    def test_wilson_and_ljung_collapse_first(self, spark):
+        """Wilson CI and Ljung-Box both collapse the fact table
+        map-combined before any scalar algebra (giant-input/tiny-state);
+        Ljung-Box's windows run on the ~2,400-day frame, all
+        JVM-side."""
+        for name in ("q_stat_wilson_ci", "q_ts_ljung_box"):
+            plan = plan_of(spark, name)
+            assert "HashAggregate" in plan, name
+            assert "CartesianProduct" not in plan, name
+            assert not plans.uses_python(QUERIES[name](spark, SF_DIR)), name
