@@ -3881,3 +3881,84 @@ def q_stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(lo).alias("wilson_lo_e6"),
         F.expr(hi).alias("wilson_hi_e6"),
     ).orderBy("variant")
+
+
+@register(
+    "q_stat_srm",
+    oracle="""
+    WITH e AS (
+        SELECT user_id % 2 AS variant FROM events
+        WHERE user_id IS NOT NULL
+    ),
+    obs AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n
+        FROM e GROUP BY variant
+    ),
+    tot AS (
+        SELECT variant, n, CAST(SUM(n) OVER () AS BIGINT) AS t
+        FROM obs
+    )
+    SELECT variant, n, t,
+           CAST(n * 1000000 // t AS BIGINT) AS share_ppm,
+           CAST(floor(
+               (n - t / 2.0) * (n - t / 2.0) / (t / 2.0)
+               * 1000000 + 0.5) AS BIGINT) AS gof_term_e6,
+           CAST(SUM(CAST(floor(
+               (n - t / 2.0) * (n - t / 2.0) / (t / 2.0)
+               * 1000000 + 0.5) AS BIGINT)) OVER () AS BIGINT)
+               AS srm_chisq_e6,
+           CAST(CASE WHEN SUM(CAST(floor(
+                    (n - t / 2.0) * (n - t / 2.0) / (t / 2.0)
+                    * 1000000 + 0.5) AS BIGINT)) OVER () > 3841459
+                THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+    FROM tot ORDER BY variant
+    """,
+)
+def q_stat_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: chi-square goodness-of-fit of
+    the observed variant split against the DESIGNED 50/50 allocation,
+    df = 1, flagged at the 0.05 critical value 3.841459 (the
+    ttest_welch literal). SRM is the first health check any A/B
+    readout runs - q_stat_chisq tests outcome INDEPENDENCE given the
+    split; this tests the split itself (a biased bucketing hash or
+    logging loss shows up here before any metric can be trusted).
+
+    Per-cell (O-E)^2/E is evaluated in DOUBLE with the same expression
+    shape on both engines (E = t/2.0 exactly; the square as an
+    explicit self-product) and floor-pinned to e6 per cell before the
+    cross-cell sum - the q_stat_chisq discipline on the
+    goodness-of-fit axis. The flag column makes the decision itself
+    oracle-checked, not just the statistic.
+
+    Plan: one map-combined groupBy collapses the event log to two
+    (variant, n) rows; the marginal window and the algebra run on
+    that frame. The counting shuffle is the query."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    obs = (
+        ev.select((F.col("user_id") % 2).alias("variant"))
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = obs.select(
+        "variant",
+        "n",
+        F.sum("n").over(Window.partitionBy()).cast("bigint").alias("t"),
+    )
+    term = (
+        "CAST(floor((n - t / 2.0) * (n - t / 2.0) / (t / 2.0)"
+        " * 1000000 + 0.5) AS BIGINT)"
+    )
+    return tot.select(
+        "variant",
+        "n",
+        "t",
+        F.expr("CAST(n * 1000000 DIV t AS BIGINT)").alias("share_ppm"),
+        F.expr(term).alias("gof_term_e6"),
+        F.expr(f"CAST(SUM({term}) OVER () AS BIGINT)").alias("srm_chisq_e6"),
+        F.expr(
+            f"CAST(CASE WHEN SUM({term}) OVER () > 3841459"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("srm_flag"),
+    ).orderBy("variant")

@@ -282,6 +282,7 @@ NULLABLE_EVT_QUERIES = [
     "q_stat_gtest",
     "q_graph_adamic_adar",
     "q_stat_wilson_ci",
+    "q_stat_srm",
     "q_fn_map",
     "q_fn_json",
     "q_event_transitions",
