@@ -1794,7 +1794,10 @@ def q_llm_xval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(a AS HUGEINT) * lp_e6) AS HUGEINT) AS np,
                CAST(SUM(CASE WHEN b > 0
                     THEN CAST(b AS HUGEINT) * lq_e6 ELSE 0 END)
-                    AS HUGEINT) AS nq
+                    AS HUGEINT)
+                 + (CAST(MAX(bb) AS HUGEINT)
+                    - CAST(SUM(CAST(b AS HUGEINT)) AS HUGEINT)) * 693147
+                 AS nq
         FROM terms GROUP BY source
     )
     SELECT source, n_tok_src, n_tok_rest,
@@ -1824,9 +1827,12 @@ def q_llm_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted sums then run in exact integers and the two final
     divisions are sign-symmetric truncation spelled as the same CASE
     on both engines (cells where p < m go negative even though each
-    KL total is >= 0 - the theil_e6 lesson). Cells with a = 0
-    contribute only via the rest-side (they do not exist in the
-    per-source rows: GROUP BY is the sparse convention); b = 0 cells
+    KL total is >= 0 - the theil_e6 lesson). Tokens absent from the
+    source (a = 0, b > 0) have no sparse cell, but their KL(Q||M)
+    contribution is NOT zero: p = 0 makes m = q/2, so each adds
+    (b/B)*ln2 - accounted in closed form as
+    (B - SUM(b over the source's cells)) * 693147 added to nq, so
+    disjoint sources correctly score ln2, not ln2/2. b = 0 cells
     skip the q-term (q = 0 contributes zero to KL(Q||M)). A source
     comprising the ENTIRE corpus (B = 0) is dropped - JS against an
     empty complement is undefined, identically on both engines.
@@ -1883,11 +1889,23 @@ def q_llm_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("aa").cast("bigint").alias("n_tok_src"),
         F.max("bb").cast("bigint").alias("n_tok_rest"),
         F.sum(F.expr(f"CAST(a AS {d38}) * lp_e6")).cast(d38).alias("np"),
-        F.sum(
-            F.expr(
-                f"CASE WHEN b > 0 THEN CAST(b AS {d38}) * lq_e6"
-                f" ELSE CAST(0 AS {d38}) END"
+        (
+            F.sum(
+                F.expr(
+                    f"CASE WHEN b > 0 THEN CAST(b AS {d38}) * lq_e6"
+                    f" ELSE CAST(0 AS {d38}) END"
+                )
+            ).cast(d38)
+            # Rest-only mass: tokens the source never emits have p = 0,
+            # m = q/2, so each contributes (b/B)*ln2 to KL(Q||M).  Those
+            # cells don't exist in the sparse per-source table, so their
+            # total weight is B - SUM(b over this source's cells), priced
+            # at ln2 pinned to e6 (floor(ln 2 * 1e6 + 0.5) = 693147).
+            + (
+                F.max("bb").cast(d38)
+                - F.sum(F.expr(f"CAST(b AS {d38})")).cast(d38)
             )
+            * F.lit(693147).cast(d38)
         )
         .cast(d38)
         .alias("nq"),

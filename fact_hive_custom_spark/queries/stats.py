@@ -3701,6 +3701,7 @@ def q_stat_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dims AS (
         SELECT CAST(MAX(b) AS BIGINT) AS b,
+               CAST(MIN(b) AS BIGINT) AS bmin,
                CAST(COUNT(*) AS BIGINT) AS k,
                CAST(SUM(CAST(rank2_sum AS HUGEINT) * rank2_sum)
                     AS HUGEINT) AS sq
@@ -3709,8 +3710,9 @@ def q_stat_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.treatment, r.rank2_sum,
            CAST(d.b AS BIGINT) AS n_blocks,
            CAST(d.k - 1 AS BIGINT) AS df,
-           CAST(3 * sq * 1000000 // (d.b * d.k * (d.k + 1))
-                - 3 * d.b * (d.k + 1) * 1000000 AS BIGINT) AS friedman_e6
+           CAST(CASE WHEN d.bmin = d.b THEN
+                3 * sq * 1000000 // (d.b * d.k * (d.k + 1))
+                - 3 * d.b * (d.k + 1) * 1000000 END AS BIGINT) AS friedman_e6
     FROM rsum r CROSS JOIN dims d
     ORDER BY r.treatment
     """,
@@ -3722,7 +3724,10 @@ def q_stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     treatments within each month-block, then
     chi2_F = 12/(b*k*(k+1)) * sum R_j^2 - 3*b*(k+1) on the per-
     treatment rank sums, df = k-1. Emits each treatment's (doubled)
-    rank sum plus the shared statistic.
+    rank sum plus the shared statistic. The closed form requires a
+    COMPLETE block design; if any treatment is missing from any
+    block (per-treatment block counts disagree), friedman_e6 is NULL
+    on both engines rather than a silently wrong value.
 
     Tie handling is exact midranks kept INTEGER by doubling:
     r2 = 2*rank + ties - 1 equals twice the average rank of a tied
@@ -3771,6 +3776,7 @@ def q_stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     d38 = "DECIMAL(38,0)"
     dims = rsum.agg(
         F.max("b").cast("bigint").alias("b"),
+        F.min("b").cast("bigint").alias("bmin"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum(F.expr(f"CAST(rank2_sum AS {d38}) * rank2_sum"))
         .cast(d38)
@@ -3784,13 +3790,18 @@ def q_stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank2_sum",
             F.col("b").alias("n_blocks"),
             (F.col("k") - 1).cast("bigint").alias("df"),
+            # Complete-block guard: the closed form assumes every
+            # treatment appears in every block (b identical across
+            # treatments).  Under fixture drift that silently breaks —
+            # emit NULL instead of a wrong statistic (both engines).
             F.expr(
-                "CAST("
+                "CAST(CASE WHEN bmin = b THEN "
                 + _dfloor(
                     f"3 * sq * 1000000",
                     f"CAST(b AS {d38}) * k * (k + 1)",
                 )
-                + f" - CAST(3 AS {d38}) * b * (k + 1) * 1000000 AS BIGINT)"
+                + f" - CAST(3 AS {d38}) * b * (k + 1) * 1000000 END"
+                " AS BIGINT)"
             ).alias("friedman_e6"),
         )
         .orderBy("treatment")

@@ -628,3 +628,83 @@ def null_dims_dir(tmp_path_factory):
 def test_null_dims_parity(spark, null_dims_dir, name):
     ok, detail = compare(spark, name, null_dims_dir)
     assert ok, f"{name} on NULL-laden dimension rows: {detail}"
+
+
+@pytest.fixture(scope="module")
+def disjoint_sources_dir(tmp_path_factory):
+    """sf0.001 with documents REPLACED by two sources with disjoint
+    vocabularies — the ADVICE-r12 JS-divergence signature case: before
+    the rest-only-mass fix, disjoint sources scored ~ln2/2 instead of
+    ln2 on BOTH engines (the oracle shared the omission, so the normal
+    parity sweep could never catch it)."""
+    d = tmp_path_factory.mktemp("drift_js_disjoint")
+    sf_dir = _clone_fixture(d)
+    t = pq.read_table(f"{_SRC}/documents.parquet")
+    texts = [
+        ("alpha beta gamma alpha", "s1"),
+        ("beta beta gamma", "s1"),
+        ("delta epsilon zeta", "s2"),
+        ("epsilon zeta zeta delta", "s2"),
+    ]
+    base = {
+        "doc_id": list(range(1, len(texts) + 1)),
+        "text": [x for x, _ in texts],
+        "lang": ["en"] * len(texts),
+        "source": [s for _, s in texts],
+        "n_chars": [len(x) for x, _ in texts],
+    }
+    pq.write_table(
+        pa.table(base, schema=t.schema), f"{sf_dir}/documents.parquet"
+    )
+    return sf_dir
+
+
+def test_js_divergence_disjoint_sources(spark, disjoint_sources_dir):
+    """Disjoint vocabularies ⇒ JS = ln 2 exactly (each side's every
+    token has the other side's mass at 0).  Pins the rest-only-mass
+    term; also re-proves Spark==DuckDB on the adversarial fixture."""
+    import math
+
+    from fact_hive_custom_spark.queries import QUERIES
+
+    ok, detail = compare(spark, "q_llm_js_divergence", disjoint_sources_dir)
+    assert ok, f"q_llm_js_divergence on disjoint sources: {detail}"
+    rows = QUERIES["q_llm_js_divergence"](spark, disjoint_sources_dir).collect()
+    ln2_e6 = math.floor(math.log(2) * 1_000_000 + 0.5)
+    assert len(rows) == 2
+    for r in rows:
+        # two floor-halvings of the odd 693147 lose at most 1 each
+        assert ln2_e6 - 2 <= r.js_e6 <= ln2_e6, r
+
+
+@pytest.fixture(scope="module")
+def incomplete_blocks_dir(tmp_path_factory):
+    """sf0.001 with every 1996-03 order of one priority removed — an
+    INCOMPLETE block design for q_stat_friedman."""
+    d = tmp_path_factory.mktemp("drift_friedman_incomplete")
+    sf_dir = _clone_fixture(d)
+    t = pq.read_table(f"{_SRC}/orders.parquet")
+    df = t.to_pandas()
+    prio = sorted(df["o_orderpriority"].dropna().unique())[0]
+    mask = (
+        (df["o_orderdate"].astype(str).str.startswith("1996-03"))
+        & (df["o_orderpriority"] == prio)
+    )
+    assert mask.any(), "fixture lacks 1996-03 orders of the chosen priority"
+    pq.write_table(
+        pa.Table.from_pandas(df[~mask], schema=t.schema, preserve_index=False),
+        f"{sf_dir}/orders.parquet",
+    )
+    return sf_dir
+
+
+def test_friedman_incomplete_design_yields_null(spark, incomplete_blocks_dir):
+    """ADVICE-r12: the Friedman closed form assumes a complete block
+    design; with a treatment missing from a block both engines must
+    emit NULL, not a silently wrong statistic — and stay in parity."""
+    from fact_hive_custom_spark.queries import QUERIES
+
+    ok, detail = compare(spark, "q_stat_friedman", incomplete_blocks_dir)
+    assert ok, f"q_stat_friedman on incomplete design: {detail}"
+    rows = QUERIES["q_stat_friedman"](spark, incomplete_blocks_dir).collect()
+    assert rows and all(r.friedman_e6 is None for r in rows)

@@ -1998,7 +1998,9 @@ class TestRound12bPins:
         the |segments|-row totals — no window, no sort before the
         presentation ORDER BY, no Python."""
         plan = plan_of(spark, "q_stat_theil")
-        assert "Window" not in plan or "WindowGroupLimit" not in plan
+        # pin the Window exec node specifically ("Window [..." — plain
+        # substring would be satisfied vacuously via WindowGroupLimit)
+        assert "Window [" not in plan
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
         assert not plans.uses_python(QUERIES["q_stat_theil"](spark, SF_DIR))
 
