@@ -138,3 +138,31 @@ def global_window_uncollapsed_paths(df: DataFrame) -> list[str]:
 
     visit(root)
     return violations
+
+
+def plan_counts(df: DataFrame) -> dict:
+    """Scale-relevant shape counts from the (unexecuted, pre-AQE)
+    physical plan — the registry-wide drift fingerprint
+    (PLAN_SNAPSHOT.json / tests/test_plan_snapshot.py). Unexecuted on
+    purpose: the initial plan is deterministic for a fixed fixture and
+    costs only Catalyst planning, so the whole 375-query registry
+    fingerprints in ~2 minutes; runtime demotions/coalescing are
+    audited separately by tools/plan_audit.py (PLANS.md)."""
+    plan = executed_plan(df)
+    if "== Initial Plan ==" in plan:  # defensive; unexecuted plans don't split
+        plan = plan.split("== Initial Plan ==")[0]
+    return {
+        "hash_ex": len(re.findall(r"Exchange hashpartitioning", plan)),
+        "single_ex": len(re.findall(r"Exchange SinglePartition", plan)),
+        "range_ex": len(re.findall(r"Exchange rangepartitioning", plan)),
+        "bcast": len(re.findall(r"BroadcastExchange", plan)),
+        "python": bool(
+            re.search(
+                r"BatchEvalPython|ArrowEvalPython|MapInPandas"
+                r"|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas",
+                plan,
+            )
+        ),
+        "cartesian": "CartesianProduct" in plan
+        or "BroadcastNestedLoopJoin" in plan,
+    }

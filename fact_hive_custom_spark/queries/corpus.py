@@ -21,6 +21,7 @@ Cross-engine determinism rules (SURVEY.md §7.4):
 
 from __future__ import annotations
 
+from py4j.protocol import Py4JError
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1194,8 +1195,8 @@ def _bpe_train_parts(spark: SparkSession, sf_dir: str):
     for h in _BPE_TRAIN_CACHE:
         try:
             h.unpersist()
-        except Exception:
-            pass
+        except Py4JError:
+            pass  # stale handle from a stopped session — nothing to free
     _BPE_TRAIN_CACHE.clear()
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     wf = (

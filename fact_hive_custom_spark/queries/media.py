@@ -19,6 +19,7 @@ bytes.
 
 from __future__ import annotations
 
+from py4j.protocol import Py4JError
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -164,8 +165,8 @@ def q_llm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for h in _MEDIA_SKETCH_CACHE:
         try:
             h.unpersist()
-        except Exception:
-            pass
+        except Py4JError:
+            pass  # stale handle from a stopped session — nothing to free
     _MEDIA_SKETCH_CACHE.clear()
     hl = q.select(
         "media_id",

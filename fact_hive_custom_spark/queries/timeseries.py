@@ -2570,14 +2570,17 @@ _LB_RESCALE = 10000000  # fixed divisor on the n-scaled centered values
     ),
     terms AS (
         SELECT CAST(k AS BIGINT) AS lag,
-               CAST(CASE WHEN a >= 0 THEN 1 ELSE -1 END AS BIGINT)
+               CAST(CASE WHEN b > 0 AND n > k THEN
+                    CASE WHEN a >= 0 THEN 1 ELSE -1 END END AS BIGINT)
                    AS r_sign,
-               CAST(a * a * 1000000 // (b * b) AS BIGINT) AS r2_ppm,
-               CAST(n * (n + 2) * (a * a * 1000000 // (b * b))
+               CAST(CASE WHEN b > 0 AND n > k THEN
+                    a * a * 1000000 // (b * b) END AS BIGINT) AS r2_ppm,
+               CAST(CASE WHEN b > 0 AND n > k THEN
+                    n * (n + 2) * (a * a * 1000000 // (b * b))
                     // ((n - k) * 1000000) * 1000000
                   + n * (n + 2) * (a * a * 1000000 // (b * b))
                     % ((n - k) * 1000000) * 1000000
-                    // ((n - k) * 1000000) AS BIGINT) AS q_term_e6
+                    // ((n - k) * 1000000) END AS BIGINT) AS q_term_e6
         FROM lags
     )
     SELECT lag, r_sign, r2_ppm, q_term_e6,
@@ -2602,6 +2605,10 @@ def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n-k)*1e6 (quotient*1e6 + remainder*1e6 DIV divisor - exact to the
     e6 floor without 1e45-scale intermediates). Emits per-lag rows
     with the cumulative Q so every prefix Q(1..m) is readable.
+    Totality: a constant series (b = 0) or one shorter than the lag
+    (n <= k, where the divisor turns zero/negative and the engines'
+    integer divisions disagree on rounding) yields NULL statistics on
+    both engines — guarded per lag, never a crash or divergence.
 
     Plan: the order log map-combines to ~2 400 day rows (bounded by
     the calendar, independent of sf); the lead windows, moment sums,
@@ -2658,16 +2665,26 @@ def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = lags.select(
         F.col("k").cast("bigint").alias("lag"),
-        F.expr("CAST(CASE WHEN a >= 0 THEN 1 ELSE -1 END AS BIGINT)").alias(
-            "r_sign"
-        ),
-        F.expr("CAST(a * a * 1000000 DIV (b * b) AS BIGINT)").alias("r2_ppm"),
+        # Totality guard (the theta-sketch rule): a constant series has
+        # b = 0 (r_k undefined) and a series shorter than the lag has
+        # n <= k (the Q term's divisor is zero or NEGATIVE, where the
+        # engines' DIV disagree — Spark truncates, DuckDB floors).
+        # Both cases emit NULL, identically on both engines.
         F.expr(
-            f"CAST(CAST(n AS {d38}) * (n + 2) * (a * a * 1000000 DIV (b * b))"
+            "CAST(CASE WHEN b > 0 AND n > k THEN"
+            " CASE WHEN a >= 0 THEN 1 ELSE -1 END END AS BIGINT)"
+        ).alias("r_sign"),
+        F.expr(
+            "CAST(CASE WHEN b > 0 AND n > k THEN"
+            " a * a * 1000000 DIV (b * b) END AS BIGINT)"
+        ).alias("r2_ppm"),
+        F.expr(
+            "CAST(CASE WHEN b > 0 AND n > k THEN"
+            f" CAST(n AS {d38}) * (n + 2) * (a * a * 1000000 DIV (b * b))"
             " DIV ((n - k) * 1000000) * 1000000"
             f" + CAST(n AS {d38}) * (n + 2) * (a * a * 1000000 DIV (b * b))"
             " % ((n - k) * 1000000) * 1000000"
-            " DIV ((n - k) * 1000000) AS BIGINT)"
+            " DIV ((n - k) * 1000000) END AS BIGINT)"
         ).alias("q_term_e6"),
     )
     return terms.select(

@@ -247,12 +247,32 @@ def _rows_close(s_rows, d_rows, rtol):
     return True, ""
 
 
+def _est_row_bytes(sdf) -> int:
+    """Static estimate of one result row's comparator cost in bytes —
+    fixed widths per Spark dtype (strings priced at 24B, the fixture
+    corpus's observed mean for token/key-ish result columns). Used to
+    convert a BYTE budget into a per-query row threshold: a 2-column
+    bigint frame tolerates millions of rows through pandas while a
+    20-column frame digests much sooner (VERDICT r12 item 6 — the
+    row-count threshold taxed narrow outputs and spared wide ones)."""
+    width = 0
+    for _c, t in sdf.dtypes:
+        if t in ("boolean",):
+            width += 1
+        elif t.startswith("string") or t.startswith("binary"):
+            width += 24
+        else:
+            width += 8
+    return max(width, 1)
+
+
 def compare(
     spark,
     name: str,
     sf_dir: str = DEFAULT_SF_DIR,
     rtol: float = 0.0,
     digest_threshold: int | None = None,
+    digest_bytes: int | None = None,
 ) -> tuple[bool, str]:
     """Run query `name` on Spark and DuckDB; return (ok, detail).
 
@@ -265,17 +285,23 @@ def compare(
     IEEE754, not a semantic divergence; measured 2026-08-13). Integers,
     strings, timestamps, row counts, and schemas stay exact.
 
-    `digest_threshold` (scale runs only): when the Spark result exceeds
-    this many rows, neither result set is dragged through pandas —
-    both engines compute an in-engine digest instead (per-column
-    null counts / sums / min / max plus an order-insensitive md5 row
-    hash over the exactly-comparable columns; see compare_digest).
-    Detection costs one limit(threshold+1) probe, which IS the full
-    materialization for every query at or under the threshold."""
+    `digest_threshold` / `digest_bytes` (scale runs only): when the
+    Spark result exceeds the row threshold, neither result set is
+    dragged through pandas — both engines compute an in-engine digest
+    instead (per-column null counts / sums / min / max plus an
+    order-insensitive md5 row hash over the exactly-comparable
+    columns; see compare_digest). `digest_bytes` prices the threshold
+    per query as bytes // estimated-row-width (narrow frames keep the
+    exact pandas path longer, wide frames digest sooner) and wins over
+    `digest_threshold` when both are set. Detection costs one
+    limit(threshold+1) probe, which IS the full materialization for
+    every query at or under the threshold."""
     from fact_hive_custom_spark.queries import ORACLE, QUERIES
 
     sdf = QUERIES[name](spark, sf_dir)
     s_cols = list(sdf.columns)
+    if digest_bytes is not None:
+        digest_threshold = max(50_000, digest_bytes // _est_row_bytes(sdf))
     if digest_threshold is not None:
         probe = sdf.limit(digest_threshold + 1).toPandas()
         if len(probe) > digest_threshold:

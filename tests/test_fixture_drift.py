@@ -708,3 +708,94 @@ def test_friedman_incomplete_design_yields_null(spark, incomplete_blocks_dir):
     assert ok, f"q_stat_friedman on incomplete design: {detail}"
     rows = QUERIES["q_stat_friedman"](spark, incomplete_blocks_dir).collect()
     assert rows and all(r.friedman_e6 is None for r in rows)
+
+
+def _replace_orders(tmp_path_factory, tag, dates, prices):
+    """Clone sf0.001 and REPLACE orders with len(dates) rows (one per
+    (date, price) pair, keys/status/priority synthesized)."""
+    import datetime
+
+    d = tmp_path_factory.mktemp(tag)
+    sf_dir = _clone_fixture(d)
+    t = pq.read_table(f"{_SRC}/orders.parquet")
+    base = {
+        "o_orderkey": list(range(1, len(dates) + 1)),
+        "o_custkey": [1] * len(dates),
+        "o_orderstatus": ["F"] * len(dates),
+        "o_totalprice": list(prices),
+        "o_orderdate": [datetime.datetime(1996, 1, day) for day in dates],
+        "o_orderpriority": ["1-URGENT"] * len(dates),
+    }
+    pq.write_table(pa.table(base, schema=t.schema), f"{sf_dir}/orders.parquet")
+    return sf_dir
+
+
+@pytest.fixture(scope="module")
+def constant_series_dir(tmp_path_factory):
+    """10 distinct days, IDENTICAL daily revenue → Ljung-Box b = 0
+    (autocorrelation undefined on a constant series)."""
+    return _replace_orders(
+        tmp_path_factory, "drift_lb_constant", range(1, 11), [100.0] * 10
+    )
+
+
+@pytest.fixture(scope="module")
+def short_series_dir(tmp_path_factory):
+    """4 distinct days with DIFFERENT revenues → n=4 ≤ 5 lags: the Q
+    term's divisor (n-k) hits zero and negative, where Spark DIV
+    (truncate) and DuckDB // (floor) disagree — the case the totality
+    guard exists for."""
+    return _replace_orders(
+        tmp_path_factory, "drift_lb_short", range(1, 5),
+        [100.0, 250.0, 75.0, 400.0],
+    )
+
+
+@pytest.mark.parametrize("fx", ["constant_series_dir", "short_series_dir"])
+def test_ljung_box_degenerate_series_total_and_parity(spark, fx, request):
+    """ADVICE-r12/VERDICT item 7: the newest sketch queries must be
+    TOTAL — a constant or too-short series yields NULL statistics on
+    both engines, never a crash or a floor-vs-truncate divergence."""
+    sf_dir = request.getfixturevalue(fx)
+    ok, detail = compare(spark, "q_ts_ljung_box", sf_dir)
+    assert ok, f"q_ts_ljung_box on {fx}: {detail}"
+    from fact_hive_custom_spark.queries import QUERIES
+
+    rows = QUERIES["q_ts_ljung_box"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        if fx == "constant_series_dir" or r.lag >= 4:  # n=4: lags 4,5 undefined
+            assert r.r2_ppm is None and r.q_term_e6 is None, r
+
+
+@pytest.fixture(scope="module")
+def null_user_events_dir(tmp_path_factory):
+    """events with every user_id NULL — the Wilson-CI / SRM variant
+    tables are EMPTY (no qualifying rows at all)."""
+    d = tmp_path_factory.mktemp("drift_wilson_empty")
+    sf_dir = _clone_fixture(d)
+    t = pq.read_table(f"{_SRC}/events.parquet")
+    arrs, fields = [], []
+    for f in t.schema:
+        if f.name == "user_id":
+            arrs.append(pa.nulls(t.num_rows, f.type))
+        else:
+            arrs.append(t.column(f.name).combine_chunks())
+        fields.append(f)
+    pq.write_table(
+        pa.table(dict(zip([f.name for f in fields], arrs)), schema=t.schema),
+        f"{sf_dir}/events.parquet",
+    )
+    return sf_dir
+
+
+def test_wilson_ci_and_srm_on_empty_variants(spark, null_user_events_dir):
+    """Zero qualifying events → zero output rows, identically on both
+    engines (the group table is sparse; no division-by-zero row can
+    exist). Covers q_stat_wilson_ci and the SRM guardrail."""
+    from fact_hive_custom_spark.queries import QUERIES
+
+    for name in ("q_stat_wilson_ci", "q_stat_srm"):
+        ok, detail = compare(spark, name, null_user_events_dir)
+        assert ok, f"{name} on all-NULL user_id: {detail}"
+        assert QUERIES[name](spark, null_user_events_dir).count() == 0

@@ -14,7 +14,8 @@ while every integer, string, timestamp, row count, and schema stays
 exact — so a real bug still fails loudly. The strict zero-tolerance
 gate remains tests/test_parity.py at driver scale.
 
-Outputs above SPARK_GRAFT_SCALE_DIGEST_ROWS (default 1 000 000) rows
+Outputs above SPARK_GRAFT_SCALE_DIGEST_BYTES (default 64 MB, priced as
+rows × estimated schema width so narrow frames stay exact to more rows)
 auto-switch to DIGEST mode (tests/parity.py::compare_digest): both
 engines compute per-column null counts / sums / min / max and an
 order-insensitive md5 row hash IN-ENGINE, and only the one-row digests
@@ -35,7 +36,10 @@ from tests.parity import compare
 
 SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR")
 RTOL = float(os.environ.get("SPARK_GRAFT_SCALE_RTOL", "1e-9"))
-DIGEST_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_DIGEST_ROWS", "1000000"))
+# Byte-priced digest switch (VERDICT r12 item 6): 64 MB ≈ the old 1 M-row
+# threshold for a typical 8-column numeric frame, but narrow frames keep
+# the exact pandas path to more rows and wide frames digest sooner.
+DIGEST_BYTES = int(os.environ.get("SPARK_GRAFT_SCALE_DIGEST_BYTES", "64000000"))
 
 pytestmark = pytest.mark.skipif(
     not SCALE_DIR, reason="set SPARK_GRAFT_SCALE_DIR to run the scale suite"
@@ -45,6 +49,6 @@ pytestmark = pytest.mark.skipif(
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle_at_scale(spark, name):
     ok, detail = compare(
-        spark, name, SCALE_DIR, rtol=RTOL, digest_threshold=DIGEST_ROWS
+        spark, name, SCALE_DIR, rtol=RTOL, digest_bytes=DIGEST_BYTES
     )
     assert ok, f"{name} @ {SCALE_DIR}: {detail}"

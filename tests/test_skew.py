@@ -1,0 +1,132 @@
+"""Hot-key (skewed-fixture) pins — VERDICT r12 item 1.
+
+Opt-in, like tests/test_scale.py:
+
+    python tools/make_scale_fixture.py          # → .scale/sf1.0
+    python tools/make_skew_fixture.py           # → .scale/sf1.0-skew
+    SPARK_GRAFT_SKEW_DIR=/root/repo/.scale/sf1.0-skew \
+        python -m pytest tests/test_skew.py -q
+
+What's pinned (the wall-clock story lives in SKEW_r13.md, produced by
+tools/skew_sweep.py — these tests pin the MECHANISMS):
+
+- the fixture really is skewed (one user_id ≈ 20% of events, one
+  supplier ≈ 20% of lineitem);
+- AQE's skew-split actually fires on the hot shuffle join
+  (SortMergeJoin(skew=true) + "AQEShuffleRead … skewed" in the
+  finalized plan) once its byte thresholds see the skew — at cluster
+  scale the defaults (256 MB) see a 20-TB hot key without tuning;
+- the salted remedies stay EXACT on the hot key: salted_join /
+  salted_aggregate equal their plain equivalents on the skewed data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fact_hive_custom_spark.operators.skew import salted_aggregate, salted_join
+from fact_hive_custom_spark.tables import load_table
+
+SKEW_DIR = os.environ.get("SPARK_GRAFT_SKEW_DIR")
+
+pytestmark = pytest.mark.skipif(
+    not SKEW_DIR, reason="set SPARK_GRAFT_SKEW_DIR to run the skew suite"
+)
+
+
+def test_fixture_has_hot_keys(spark):
+    ev = load_table(spark, SKEW_DIR, "events")
+    top, total = (
+        ev.groupBy("user_id").count().orderBy(F.desc("count")).first()["count"],
+        ev.count(),
+    )
+    assert 0.15 <= top / total <= 0.25, f"hot user holds {top}/{total}"
+    li = load_table(spark, SKEW_DIR, "lineitem")
+    ltop, ltotal = (
+        li.groupBy("l_suppkey").count().orderBy(F.desc("count")).first()["count"],
+        li.count(),
+    )
+    assert 0.15 <= ltop / ltotal <= 0.25, f"hot supplier holds {ltop}/{ltotal}"
+
+
+def test_aqe_skew_split_fires_on_hot_join(spark):
+    """The engine's first line of defense needs no code: AQE splits
+    the hot partition at runtime. Thresholds are lowered to engage at
+    fixture scale (the 20%-hot partition is ~20 MB here, 20 TB at
+    target scale where the 256 MB default sees it unaided)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SKEW_DIR, "lineitem").select(
+            "l_suppkey", "l_quantity"
+        )
+        supp = load_table(spark, SKEW_DIR, "supplier").select(
+            F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+        )
+        df = li.join(supp, "l_suppkey")
+        jqe = df._jdf.queryExecution()
+        jqe.executedPlan().execute().count()  # finalize AQE, JVM-side
+        plan = jqe.executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "skew=true" in plan, plan[:2000]
+    assert any(
+        "AQEShuffleRead" in l and "skewed" in l for l in plan.splitlines()
+    ), plan[:2000]
+
+
+def test_salted_join_exact_on_hot_key(spark):
+    """salted_join must be a pure physical rewrite: same multiset of
+    joined rows as the plain join, measured where it matters — the
+    fixture whose hot supplier holds ~20% of the fact."""
+    li = load_table(spark, SKEW_DIR, "lineitem").select(
+        "l_suppkey", "l_quantity"
+    )
+    supp = load_table(spark, SKEW_DIR, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+
+    def agg(df):
+        return sorted(
+            df.groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("q"),
+            )
+            .collect()
+        )
+
+    assert agg(salted_join(li, supp, on=["l_suppkey"], salt=8)) == agg(
+        li.join(supp, "l_suppkey")
+    )
+
+
+def test_salted_agg_exact_on_hot_key(spark):
+    ev = load_table(spark, SKEW_DIR, "events")
+    salted = salted_aggregate(
+        ev,
+        key=["user_id"],
+        salt=8,
+        n=("user_id", "count"),
+        vmax=("value", "max"),
+    )
+    plain = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("value").alias("vmax")
+    )
+    s = {r["user_id"]: (r["n"], r["vmax"]) for r in salted.collect()}
+    p = {r["user_id"]: (r["n"], r["vmax"]) for r in plain.collect()}
+    assert s == p

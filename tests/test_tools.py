@@ -69,6 +69,28 @@ class TestDigestComparator:
         )
         assert ok and "digest mode" not in detail, detail
 
+    def test_bytes_budget_prices_threshold_by_schema_width(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+        from tests.parity import _est_row_bytes, compare
+
+        # flagship: 2 strings + 7 doubles + 1 bigint → 2*24 + 8*8 = 112 B
+        w = _est_row_bytes(QUERIES["q_agg_flagship"](spark, self.SF))
+        assert w == 2 * 24 + 8 * 8
+        # budget under the 50k-row floor × width still routes exact
+        # (6-row result), a tiny budget with the floor removed would
+        # digest — exercise both directions through the public arg
+        ok, detail = compare(
+            spark, "q_agg_flagship", self.SF, rtol=1e-9,
+            digest_bytes=64_000_000,
+        )
+        assert ok and "digest mode" not in detail, detail
+        # digest_bytes wins over digest_threshold when both are given
+        ok, detail = compare(
+            spark, "q_agg_flagship", self.SF, rtol=1e-9,
+            digest_threshold=2, digest_bytes=64_000_000,
+        )
+        assert ok and "digest mode" not in detail, detail
+
     @pytest.mark.parametrize(
         "mutation, expect",
         [
