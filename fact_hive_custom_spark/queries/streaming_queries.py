@@ -313,8 +313,9 @@ def q_stream_sink_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the successor API to applyInPandasWithState) is environment-blocked here —
 # its state-server protocol needs google.protobuf, which this sandbox lacks
 # (verified: the TWS driver worker crashes on `from google.protobuf import
-# descriptor`; re-probed 2026-08-14, 2026-08-15, 2026-08-16 (latest at
-# round-12 close): `import google.protobuf` still ModuleNotFoundError).
+# descriptor`; re-probed 2026-08-14, 2026-08-15, 2026-08-16 at round-12
+# close AND again 2026-08-16 round-13: still ModuleNotFoundError; next
+# re-probe due 2026-09).
 # Arbitrary stateful streaming is covered by q_stream_stateful
 # (applyInPandasWithState); the TWS port is mechanical when protobuf exists:
 # a StatefulProcessor with handle.getValueState + RocksDB state store

@@ -538,3 +538,223 @@ class TestChainedWindowsRestartRecovery:
         # exactly-once: the pre-restart hour was NOT re-emitted, and
         # hour 11 merged pre+post state into ONE row
         assert out.count() == 2, out.collect()
+
+
+class TestStreamStreamJoinRestartRecovery:
+    """Kill-and-resume for the stream–stream interval join (VERDICT
+    r12 item 3): a cold stop with UNMATCHED left rows still in the
+    join state store, then a brand-new query object on the same
+    checkpoint — the post-restart right row must join against the
+    pre-restart left state, nothing re-emits, and the settled sink
+    equals the single-run batch oracle (the same interval join run as
+    one batch over everything fed)."""
+
+    @staticmethod
+    def _interval_join(left, right):
+        l = (
+            left.select(F.col("key").alias("l_key"), F.col("ts").alias("l_ts"), "val")
+            .withWatermark("l_ts", "30 minutes")
+        )
+        r = (
+            right.select(F.col("key").alias("r_key"), F.col("ts").alias("r_ts"),
+                         F.col("val").alias("r_val"))
+            .withWatermark("r_ts", "30 minutes")
+        )
+        return l.join(
+            r,
+            (F.col("l_key") == F.col("r_key"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("r_ts") <= F.col("l_ts")),
+        ).select("l_key", "val", "r_val")
+
+    def test_join_state_survives_restart(self, spark, tmp_path):
+        import glob
+
+        left_src = str(tmp_path / "left")
+        right_src = str(tmp_path / "right")
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "sink")
+        os.makedirs(left_src)
+        os.makedirs(right_src)
+
+        def start_query():
+            def src(path):
+                return (
+                    spark.readStream.schema(SCHEMA)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(path)
+                )
+
+            return (
+                self._interval_join(src(left_src), src(right_src))
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        n = 0
+        fed_left: list[tuple] = []
+        fed_right: list[tuple] = []
+
+        def feed(query, src_dir, fed, rows):
+            nonlocal n
+            n += 1
+            fed.extend(rows)
+            df = spark.createDataFrame(rows, schema=SCHEMA)
+            stage = str(tmp_path / f"stage_{n}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(src_dir, f"batch_{n}.parquet"))
+            query.processAllAvailable()
+
+        q1 = start_query()
+        # A matches pre-restart; B's left row goes INTO STATE unmatched
+        feed(q1, left_src, fed_left, [(_t(12, 0), "A", 1), (_t(12, 30), "B", 2)])
+        feed(q1, right_src, fed_right, [(_t(11, 50), "A", 10)])
+        q1.stop()  # cold stop — B sits in the left state store
+
+        pre = spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField("l_key", T.StringType()),
+                    T.StructField("val", T.LongType()),
+                    T.StructField("r_val", T.LongType()),
+                ]
+            )
+        ).parquet(sink)
+        assert {(r.l_key, r.val, r.r_val) for r in pre.collect()} == {("A", 1, 10)}
+
+        # NEW query object on the same checkpoint: B's match arrives now
+        q2 = start_query()
+        feed(q2, right_src, fed_right, [(_t(12, 10), "B", 20)])
+        # C pairs entirely post-restart (both sides fresh)
+        feed(q2, left_src, fed_left, [(_t(13, 0), "C", 3)])
+        feed(q2, right_src, fed_right, [(_t(12, 40), "C", 30)])
+        q2.stop()
+
+        out = spark.read.parquet(sink)
+        got = sorted((r.l_key, r.val, r.r_val) for r in out.collect())
+
+        # single-run batch oracle: the same interval join over ALL rows
+        l = spark.createDataFrame(fed_left, schema=SCHEMA).select(
+            F.col("key").alias("l_key"), F.col("ts").alias("l_ts"), "val"
+        )
+        r = spark.createDataFrame(fed_right, schema=SCHEMA).select(
+            F.col("key").alias("r_key"), F.col("ts").alias("r_ts"),
+            F.col("val").alias("r_val"),
+        )
+        oracle = sorted(
+            (row.l_key, row.val, row.r_val)
+            for row in l.join(
+                r,
+                (F.col("l_key") == F.col("r_key"))
+                & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR"))
+                & (F.col("r_ts") <= F.col("l_ts")),
+            ).collect()
+        )
+        assert oracle == [("A", 1, 10), ("B", 2, 20), ("C", 3, 30)]  # sanity
+        assert got == oracle, (got, oracle)  # == also proves no re-emission
+
+
+class TestCdcUpsertRestartRecovery:
+    """Kill-and-resume for the foreachBatch CDC-upsert loop (VERDICT
+    r12 item 3): cold-stop the apply loop mid-feed, resume on the same
+    checkpoint, and the settled state table must equal latest-per-key
+    over the WHOLE feed. foreachBatch replays its last epoch after a
+    restart — the merge must be idempotent for exactly-once state, and
+    cdc_latest (last-writer-wins by (us, event_id)) is; this test is
+    the proof that survives a real restart, not just the unit claim."""
+
+    def test_cdc_state_survives_restart(self, spark, tmp_path):
+        import glob
+
+        from fact_hive_custom_spark.operators.merge import cdc_latest
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        state_dir = str(tmp_path / "state")
+        os.makedirs(src)
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("us", T.LongType()),
+            ]
+        )
+
+        def apply_batch(batch_df, epoch_id):
+            state = (
+                spark.read.parquet(state_dir)
+                if os.path.isdir(state_dir)
+                else None
+            )
+            new_state = cdc_latest(
+                state, batch_df, key=["user_id"], order_by=["us", "event_id"]
+            )
+            tmp = f"{state_dir}_next_{epoch_id}"
+            new_state.write.mode("overwrite").parquet(tmp)
+            if os.path.isdir(state_dir):
+                shutil.rmtree(state_dir)
+            os.rename(tmp, state_dir)
+
+        def start_query():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        n = 0
+        fed: list[tuple] = []
+
+        def feed(query, rows):
+            nonlocal n
+            n += 1
+            fed.extend(rows)
+            df = spark.createDataFrame(rows, schema=schema)
+            stage = str(tmp_path / f"stage_{n}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(src, f"batch_{n}.parquet"))
+            query.processAllAvailable()
+
+        q1 = start_query()
+        feed(q1, [(1, 10, "a", 100), (2, 11, "b", 40)])
+        feed(q1, [(1, 12, "c", 90)])  # older us → must NOT win
+        q1.stop()  # cold stop between epochs
+
+        # restart on the same checkpoint; feed an out-of-order mix:
+        # user 2 advances, user 3 appears, user 1 gets a STALE row
+        q2 = start_query()
+        feed(q2, [(2, 13, "d", 60), (3, 14, "e", 10), (1, 9, "f", 50)])
+        q2.stop()
+
+        got = {
+            (r.user_id, r.event_type, r.us)
+            for r in spark.read.parquet(state_dir).collect()
+        }
+        # single-run oracle: latest per key by (us, event_id) over all
+        all_df = spark.createDataFrame(fed, schema=schema)
+        from pyspark.sql import Window
+
+        latest = (
+            all_df.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.desc("us"), F.desc("event_id")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        oracle = {(r.user_id, r.event_type, r.us) for r in latest.collect()}
+        assert oracle == {(1, "a", 100), (2, "d", 60), (3, "e", 10)}  # sanity
+        assert got == oracle, (got, oracle)
