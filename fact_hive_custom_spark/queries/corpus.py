@@ -2398,7 +2398,7 @@ def q_llm_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_TUNED_K = 64  # centroids/subspace (6-bit codes)
 _ANN_TUNED_T = 2  # Lloyd training rounds per subspace
 _ANN_TUNED_R = 400  # ADC candidates re-ranked exactly per probe
-_ANN_TUNED_M = 8  # subspaces (code bytes/vector)
+_ANN_TUNED_M = 16  # subspaces (code bytes/vector) — r13 re-baseline
 _ANN_TUNED_OPQ = False  # OPQ-lite stride permutation before split
 
 
@@ -2507,21 +2507,22 @@ def _ann_tuned_oracle(
 )
 def q_llm_ann_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MEASURED ANN serving operating point, promoted to a
-    registered query (round-10 verdict item 2; re-tuned round 12):
-    trained PQ with every dial at its costed setting — K=64
-    centroids/subspace (6-bit codes, still 8 code-bytes/vector), T=2
-    integer Lloyd training rounds, ADC top-R=400 shortlist re-ranked
-    with EXACT integer L2 over the full quantized vectors, final
-    top-5 per probe. ANN_RECALL.md's round-12 dial sweep measured
-    this exact configuration at recall@5 0.848 @ sf1.0 / 0.984 @
-    sf0.1 on worst-case near-random vectors (vs 0.610 at the retired
-    R=100 point and the 0.046 codes-only K=16 floor) — R is the
-    cheapest ≥0.75 rung because deepening the re-rank touches only
-    R·|probes| full vectors while code storage and the ADC scan are
-    unchanged; the measured next rung (M=16 subspaces: 0.894 @ R=100,
-    0.952 @ R=200) costs 2× code bytes + 2× ADC adds on every corpus
-    vector, and OPQ-lite / T≥3 measured neutral on this isotropic
-    geometry (both remain dials: pq_adc_topk(pq_m=, opq=,
+    registered query (round-10 verdict item 2; re-tuned rounds 12 and
+    13): trained PQ with every dial at its costed setting — M=16
+    subspaces (4-dim cells, 16 code-bytes/vector), K=64
+    centroids/subspace, T=2 integer Lloyd training rounds, ADC
+    top-R=400 shortlist re-ranked with EXACT integer L2 over the full
+    quantized vectors, final top-5 per probe. ANN_RECALL.md's
+    round-13 grid fill measured this exact configuration at recall@5
+    **0.984 @ sf1.0** on worst-case near-random vectors, at 1.09× the
+    wall of the retired M=8·R=400 point (0.848) on the same host —
+    M=16 was the strongest rung in the r12 sweep and the r13 fill
+    shows its R=400 cell dominates every other measured point; the
+    price is 2× code bytes + 2× ADC adds per corpus vector, which is
+    the documented trade (drop pq_m back to 8 when bandwidth beats
+    recall). T=3 measured NOT worth it (0.962 @ 1.44× wall — the
+    training plateau holds), and OPQ-lite stays neutral on this
+    isotropic geometry (both remain dials: pq_adc_topk(pq_m=, opq=,
     train_rounds=)). The oracle is exact (same trained trajectory,
     same shortlist, same re-rank — _ann_tuned_oracle() builds it at
     any operating point), so the tuned path is hash-checked
