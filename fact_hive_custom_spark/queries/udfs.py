@@ -207,8 +207,13 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: both sides shuffle ONCE on the key and meet in a single
     Arrow-batched FlatMapCoGroupsInPandas — at 100 TB this is two
     co-partitioned exchanges and no join, with per-key state bounded
-    by that key's rows. Sums are integer cents/1e-4 units so pandas
-    int64 arithmetic matches the SQL oracle exactly."""
+    by that key's rows. That bound is also the operator's straggler
+    bound: a key holding 20% of a side lands 20% of that side in ONE
+    pandas task (measured 1.31× on the hot-key fixture, SKEW_r13.md)
+    — cogroup semantics cannot be salted, so a pathologically hot key
+    needs upstream sub-keying before this operator. Sums are integer
+    cents/1e-4 units so pandas int64 arithmetic matches the SQL
+    oracle exactly."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
