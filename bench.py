@@ -131,6 +131,13 @@ HEADLINE = [
     # the exchange instead of ≤2 rows per customer)
     "q_llm_lm_interp",
     "q_sql_qualify",
+    # round-13: DSIR two-pass hashed-bucket scoring (a regression
+    # shuffling the token stream on bucket id instead of broadcasting
+    # the 1024-row term table shows as a corpus-sized exchange) and
+    # CUPED (must cost nothing beyond the per-user metric groupBy —
+    # a second data-sized pass for the covariate shows here)
+    "q_llm_dsir",
+    "q_stat_cuped",
 ]
 
 

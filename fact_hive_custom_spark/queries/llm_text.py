@@ -1930,3 +1930,133 @@ def q_llm_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " AS BIGINT)"
         ).alias("js_e6"),
     ).orderBy("source")
+
+
+@register(
+    "q_llm_dsir",
+    oracle="""
+    WITH tgt AS (SELECT MIN(source) AS t FROM documents
+                 WHERE source IS NOT NULL),
+    tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    bt AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 AS b
+        FROM tok
+    ),
+    buckets AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN source = (SELECT t FROM tgt)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(COUNT(*) AS BIGINT) AS cr
+        FROM bt GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(SUM(ct) AS BIGINT) AS t_tok,
+               CAST(SUM(cr) AS BIGINT) AS r_tok
+        FROM buckets
+    ),
+    term AS (
+        SELECT b,
+               CAST(floor(ln(CAST(ct + 1 AS DOUBLE) * (r_tok + 1024)
+                             / (CAST(cr + 1 AS DOUBLE) * (t_tok + 1024)))
+                    * 1000000 + 0.5) AS BIGINT) AS w_e6
+        FROM buckets CROSS JOIN tot
+    )
+    SELECT doc_id, source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w_e6) AS BIGINT) AS dsir_e6
+    FROM bt JOIN term USING (b)
+    GROUP BY doc_id, source
+    ORDER BY dsir_e6 DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR document scoring (Data Selection with Importance
+    Resampling, Xie et al. 2023 - public method): rank raw-corpus
+    documents by their log importance weight under a TARGET
+    distribution, sum over tokens of ln(p_target/p_raw) estimated on
+    HASHED n-gram buckets - the cheap, vocabulary-free selector used
+    to pick pretraining data that "looks like" a trusted corpus. Here
+    the target is the lexicographically smallest source (a stand-in
+    for a curated slice), features are unigrams hashed into 1024
+    buckets via md5 (both engines hash UTF-8 bytes identically), and
+    both distributions are add-1 smoothed over the bucket space.
+    Emits the top-50 docs by weight (doc_id-tiebroken).
+
+    Cross-engine determinism: exactly 1024 ln calls - one per bucket,
+    on an integer-product ratio composed character-identically
+    ((ct+1)*(R+1024) <= ~1e14 at sf1.0, inside the 2^53 window),
+    floor-pinned to e6; every per-document weight is then an EXACT
+    integer sum of its tokens' bucket terms, so ordering and LIMIT
+    are stable under the doc_id tiebreak.
+
+    Plan: DSIR's inherent two-pass shape - pass 1 tokenizes and
+    map-combines to the 1024 (bucket) cells with the target flag
+    folded into the same aggregate; pass 2 re-tokenizes and scores
+    through ONE BroadcastHashJoin against the 1024-row term table,
+    with the per-doc aggregate map-side combinable and the top-50 a
+    TakeOrderedAndProject heap (never a global sort). At 100 TB both
+    passes are embarrassingly parallel scans - DSIR's selling point
+    (no model, no embedding) is preserved exactly; to make pass 2 a
+    cache read instead of a re-scan, persist the tokenized relation
+    (the q_llm_kmeans generation-cache pattern)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tgt = (
+        d.filter(F.col("source").isNotNull())
+        .agg(F.min("source").alias("t"))
+    )
+    bt = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                "CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)"
+                " % 1024"
+            ).alias("b"),
+        )
+    )
+    buckets = (
+        bt.crossJoin(F.broadcast(tgt))
+        .groupBy("b")
+        .agg(
+            F.sum(
+                F.when(F.col("source") == F.col("t"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("ct"),
+            F.count(F.lit(1)).cast("bigint").alias("cr"),
+        )
+    )
+    tot = buckets.agg(
+        F.sum("ct").cast("bigint").alias("t_tok"),
+        F.sum("cr").cast("bigint").alias("r_tok"),
+    )
+    term = buckets.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            "CAST(floor(ln(CAST(ct + 1 AS DOUBLE) * (r_tok + 1024)"
+            " / (CAST(cr + 1 AS DOUBLE) * (t_tok + 1024)))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("w_e6"),
+    )
+    return (
+        bt.join(F.broadcast(term), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w_e6").cast("bigint").alias("dsir_e6"),
+        )
+        .orderBy(F.desc("dsir_e6"), "doc_id")
+        .limit(50)
+    )

@@ -3973,3 +3973,142 @@ def q_stat_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("srm_flag"),
     ).orderBy("variant")
+
+
+@register(
+    "q_stat_cuped",
+    oracle="""
+    WITH e AS (
+        SELECT user_id % 2 AS variant, user_id,
+               CASE WHEN ts <  TIMESTAMP '2024-01-16'
+                    THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END AS xv,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                    THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END AS yv
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+    ),
+    u AS (
+        SELECT variant, user_id,
+               CAST(SUM(xv) AS BIGINT) AS x, CAST(SUM(yv) AS BIGINT) AS y
+        FROM e GROUP BY variant, user_id
+    ),
+    pooled AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy_all,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM u
+    ),
+    v AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sxv,
+               CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS syv
+        FROM u GROUP BY variant
+    )
+    SELECT variant, n_users,
+           CAST(syv // n_users AS BIGINT) AS mean_y_e4,
+           CAST(CASE WHEN p.n * p.sxx - p.sx * p.sx > 0 THEN floor(
+               CAST(p.n * p.sxy - p.sx * p.sy_all AS DOUBLE)
+               / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE)
+               * 1000000 + 0.5) END AS BIGINT) AS theta_e6,
+           CAST(CASE WHEN p.n * p.sxx - p.sx * p.sx > 0 THEN floor(
+               CAST(syv AS DOUBLE) / n_users
+               - (CAST(p.n * p.sxy - p.sx * p.sy_all AS DOUBLE)
+                  / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
+                 * (CAST(sxv AS DOUBLE) / n_users
+                    - CAST(p.sx AS DOUBLE) / p.n)
+               + 0.5) END AS BIGINT) AS cuped_mean_e4
+    FROM v CROSS JOIN pooled p
+    ORDER BY variant
+    """,
+)
+def q_stat_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013 - public
+    method): per variant, the experiment metric's mean is adjusted by
+    the pre-period covariate, Y_adj = Y - theta*(X - mean(X)), with
+    theta = cov(X, Y)/var(X) POOLED across variants - the standard
+    trick that removes between-user variance an A/B platform cannot
+    randomize away. Here X = each user's pre-cutoff value sum and
+    Y = the post-cutoff sum (cutoff 2024-01-16 splits the fixture's
+    event month), both in exact e4 integer units; users are the
+    randomization unit (variant = user_id % 2).
+
+    Cross-engine determinism: every moment (n, Σx, Σx², Σxy, per-
+    variant Σx, Σy) is an exact integer in DECIMAL(38,0)/HUGEINT;
+    theta and the adjusted mean are then ONE identically-composed
+    DOUBLE expression on both engines (exact integers cast to DOUBLE
+    round-to-nearest identically), floor-pinned to e6/e4. var(X) = 0
+    (degenerate pre-period) yields NULL theta and NULL adjusted mean
+    on both engines - the totality rule. mean_y_e4 is pure integer
+    division.
+
+    Plan: one map-combined (variant, user) aggregate collapses the
+    event log to one row per user; the pooled moments are a 1-row
+    broadcast staple and the per-variant aggregate is 2 rows. At
+    100 TB the only data-sized cost is the per-user groupBy - and X
+    being derived IN the same pass means CUPED costs nothing beyond
+    the metric query itself, which is the method's selling point."""
+    cutoff = "TIMESTAMP '2024-01-16'"
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    u = (
+        e.select(
+            (F.col("user_id") % 2).alias("variant"),
+            "user_id",
+            F.expr(
+                f"CASE WHEN ts < {cutoff} THEN"
+                " CAST(round(value * 10000) AS BIGINT) ELSE 0L END"
+            ).alias("xv"),
+            F.expr(
+                f"CASE WHEN ts >= {cutoff} THEN"
+                " CAST(round(value * 10000) AS BIGINT) ELSE 0L END"
+            ).alias("yv"),
+        )
+        .groupBy("variant", "user_id")
+        .agg(
+            F.sum("xv").cast("bigint").alias("x"),
+            F.sum("yv").cast("bigint").alias("y"),
+        )
+    )
+    d38 = "DECIMAL(38,0)"
+    pooled = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr(f"CAST(x AS {d38})")).cast(d38).alias("sx"),
+        F.sum(F.expr(f"CAST(y AS {d38})")).cast(d38).alias("sy_all"),
+        F.sum(F.expr(f"CAST(x AS {d38}) * x")).cast(d38).alias("sxx"),
+        F.sum(F.expr(f"CAST(x AS {d38}) * y")).cast(d38).alias("sxy"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.expr(f"CAST(x AS {d38})")).cast(d38).alias("sxv"),
+        F.sum(F.expr(f"CAST(y AS {d38})")).cast(d38).alias("syv"),
+    )
+    theta = (
+        "CAST(n * sxy - sx * sy_all AS DOUBLE)"
+        " / CAST(n * sxx - sx * sx AS DOUBLE)"
+    )
+    return (
+        v.crossJoin(F.broadcast(pooled))
+        .select(
+            "variant",
+            "n_users",
+            F.expr("CAST(syv DIV n_users AS BIGINT)").alias("mean_y_e4"),
+            F.expr(
+                "CAST(CASE WHEN n * sxx - sx * sx > 0 THEN"
+                f" floor(({theta}) * 1000000 + 0.5) END AS BIGINT)"
+            ).alias("theta_e6"),
+            F.expr(
+                "CAST(CASE WHEN n * sxx - sx * sx > 0 THEN floor("
+                "CAST(syv AS DOUBLE) / n_users"
+                f" - ({theta})"
+                " * (CAST(sxv AS DOUBLE) / n_users"
+                "    - CAST(sx AS DOUBLE) / n)"
+                " + 0.5) END AS BIGINT)"
+            ).alias("cuped_mean_e4"),
+        )
+        .orderBy("variant")
+    )

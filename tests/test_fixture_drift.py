@@ -78,6 +78,8 @@ DOC_QUERIES = [
     "q_llm_dataset_card",
     "q_llm_curriculum",
     "q_llm_typicality",
+    # round-13 document consumers
+    "q_llm_dsir",
     # round-8b document consumers
     "q_llm_bpe_pairs",
     "q_llm_bpe_train",
@@ -318,6 +320,8 @@ NULLABLE_EVT_QUERIES = [
     "q_graph_link_predict",
     "q_ts_error_rate",
     "q_ts_impute",
+    # round-13 event consumers
+    "q_stat_cuped",
 ]
 
 

@@ -2068,3 +2068,28 @@ class TestRound12bPins:
             assert "HashAggregate" in plan, name
             assert "CartesianProduct" not in plan, name
             assert not plans.uses_python(QUERIES[name](spark, SF_DIR)), name
+
+
+class TestRound13Pins:
+    def test_cuped_collapses_to_per_user_then_staples(self, spark):
+        """CUPED's only data-sized exchange is the per-(variant, user)
+        groupBy; the pooled moments are ONE single-partition staple
+        broadcast back (bounded 1-row BNLJ), and nothing runs in
+        Python — CUPED must cost nothing beyond the metric query."""
+        plan = plan_of(spark, "q_stat_cuped")
+        assert plan.count("Exchange SinglePartition") == 1, plan[:2000]
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row staple only
+        assert "CartesianProduct" not in plan
+        assert "HashAggregate" in plan
+        assert not plans.uses_python(QUERIES["q_stat_cuped"](spark, SF_DIR))
+
+    def test_dsir_scores_via_broadcast_term_table(self, spark):
+        """DSIR pass 2 must score the token stream through a
+        BroadcastHashJoin against the 1024-row term table (never
+        shuffle the corpus on bucket id), and the top-50 must be a
+        TakeOrderedAndProject heap, not a global sort."""
+        plan = plan_of(spark, "q_llm_dsir")
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan  # staples are 1-row BNLJ
+        assert not plans.uses_python(QUERIES["q_llm_dsir"](spark, SF_DIR))
