@@ -138,6 +138,12 @@ HEADLINE = [
     # a second data-sized pass for the covariate shows here)
     "q_llm_dsir",
     "q_stat_cuped",
+    # round-13b: the double-ranker RBO grade (two salted top-k corpus
+    # passes — a regression to a global per-probe window serializes
+    # the score matrix) and the seasonal fold (a regression that
+    # re-derives the series per step shows as a multiple)
+    "q_ir_rbo",
+    "q_ts_holt_winters",
 ]
 
 

@@ -21,7 +21,9 @@ from fact_hive_custom_spark.functions.vectors import cosine, dot as _dot, norm a
 __all__ = ["cosine", "cosine_pairs", "cosine_topk", "ivf_topk", "signlsh_topk"]
 
 
-def _topk_per_probe(scored: DataFrame, k: int, select_cols: list) -> DataFrame:
+def _topk_per_probe(
+    scored: DataFrame, k: int, select_cols: list, score_col: str = "cosine"
+) -> DataFrame:
     """Two-phase deterministic top-k per probe_id.
 
     Phase 1 prunes to k rows per (probe_id, input partition): the
@@ -31,12 +33,12 @@ def _topk_per_probe(scored: DataFrame, k: int, select_cols: list) -> DataFrame:
     round-1 scale-killer (one straggler/OOM task per probe at 100×).
     Phase 2 ranks the ≤ k × partitions survivors per probe — tiny.
 
-    Both phases use the same total order (cosine desc, neighbor_id asc),
+    Both phases use the same total order (score desc, neighbor_id asc),
     so the result is identical to a single global window: the global
     top-k of each probe is contained in the union of its per-partition
     top-ks.
     """
-    order = [F.desc("cosine"), F.asc("neighbor_id")]
+    order = [F.desc(score_col), F.asc("neighbor_id")]
     local = Window.partitionBy("probe_id", "pid").orderBy(*order)
     w = Window.partitionBy("probe_id").orderBy(*order)
     return (

@@ -423,3 +423,161 @@ def q_ir_prec_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("f1_ppm"),
     ).orderBy("probe_id")
+
+
+_RBO_P = 0.9  # rank-biased overlap persistence (Webber et al. 2010)
+# Truncated-RBO depth weights with the 1/d agreement divisor folded in:
+# w'_d = round((1-p) * p^(d-1) / d * 1e12) — the only float math runs
+# HERE, once, in Python; both engines consume identical literals.
+_RBO_W_E12 = tuple(
+    round((1 - _RBO_P) * _RBO_P ** (d - 1) / d * 1_000_000_000_000)
+    for d in range(1, _IR_K + 1)
+)
+_RBO_W_CASE = " ".join(
+    f"WHEN {d} THEN {w}" for d, w in enumerate(_RBO_W_E12, start=1)
+)
+
+
+@register(
+    "q_ir_rbo",
+    oracle=f"""
+    WITH {_IR_RANKED_CTE},
+    dotk AS (
+        SELECT p.probe_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(p.pv AS DOUBLE[])), 6) AS dp
+        FROM emb c JOIN p ON c.vec_id <> p.probe_id
+        QUALIFY row_number() OVER (
+            PARTITION BY p.probe_id
+            ORDER BY list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(p.pv AS DOUBLE[])) DESC,
+                     c.vec_id
+        ) <= {_IR_K}
+    ),
+    rb AS (
+        SELECT probe_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY dp DESC, neighbor_id) AS rnk_b
+        FROM dotk
+    ),
+    pairs AS (
+        SELECT a.probe_id,
+               CAST(GREATEST(a.rnk, b.rnk_b) AS BIGINT) AS dmin
+        FROM ranked a JOIN rb b
+          ON a.probe_id = b.probe_id AND a.neighbor_id = b.neighbor_id
+    ),
+    depth AS (SELECT CAST(unnest(generate_series(1, {_IR_K})) AS BIGINT) AS d),
+    ov AS (
+        SELECT d.d,
+               CAST(COALESCE(SUM(CASE WHEN p.dmin <= d.d THEN 1 END), 0)
+                    AS BIGINT) AS ov_total
+        FROM depth d LEFT JOIN pairs p ON p.dmin <= d.d
+        GROUP BY d.d
+    )
+    SELECT d, ov_total,
+           CAST(1000000 * ov_total // (d * {_IR_NQ}) AS BIGINT) AS agree_ppm,
+           CAST(SUM((CASE d {_RBO_W_CASE} END) * ov_total)
+                    OVER (ORDER BY d) // {_IR_NQ} AS BIGINT)
+               AS rbo_cum_e12
+    FROM ov ORDER BY d
+    """,
+)
+def q_ir_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    the cosine ranking and the raw dot-product ranking of the same
+    probe set — the standard top-weighted similarity of two rankers,
+    answering the production question "does skipping normalization
+    change what users actually see at the top?" (dot is the cheaper
+    serving path; RBO prices the difference rank-by-rank instead of a
+    single set overlap). Emits one row per depth d = 1..10: the total
+    cross-probe overlap |A_d ∩ B_d|, the agreement rate, and the
+    cumulative truncated RBO (mean over probes, e12).
+
+    Cross-engine determinism: both rankings use the established
+    unrounded-selection / round-6-rank discipline (dot is a strict
+    subexpression of the proven cosine agreement — Spark's
+    zip_with+aggregate fold and DuckDB's list_dot_product associate
+    identically, q_fn_array's pin); the p^d/d depth weights are
+    PYTHON-computed e12 literals embedded in both engines, so every
+    emitted value is an exact integer (overlap counts × literal
+    weights, integer DIV at the end). Lists shorter than d cannot
+    occur (corpus ≫ k), and the GREATEST(rank_a, rank_b) formulation
+    makes per-pair membership at depth d order-free.
+
+    Plan: two brute-force scored passes (probes broadcast, corpus
+    streamed once each) through the salted two-stage top-k heap —
+    the q_llm_cosine_topk shape ×2; everything after the two ≤
+    NQ·k-row rank lists is literal algebra on ≤ 200 rows. At 100 TB
+    the ranker passes are the only corpus cost, and swapping either
+    side for the ANN/PQ run reuses the grading tail unchanged."""
+    from fact_hive_custom_spark.functions.vectors import dot as _vdot
+    from fact_hive_custom_spark.operators.similarity import _topk_per_probe
+
+    emb = load_embeddings(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < _IR_NQ)
+
+    # ranker A: cosine (the existing exact run, in-set round-6 ranks)
+    a = cosine_topk(probes, emb, k=_IR_K)
+    wa = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    ra = a.select(
+        "probe_id",
+        "neighbor_id",
+        F.row_number().over(wa).cast("bigint").alias("rnk_a"),
+    )
+
+    # ranker B: raw dot product through the same salted top-k heap
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("dp", _vdot(F.col("embedding"), F.col("pv")))
+    )
+    b = _topk_per_probe(
+        scored,
+        _IR_K,
+        ["probe_id", "neighbor_id", F.round("dp", 6).alias("dp")],
+        score_col="dp",
+    )
+    wb = Window.partitionBy("probe_id").orderBy(
+        F.desc("dp"), F.asc("neighbor_id")
+    )
+    rb = b.select(
+        "probe_id",
+        "neighbor_id",
+        F.row_number().over(wb).cast("bigint").alias("rnk_b"),
+    )
+
+    pairs = ra.join(rb, ["probe_id", "neighbor_id"]).select(
+        F.greatest("rnk_a", "rnk_b").cast("bigint").alias("dmin")
+    )
+    depth = spark.range(1, _IR_K + 1).select(F.col("id").cast("bigint").alias("d"))
+    ov = (
+        depth.join(pairs, pairs["dmin"] <= depth["d"], "left")
+        .groupBy("d")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("dmin").isNotNull(), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("ov_total")
+        )
+    )
+    return (
+        ov.select(
+            "d",
+            "ov_total",
+            F.expr(
+                f"CAST(1000000 * ov_total DIV (d * {_IR_NQ}) AS BIGINT)"
+            ).alias("agree_ppm"),
+            F.expr(
+                f"CAST(SUM((CASE d {_RBO_W_CASE} END) * ov_total)"
+                f" OVER (ORDER BY d) DIV {_IR_NQ} AS BIGINT)"
+            ).alias("rbo_cum_e12"),
+        )
+        .orderBy("d")
+    )

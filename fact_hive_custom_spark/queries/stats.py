@@ -4112,3 +4112,101 @@ def q_stat_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@register(
+    "q_stat_power_mde",
+    oracle="""
+    WITH e AS (
+        SELECT user_id % 2 AS variant, event_type
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    base AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x0,
+               CAST((SELECT COUNT(*) FROM e WHERE variant = 0)
+                    AS BIGINT) AS n0
+        FROM e GROUP BY event_type
+    ),
+    rates AS (
+        SELECT event_type, x0, n0,
+               CAST(x0 AS DOUBLE) / n0 AS p1,
+               CASE WHEN 1.1 * (CAST(x0 AS DOUBLE) / n0) < 1.0
+                    THEN 1.1 * (CAST(x0 AS DOUBLE) / n0) ELSE 1.0 END AS p2
+        FROM base
+    )
+    SELECT event_type, x0, n0,
+           CAST(floor(p1 * 1000000 + 0.5) AS BIGINT) AS p1_ppm,
+           CAST(CASE WHEN p2 > p1 AND p2 < 1.0 THEN ceil(
+               (1.959964 * sqrt(2.0 * ((p1 + p2) / 2.0)
+                                * (1.0 - (p1 + p2) / 2.0))
+                + 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+               * (1.959964 * sqrt(2.0 * ((p1 + p2) / 2.0)
+                                  * (1.0 - (p1 + p2) / 2.0))
+                  + 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+               / ((p2 - p1) * (p2 - p1))) END AS BIGINT) AS n_per_arm
+    FROM rates ORDER BY event_type
+    """,
+)
+def q_stat_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment power analysis: for each event type treated as
+    the success metric, the required sample size PER ARM to detect a
+    +10% relative lift over the observed control-arm base rate at
+    alpha = 0.05 (two-sided) and power = 0.80 - the two-proportion
+    z-test closed form n = (z_a*sqrt(2*pbar*(1-pbar)) +
+    z_b*sqrt(p1(1-p1)+p2(1-p2)))^2 / (p2-p1)^2 every experimentation
+    platform runs before launching (Fleiss et al.; z literals
+    1.959964 / 0.841621 embedded identically on both engines).
+
+    Cross-engine determinism: x0/n0 are exact integers; p1, p2 and
+    the whole formula are ONE character-identical DOUBLE composition
+    (sqrt is IEEE correctly-rounded - the q_stat_wilson_ci rule);
+    the output is ceil() of that scalar, integer-exact unless the
+    true value sits within one ulp of an integer (not the case on
+    any fixture; documented hazard). Degenerate rates (p1 = 0 gives
+    p2 = p1; p1 high enough that p2 clamps to 1) emit NULL - the
+    totality rule.
+
+    Plan: one map-combined count per (event_type) over the control
+    arm plus a 1-row control-total staple - the event log collapses
+    in the first exchange; everything downstream is |event types|
+    rows of scalar algebra. At 100 TB the counting shuffle is the
+    query."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select((F.col("user_id") % 2).alias("variant"), "event_type")
+    base = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x0")
+    )
+    n0 = e.filter(F.col("variant") == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0")
+    )
+    za, zb = "1.959964", "0.841621"
+    p1 = "(CAST(x0 AS DOUBLE) / n0)"
+    p2 = f"(CASE WHEN 1.1 * {p1} < 1.0 THEN 1.1 * {p1} ELSE 1.0 END)"
+    pbar = f"(({p1} + {p2}) / 2.0)"
+    root = (
+        f"({za} * sqrt(2.0 * {pbar} * (1.0 - {pbar}))"
+        f" + {zb} * sqrt({p1} * (1.0 - {p1}) + {p2} * (1.0 - {p2})))"
+    )
+    return (
+        base.crossJoin(F.broadcast(n0))
+        .select(
+            "event_type",
+            "x0",
+            "n0",
+            F.expr(
+                f"CAST(floor({p1} * 1000000 + 0.5) AS BIGINT)"
+            ).alias("p1_ppm"),
+            F.expr(
+                f"CAST(CASE WHEN {p2} > {p1} AND {p2} < 1.0 THEN"
+                f" ceil({root} * {root}"
+                f" / (({p2} - {p1}) * ({p2} - {p1}))) END AS BIGINT)"
+            ).alias("n_per_arm"),
+        )
+        .orderBy("event_type")
+    )

@@ -2697,3 +2697,211 @@ def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q_cum_e6"),
     ).orderBy("lag")
+
+
+# --- Holt-Winters additive seasonal (period 7), alpha=beta=gamma=1/2 ---
+# The recurrence needs the 7-slot seasonal state inlined per step on
+# both engines; the expression strings are generated HERE, once, from
+# shared templates, so the two engines cannot drift.
+_HW_P = 7
+
+
+def _hw_spark_fold() -> str:
+    spos = (
+        "CASE CAST(acc.t % 7 AS INT) "
+        + " ".join(f"WHEN {i} THEN acc.s{i}" for i in range(_HW_P))
+        + " END"
+    )
+    lt = f"CAST(floor((x.v - ({spos}) + acc.l + acc.b) / 2.0) AS BIGINT)"
+    bt = f"CAST(floor((({lt}) - acc.l + acc.b) / 2.0) AS BIGINT)"
+    snew = f"CAST(floor((x.v - ({lt}) + ({spos})) / 2.0) AS BIGINT)"
+    s_updates = ", ".join(
+        f"'s{i}', IF(CAST(acc.t % 7 AS INT) = {i}, {snew}, acc.s{i})"
+        for i in range(_HW_P)
+    )
+    init_state = ", ".join(
+        f"'s{i}', pts[{i}].v - l7" for i in range(_HW_P)
+    )
+    return f"""
+        aggregate(
+          slice(pts, 8, greatest(size(pts) - 7, 0)),
+          named_struct(
+            'rows', transform(slice(pts, 1, 7), (x, i) -> named_struct(
+                't', CAST(i + 1 AS BIGINT), 'day', x.day, 'v', x.v,
+                'level', l7, 'trend', CAST(0 AS BIGINT),
+                'seasonal', CAST(x.v - l7 AS BIGINT))),
+            'l', l7, 'b', CAST(0 AS BIGINT), {init_state},
+            't', CAST(7 AS BIGINT)),
+          (acc, x) -> named_struct(
+            'rows', concat(acc.rows, array(named_struct(
+                't', acc.t + 1, 'day', x.day, 'v', x.v,
+                'level', {lt}, 'trend', {bt}, 'seasonal', {snew}))),
+            'l', {lt}, 'b', {bt}, {s_updates},
+            't', acc.t + 1),
+          acc -> acc.rows)
+    """
+
+
+def _hw_oracle() -> str:
+    spos = (
+        "CASE CAST(r.t % 7 AS INT) "
+        + " ".join(f"WHEN {i} THEN r.s{i}" for i in range(_HW_P))
+        + " END"
+    )
+    lt = f"CAST(floor((p.v - ({spos}) + r.l + r.b) / 2.0) AS BIGINT)"
+    bt = f"CAST(floor((({lt}) - r.l + r.b) / 2.0) AS BIGINT)"
+    snew = f"CAST(floor((p.v - ({lt}) + ({spos})) / 2.0) AS BIGINT)"
+    s_updates = ", ".join(
+        f"CASE WHEN CAST(r.t % 7 AS INT) = {i} THEN {snew}"
+        f" ELSE r.s{i} END AS s{i}"
+        for i in range(_HW_P)
+    )
+    init_cols = ", ".join(
+        f"CAST(MAX(CASE WHEN t = {i + 1} THEN v END) AS BIGINT) AS v{i + 1}"
+        for i in range(_HW_P)
+    )
+    base_s = ", ".join(
+        f"CAST(i.v{i + 1} - i.l7 AS BIGINT) AS s{i}" for i in range(_HW_P)
+    )
+    emit_s = (
+        "CASE CAST((t - 1) % 7 AS INT) "
+        + " ".join(f"WHEN {i} THEN s{i}" for i in range(_HW_P))
+        + " END"
+    )
+    return f"""
+    WITH RECURSIVE cell AS (
+        SELECT o_orderpriority AS priority, o_orderdate AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+          AND o_totalprice IS NOT NULL
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1996-07-01'
+        GROUP BY 1, 2
+    ),
+    pts AS (
+        SELECT priority, day, v,
+               CAST(row_number() OVER (
+                   PARTITION BY priority ORDER BY day) AS BIGINT) AS t
+        FROM cell
+    ),
+    init AS (
+        SELECT priority,
+               CAST(floor(SUM(CASE WHEN t <= 7 THEN v ELSE 0 END) / 7.0)
+                    AS BIGINT) AS l7,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {init_cols}
+        FROM pts GROUP BY priority
+    ),
+    rec AS (
+        SELECT p.priority, p.t, p.day, p.v,
+               i.l7 AS l, CAST(0 AS BIGINT) AS b, {base_s}
+        FROM pts p JOIN init i ON p.priority = i.priority
+        WHERE p.t = 7 AND i.n >= 8
+        UNION ALL
+        SELECT p.priority, p.t, p.day, p.v,
+               {lt} AS l, {bt} AS b, {s_updates}
+        FROM rec r JOIN pts p
+          ON p.priority = r.priority AND p.t = r.t + 1
+    ),
+    emit AS (
+        SELECT p.priority, p.t, p.day, p.v,
+               i.l7 AS level, CAST(0 AS BIGINT) AS trend,
+               CAST(p.v - i.l7 AS BIGINT) AS seasonal
+        FROM pts p JOIN init i ON p.priority = i.priority
+        WHERE p.t <= 6 AND i.n >= 8
+        UNION ALL
+        SELECT priority, t, day, v, l AS level, b AS trend,
+               CAST({emit_s} AS BIGINT) AS seasonal
+        FROM rec
+    )
+    SELECT priority, t, day, v, level, trend, seasonal,
+           CAST(level + trend + lag(seasonal, 6) OVER (
+               PARTITION BY priority ORDER BY t) AS BIGINT)
+               AS forecast_next
+    FROM emit ORDER BY priority, t
+    """
+
+
+@register("q_ts_holt_winters", oracle=_hw_oracle())
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE SEASONAL smoothing (level + trend +
+    period-7 seasonal slots, alpha = beta = gamma = 1/2) of daily
+    revenue per order priority over 1996-H1 - the seasonal upgrade of
+    q_ts_holt_linear, the textbook triple-exponential forecaster for
+    weekly-cycling business series. Emits every observed day's
+    smoothed level, trend, the UPDATED seasonal for its slot, and the
+    one-step-ahead forecast level + trend + s_next (the seasonal that
+    will apply to the next point = the one updated 6 observations
+    earlier, read back with lag(seasonal, 6)).
+
+    Init convention (documented, identical both engines): the first 7
+    observed points seed l = floor(mean of v_1..7), b = 0,
+    s_i = v_i - l; rows 1..6 emit that init state, smoothing starts at
+    t = 7; a series with fewer than 8 observed days emits NOTHING
+    (seasonal init undefined - the totality rule). Seasonal slots
+    cycle by OBSERVED position (t mod 7), not calendar weekday, so
+    gaps shift phase - the standard gapless-series assumption, stated.
+
+    Cross-engine exactness: the q_ts_holt_linear discipline - state in
+    exact bigint cents, every half-step floor(x / 2.0) on an
+    integer-valued DOUBLE (lossless binary halving inside 2^53), the
+    one mean floor(sum / 7.0). Spark folds each series' date-sorted
+    array with aggregate() (JVM lambdas, no Python, no driver loop);
+    DuckDB runs the SAME recurrence as a recursive CTE carrying the
+    7 seasonal slots as columns; both expression strings are GENERATED
+    from one Python template above, so they cannot drift.
+
+    Scale: identical to q_ts_holt_linear - one map-combined groupBy to
+    |series| x |days| cells, then a per-series fold over <= 181
+    structs; sequential per key, parallel across keys."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    cell = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    series = (
+        cell.groupBy("priority")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "v"))).alias("pts"))
+        .filter(F.size("pts") >= 8)
+        .withColumn(
+            "l7",
+            F.expr(
+                "CAST(floor(aggregate(slice(pts, 1, 7), 0L,"
+                " (a, x) -> a + x.v) / 7.0) AS BIGINT)"
+            ),
+        )
+    )
+    folded = series.select(
+        "priority", F.expr(_hw_spark_fold()).alias("rows")
+    )
+    w = Window.partitionBy("priority").orderBy("t")
+    return (
+        folded.select("priority", F.explode("rows").alias("r"))
+        .select(
+            "priority",
+            F.col("r.t").alias("t"),
+            F.col("r.day").alias("day"),
+            F.col("r.v").alias("v"),
+            F.col("r.level").alias("level"),
+            F.col("r.trend").alias("trend"),
+            F.col("r.seasonal").alias("seasonal"),
+        )
+        .withColumn(
+            "forecast_next",
+            (F.col("level") + F.col("trend") + F.lag("seasonal", 6).over(w))
+            .cast("bigint"),
+        )
+        .orderBy("priority", "t")
+    )

@@ -121,6 +121,7 @@ EMB_QUERIES = [
     # round-11 embeddings consumers: the tuned ANN serving point and
     # the retrieval-grading tail over the exact cosine run
     "q_llm_ann_tuned",
+    "q_ir_rbo",
     "q_ir_ndcg",
     "q_ir_mrr",
     "q_ir_map",
@@ -322,6 +323,7 @@ NULLABLE_EVT_QUERIES = [
     "q_ts_impute",
     # round-13 event consumers
     "q_stat_cuped",
+    "q_stat_power_mde",
 ]
 
 
@@ -398,6 +400,7 @@ NULLABLE_ORD_QUERIES = [
     "q_ts_holt_linear",
     "q_sql_qualify",
     "q_ts_ljung_box",
+    "q_ts_holt_winters",
 ]
 
 

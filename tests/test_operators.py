@@ -1448,6 +1448,82 @@ class TestRound12Rederivations:
             assert (r.day, r.v, r.level, r.trend) == (day, v, l, b), r
             assert r.forecast_next == l + b
 
+    def test_holt_winters_matches_python_recurrence(self, spark):
+        """Third implementation: the Spark fold and the DuckDB
+        recursive CTE are GENERATED from one template (timeseries.py
+        _hw_spark_fold/_hw_oracle), so parity alone cannot catch a
+        template bug — this pure-Python rebuild of the recurrence
+        can (the q_llm_js_divergence lesson)."""
+        import math
+
+        from fact_hive_custom_spark.queries import QUERIES
+        from fact_hive_custom_spark.tables import load_table
+
+        rows = QUERIES["q_ts_holt_winters"](spark, SF_DIR).collect()
+        assert rows, "holt-winters output should be non-empty"
+        o = (
+            load_table(spark, SF_DIR, "orders")
+            .filter(
+                "o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL"
+                " AND o_totalprice IS NOT NULL"
+                " AND o_orderdate >= DATE '1996-01-01'"
+                " AND o_orderdate < DATE '1996-07-01'"
+            )
+            .collect()
+        )
+        cells: dict = {}
+        for r in o:
+            key = (r.o_orderpriority, r.o_orderdate)
+            cells[key] = cells.get(key, 0) + int(round(r.o_totalprice * 100))
+        series: dict = {}
+        for (prio, day), v in sorted(cells.items()):
+            series.setdefault(prio, []).append((day, v))
+        expect = {}
+        for prio, pts in series.items():
+            if len(pts) < 8:
+                continue
+            l = math.floor(sum(v for _, v in pts[:7]) / 7)
+            b = 0
+            s = [v - l for _, v in pts[:7]]
+            seasonal_hist = {}
+            for t in range(1, 8):
+                day, v = pts[t - 1]
+                expect[(prio, t)] = (day, v, l, 0, v - l)
+                seasonal_hist[t] = v - l
+            for t, (day, v) in enumerate(pts[7:], start=8):
+                pos = (t - 1) % 7
+                l1 = math.floor((v - s[pos] + l + b) / 2)
+                b1 = math.floor((l1 - l + b) / 2)
+                s[pos] = math.floor((v - l1 + s[pos]) / 2)
+                l, b = l1, b1
+                expect[(prio, t)] = (day, v, l, b, s[pos])
+                seasonal_hist[t] = s[pos]
+        assert len(rows) == len(expect)
+        for r in rows:
+            day, v, l, b, seas = expect[(r.priority, r.t)]
+            assert (r.day.date() if hasattr(r.day, "date") else r.day,
+                    r.v, r.level, r.trend, r.seasonal) == (
+                day.date() if hasattr(day, "date") else day,
+                v, l, b, seas), r
+
+    def test_holt_winters_forecast_uses_next_slot(self, spark):
+        """forecast_next = level + trend + the seasonal updated six
+        observations earlier (the slot that applies to t+1)."""
+        from fact_hive_custom_spark.queries import QUERIES
+
+        rows = QUERIES["q_ts_holt_winters"](spark, SF_DIR).collect()
+        by_key = {(r.priority, r.t): r for r in rows}
+        checked = 0
+        for r in rows:
+            prev = by_key.get((r.priority, r.t - 6))
+            if r.t <= 6:
+                assert r.forecast_next is None, r
+            else:
+                assert prev is not None
+                assert r.forecast_next == r.level + r.trend + prev.seasonal, r
+                checked += 1
+        assert checked > 0
+
     def test_hhi_matches_python_integer_formula(self, spark):
         from fact_hive_custom_spark.queries import QUERIES
         from fact_hive_custom_spark.tables import load_table

@@ -2093,3 +2093,31 @@ class TestRound13Pins:
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan  # staples are 1-row BNLJ
         assert not plans.uses_python(QUERIES["q_llm_dsir"](spark, SF_DIR))
+
+    def test_power_mde_collapses_once(self, spark):
+        """Power analysis: one map-combined per-type count + a 1-row
+        control-total staple; everything downstream is scalar algebra
+        on |event types| rows — no Python, no second data pass."""
+        plan = plan_of(spark, "q_stat_power_mde")
+        assert plan.count("Exchange SinglePartition") == 1
+        assert "CartesianProduct" not in plan
+        assert not plans.uses_python(QUERIES["q_stat_power_mde"](spark, SF_DIR))
+
+    def test_rbo_rankers_use_salted_heaps(self, spark):
+        """RBO's two ranker passes must go through the salted two-stage
+        top-k (local row_number prune before the per-probe window) —
+        never a global per-probe window over the raw score matrix."""
+        plan = plan_of(spark, "q_ir_rbo")
+        # two scored passes → at least two local (probe_id, pid) prunes
+        assert plan.count("lrn") >= 2 or plan.count("row_number") >= 4, plan[:1500]
+        assert "CartesianProduct" not in plan  # probe joins are bounded BNLJ
+        assert not plans.uses_python(QUERIES["q_ir_rbo"](spark, SF_DIR))
+
+    def test_holt_winters_folds_like_holt_linear(self, spark):
+        """The seasonal recurrence must stay a per-series JVM fold:
+        one map-combined groupBy to day cells, one collect_list per
+        series, zero Python, no cartesian."""
+        plan = plan_of(spark, "q_ts_holt_winters")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert not plans.uses_python(QUERIES["q_ts_holt_winters"](spark, SF_DIR))
