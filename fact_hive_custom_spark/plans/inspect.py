@@ -44,11 +44,24 @@ def has_broadcast_hash_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in executed_plan(df)
 
 
+_PYTHON_EXEC_RE = re.compile(
+    # Every Python-evaluation exec node Spark 4 can plan: row-at-a-time
+    # (BatchEvalPython), Arrow-batched scalar (ArrowEvalPython), the
+    # pandas map/cogroup/window/UDAF family, Arrow map, and the
+    # stateful-streaming pandas operators. WindowInPandas /
+    # AggregateInPandas / MapInArrow were blind spots until round 14
+    # (round-13 ADVICE) — a query newly acquiring a pandas window or
+    # UDAF stage now trips the PLAN_SNAPSHOT drift net.
+    r"BatchEvalPython|ArrowEvalPython|MapInPandas|MapInArrow"
+    r"|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas"
+    r"|WindowInPandas|AggregateInPandas|TransformWithStateInPandas"
+)
+
+
 def uses_python(df: DataFrame) -> bool:
     """True if any Python evaluation (row or Arrow) appears in the plan —
     the hot path should keep this False."""
-    plan = executed_plan(df)
-    return "BatchEvalPython" in plan or "ArrowEvalPython" in plan or "MapInPandas" in plan
+    return bool(_PYTHON_EXEC_RE.search(executed_plan(df)))
 
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:
@@ -156,13 +169,7 @@ def plan_counts(df: DataFrame) -> dict:
         "single_ex": len(re.findall(r"Exchange SinglePartition", plan)),
         "range_ex": len(re.findall(r"Exchange rangepartitioning", plan)),
         "bcast": len(re.findall(r"BroadcastExchange", plan)),
-        "python": bool(
-            re.search(
-                r"BatchEvalPython|ArrowEvalPython|MapInPandas"
-                r"|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas",
-                plan,
-            )
-        ),
+        "python": bool(_PYTHON_EXEC_RE.search(plan)),
         "cartesian": "CartesianProduct" in plan
         or "BroadcastNestedLoopJoin" in plan,
     }

@@ -3704,13 +3704,15 @@ def q_stat_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(MIN(b) AS BIGINT) AS bmin,
                CAST(COUNT(*) AS BIGINT) AS k,
                CAST(SUM(CAST(rank2_sum AS HUGEINT) * rank2_sum)
-                    AS HUGEINT) AS sq
+                    AS HUGEINT) AS sq,
+               CAST((SELECT COUNT(DISTINCT block) FROM cell)
+                    AS BIGINT) AS nb
         FROM rsum
     )
     SELECT r.treatment, r.rank2_sum,
            CAST(d.b AS BIGINT) AS n_blocks,
            CAST(d.k - 1 AS BIGINT) AS df,
-           CAST(CASE WHEN d.bmin = d.b THEN
+           CAST(CASE WHEN d.bmin = d.b AND d.b = d.nb THEN
                 3 * sq * 1000000 // (d.b * d.k * (d.k + 1))
                 - 3 * d.b * (d.k + 1) * 1000000 END AS BIGINT) AS friedman_e6
     FROM rsum r CROSS JOIN dims d
@@ -3782,20 +3784,29 @@ def q_stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(d38)
         .alias("sq"),
     )
+    nblocks = cell.agg(
+        F.countDistinct("block").cast("bigint").alias("nb")
+    )
     return (
         rsum.select("treatment", "rank2_sum")
         .crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(nblocks))
         .select(
             "treatment",
             "rank2_sum",
             F.col("b").alias("n_blocks"),
             (F.col("k") - 1).cast("bigint").alias("df"),
             # Complete-block guard: the closed form assumes every
-            # treatment appears in every block (b identical across
-            # treatments).  Under fixture drift that silently breaks —
-            # emit NULL instead of a wrong statistic (both engines).
+            # treatment appears in EVERY block. bmin = b alone only
+            # proves EQUAL per-treatment block counts — rotating
+            # absences (equal counts of different blocks) still pass
+            # it while within-block k varies (round-13 ADVICE). The
+            # added b = nb (nb = COUNT(DISTINCT block)) closes that:
+            # equal counts + each treatment at most once per block +
+            # count equal to the total block census ⇒ complete design.
+            # Both engines emit NULL otherwise.
             F.expr(
-                "CAST(CASE WHEN bmin = b THEN "
+                "CAST(CASE WHEN bmin = b AND b = nb THEN "
                 + _dfloor(
                     f"3 * sq * 1000000",
                     f"CAST(b AS {d38}) * k * (k + 1)",
@@ -4007,7 +4018,8 @@ def q_stat_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM u GROUP BY variant
     )
     SELECT variant, n_users,
-           CAST(syv // n_users AS BIGINT) AS mean_y_e4,
+           CAST((syv - (((syv % n_users) + n_users) % n_users))
+                // n_users AS BIGINT) AS mean_y_e4,
            CAST(CASE WHEN p.n * p.sxx - p.sx * p.sx > 0 THEN floor(
                CAST(p.n * p.sxy - p.sx * p.sy_all AS DOUBLE)
                / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE)
@@ -4040,8 +4052,10 @@ def q_stat_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOUBLE expression on both engines (exact integers cast to DOUBLE
     round-to-nearest identically), floor-pinned to e6/e4. var(X) = 0
     (degenerate pre-period) yields NULL theta and NULL adjusted mean
-    on both engines - the totality rule. mean_y_e4 is pure integer
-    division.
+    on both engines - the totality rule. mean_y_e4 is a sign-safe
+    exact floor (non-negative-remainder subtraction shared verbatim
+    with the oracle, so Spark's truncating DIV and DuckDB's flooring
+    // agree even if a variant's Y sum goes negative).
 
     Plan: one map-combined (variant, user) aggregate collapses the
     event log to one row per user; the pooled moments are a 1-row
@@ -4096,7 +4110,16 @@ def q_stat_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "variant",
             "n_users",
-            F.expr("CAST(syv DIV n_users AS BIGINT)").alias("mean_y_e4"),
+            # Sign-safe floor shared with the oracle: Spark DIV
+            # truncates toward zero while DuckDB // floors, so both
+            # engines first subtract the non-negative remainder
+            # (((syv % n) + n) % n) and divide the exact multiple —
+            # identical for negative per-variant Y sums too, with no
+            # reliance on the fixture's value > 0 (round-13 ADVICE).
+            F.expr(
+                "CAST((syv - (((syv % n_users) + n_users) % n_users))"
+                " DIV n_users AS BIGINT)"
+            ).alias("mean_y_e4"),
             F.expr(
                 "CAST(CASE WHEN n * sxx - sx * sx > 0 THEN"
                 f" floor(({theta}) * 1000000 + 0.5) END AS BIGINT)"

@@ -261,6 +261,16 @@ def _est_row_bytes(sdf) -> int:
             width += 1
         elif t.startswith("string") or t.startswith("binary"):
             width += 24
+        elif t.startswith(("array", "struct", "map")):
+            # Nested types were priced at 8 B until round 14 — a
+            # 64-dim double embedding row is ~512 B, so an
+            # array-bearing result could drag ~60× the byte budget
+            # through pandas before digesting (round-13 ADVICE).
+            # Price element width × a nominal 64-element length
+            # (the fixture embedding dim, and a fair stand-in for
+            # token/shingle lists); the estimate only has to be the
+            # right order of magnitude to place the digest switch.
+            width += 512
         else:
             width += 8
     return max(width, 1)

@@ -717,6 +717,77 @@ def test_friedman_incomplete_design_yields_null(spark, incomplete_blocks_dir):
     assert rows and all(r.friedman_e6 is None for r in rows)
 
 
+@pytest.fixture(scope="module")
+def rotating_absence_dir(tmp_path_factory):
+    """sf0.001 where priority i is removed from month i (i = 1..k) —
+    every treatment appears in the SAME number of blocks (12 − 1) but
+    not the same SET of blocks, so per-block k varies while the old
+    bmin = b guard still passes. The round-13 ADVICE case."""
+    d = tmp_path_factory.mktemp("drift_friedman_rotating")
+    sf_dir = _clone_fixture(d)
+    t = pq.read_table(f"{_SRC}/orders.parquet")
+    df = t.to_pandas()
+    prios = sorted(df["o_orderpriority"].dropna().unique())
+    dates = df["o_orderdate"].astype(str)
+    mask = None
+    for i, prio in enumerate(prios, start=1):
+        m = dates.str.startswith(f"1996-{i:02d}") & (
+            df["o_orderpriority"] == prio
+        )
+        assert m.any(), f"fixture lacks 1996-{i:02d} orders of {prio!r}"
+        mask = m if mask is None else (mask | m)
+    pq.write_table(
+        pa.Table.from_pandas(df[~mask], schema=t.schema, preserve_index=False),
+        f"{sf_dir}/orders.parquet",
+    )
+    return sf_dir
+
+
+def test_friedman_rotating_absence_yields_null(spark, rotating_absence_dir):
+    """ADVICE-r13: treatments appearing in EQUAL counts of DIFFERENT
+    blocks defeat the bmin = b guard while the within-block ranks are
+    wrong; the b = COUNT(DISTINCT block) census check must force NULL
+    on both engines — and stay in parity."""
+    from fact_hive_custom_spark.queries import QUERIES
+
+    ok, detail = compare(spark, "q_stat_friedman", rotating_absence_dir)
+    assert ok, f"q_stat_friedman on rotating-absence design: {detail}"
+    rows = QUERIES["q_stat_friedman"](spark, rotating_absence_dir).collect()
+    assert rows and all(r.friedman_e6 is None for r in rows)
+
+
+@pytest.fixture(scope="module")
+def negative_value_events_dir(tmp_path_factory):
+    """sf0.001 with every event value negated — makes each variant's
+    post-period Y sum NEGATIVE, the case where Spark's truncating DIV
+    and DuckDB's flooring // disagree by 1 (round-13 ADVICE on
+    q_stat_cuped's mean_y_e4)."""
+    d = tmp_path_factory.mktemp("drift_cuped_negative")
+    sf_dir = _clone_fixture(d)
+    t = pq.read_table(f"{_SRC}/events.parquet")
+    df = t.to_pandas()
+    df["value"] = -df["value"]
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=t.schema, preserve_index=False),
+        f"{sf_dir}/events.parquet",
+    )
+    return sf_dir
+
+
+def test_cuped_negative_y_sum_stays_in_parity(spark, negative_value_events_dir):
+    """ADVICE-r13: nothing in the schema guarantees value >= 0; with
+    negative per-variant Y sums the sign-safe shared floor must keep
+    mean_y_e4 identical cross-engine (truncation would round toward
+    zero on Spark only)."""
+    from fact_hive_custom_spark.queries import QUERIES
+
+    ok, detail = compare(spark, "q_stat_cuped", negative_value_events_dir)
+    assert ok, f"q_stat_cuped on negated values: {detail}"
+    rows = QUERIES["q_stat_cuped"](spark, negative_value_events_dir).collect()
+    # the negated fixture must actually exercise the negative branch
+    assert any(r.mean_y_e4 < 0 for r in rows), rows
+
+
 def _replace_orders(tmp_path_factory, tag, dates, prices):
     """Clone sf0.001 and REPLACE orders with len(dates) rows (one per
     (date, price) pair, keys/status/priority synthesized)."""
