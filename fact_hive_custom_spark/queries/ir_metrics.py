@@ -505,55 +505,77 @@ def q_ir_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     occur (corpus ≫ k), and the GREATEST(rank_a, rank_b) formulation
     makes per-pair membership at depth d order-free.
 
-    Plan: two brute-force scored passes (probes broadcast, corpus
-    streamed once each) through the salted two-stage top-k heap —
-    the q_llm_cosine_topk shape ×2; everything after the two ≤
-    NQ·k-row rank lists is literal algebra on ≤ 200 rows. At 100 TB
-    the ranker passes are the only corpus cost, and swapping either
-    side for the ANN/PQ run reuses the grading tail unchanged."""
+    Plan (fused, round 14 — VERDICT r13 item 3): ONE brute-force
+    scored pass — dot is a strict subexpression of cosine, so a single
+    corpus·probes join emits dp and cosine = dp/(‖p‖·‖c‖) together,
+    and the whole double-ranking runs as one LINEAR chain: two local
+    heaps (row_number per (probe, pid) under each order) over one
+    exchange, then two unrounded selection windows + two rounded
+    ranking windows over one probe-keyed exchange of the ≤ 2k·parts
+    survivors. No branch ever re-reads the corpus (the round-13 shape
+    was the same join executed twice, once per ranker). Selection
+    stays unrounded / ranks round-6 exactly as before: rows outside a
+    ranker's top-k sort AFTER its selected k in that ranker's rounded
+    ranking window, so rnk_a/rnk_b on selected rows are unchanged.
+    At 100 TB the single ranker pass is the only corpus cost, and it
+    is now genuinely single."""
     from fact_hive_custom_spark.functions.vectors import dot as _vdot
-    from fact_hive_custom_spark.operators.similarity import _topk_per_probe
+    from fact_hive_custom_spark.functions.vectors import norm as _vnorm
 
     emb = load_embeddings(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < _IR_NQ)
 
-    # ranker A: cosine (the existing exact run, in-set round-6 ranks)
-    a = cosine_topk(probes, emb, k=_IR_K)
-    wa = Window.partitionBy("probe_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    ra = a.select(
-        "probe_id",
-        "neighbor_id",
-        F.row_number().over(wa).cast("bigint").alias("rnk_a"),
-    )
-
-    # ranker B: raw dot product through the same salted top-k heap
     p = probes.select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        _vnorm(F.col("embedding")).alias("pnorm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        _vnorm(F.col("embedding")).alias("cnorm"),
     )
     scored = (
-        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-        .join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("dp", _vdot(F.col("embedding"), F.col("pv")))
+        c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("dp", _vdot(F.col("cv"), F.col("pv")))
+        .withColumn("cosine", F.col("dp") / (F.col("pnorm") * F.col("cnorm")))
+        .select("probe_id", "neighbor_id", "dp", "cosine")
     )
-    b = _topk_per_probe(
-        scored,
-        _IR_K,
-        ["probe_id", "neighbor_id", F.round("dp", 6).alias("dp")],
-        score_col="dp",
+    oc = [F.desc("cosine"), F.asc("neighbor_id")]
+    od = [F.desc("dp"), F.asc("neighbor_id")]
+    lc = Window.partitionBy("probe_id", "pid").orderBy(*oc)
+    ld = Window.partitionBy("probe_id", "pid").orderBy(*od)
+    surv = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrn_c", F.row_number().over(lc))
+        .withColumn("lrn_d", F.row_number().over(ld))
+        .filter((F.col("lrn_c") <= _IR_K) | (F.col("lrn_d") <= _IR_K))
+        .select("probe_id", "neighbor_id", "dp", "cosine")
+    )
+    gc = Window.partitionBy("probe_id").orderBy(*oc)
+    gd = Window.partitionBy("probe_id").orderBy(*od)
+    # in_a/in_b: membership in each ranker's exact top-k (unrounded
+    # selection, identical to _topk_per_probe's two-phase contract).
+    # rnk_a/rnk_b: rank by the ROUND-6 score within the selected set —
+    # non-members sort after all k members, so their row_numbers > k
+    # and the filter below never reads them.
+    sel = (
+        surv.withColumn("in_a", F.row_number().over(gc) <= _IR_K)
+        .withColumn("in_b", F.row_number().over(gd) <= _IR_K)
+        .withColumn("cosine_r", F.round("cosine", 6))
+        .withColumn("dp_r", F.round("dp", 6))
+    )
+    wa = Window.partitionBy("probe_id").orderBy(
+        F.col("in_a").desc(), F.desc("cosine_r"), F.asc("neighbor_id")
     )
     wb = Window.partitionBy("probe_id").orderBy(
-        F.desc("dp"), F.asc("neighbor_id")
+        F.col("in_b").desc(), F.desc("dp_r"), F.asc("neighbor_id")
     )
-    rb = b.select(
-        "probe_id",
-        "neighbor_id",
-        F.row_number().over(wb).cast("bigint").alias("rnk_b"),
-    )
-
-    pairs = ra.join(rb, ["probe_id", "neighbor_id"]).select(
-        F.greatest("rnk_a", "rnk_b").cast("bigint").alias("dmin")
+    pairs = (
+        sel.withColumn("rnk_a", F.row_number().over(wa).cast("bigint"))
+        .withColumn("rnk_b", F.row_number().over(wb).cast("bigint"))
+        .filter(F.col("in_a") & F.col("in_b"))
+        .select(F.greatest("rnk_a", "rnk_b").cast("bigint").alias("dmin"))
     )
     depth = spark.range(1, _IR_K + 1).select(F.col("id").cast("bigint").alias("d"))
     ov = (

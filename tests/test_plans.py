@@ -2103,13 +2103,21 @@ class TestRound13Pins:
         assert "CartesianProduct" not in plan
         assert not plans.uses_python(QUERIES["q_stat_power_mde"](spark, SF_DIR))
 
-    def test_rbo_rankers_use_salted_heaps(self, spark):
-        """RBO's two ranker passes must go through the salted two-stage
-        top-k (local row_number prune before the per-probe window) —
-        never a global per-probe window over the raw score matrix."""
+    def test_rbo_rankers_share_one_fused_pass(self, spark):
+        """RBO's two rankers must share ONE corpus-sized scored join
+        (dot is a subexpression of cosine — round-14 fusion, VERDICT
+        r13 item 3): exactly one probe≠neighbor BNLJ feeds both local
+        heaps, and both rankings prune locally (lrn_c/lrn_d) before
+        any per-probe window — never a second corpus pass, never a
+        global window over the raw score matrix."""
         plan = plan_of(spark, "q_ir_rbo")
-        # two scored passes → at least two local (probe_id, pid) prunes
-        assert plan.count("lrn") >= 2 or plan.count("row_number") >= 4, plan[:1500]
+        # ONE scored pass: the only Inner BNLJ is the probe×corpus join
+        # (the depth expansion is a LeftOuter BNLJ on 10 rows)
+        assert plan.count("BroadcastNestedLoopJoin BuildRight, Inner") == 1, (
+            plan[:1500]
+        )
+        # fused local prune: both rankers' heaps in the same chain
+        assert "lrn_c" in plan and "lrn_d" in plan, plan[:1500]
         assert "CartesianProduct" not in plan  # probe joins are bounded BNLJ
         assert not plans.uses_python(QUERIES["q_ir_rbo"](spark, SF_DIR))
 
