@@ -17,6 +17,13 @@ from pyspark.sql.functions import pandas_udf, udtf
 from fact_hive_custom_spark.queries.registry import register
 from fact_hive_custom_spark.tables import load_table
 
+# q_udf_cogroup hot-key census threshold: a key whose row count on
+# either side exceeds this gets a 32-way salt before the pandas
+# cogroup, bounding every task's frame. 100k rows ≈ a few MB of Arrow
+# batch — comfortably one task — while the census keeps uniform
+# fixtures (every key far below it) on the salt-0 single-group plan.
+_COGROUP_HOT_ROWS = 100_000
+
 
 @register(
     "q_udf_python",
@@ -198,32 +205,86 @@ def q_udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-grouped map (`groupBy().cogroup().applyInPandas`): the
-    two-sided grouped UDF — each key's FULL order history and FULL
-    event history arrive together as two pandas frames, the shape of
-    reconciliation jobs (ledger vs activity) where neither side's
-    aggregate alone suffices. Keys present on either side are emitted
-    (cogroup is a full-outer alignment).
+    two-sided grouped UDF — each key's order history and event history
+    arrive together as two pandas frames, the shape of reconciliation
+    jobs (ledger vs activity) where neither side's aggregate alone
+    suffices. Keys present on either side are emitted (cogroup is a
+    full-outer alignment).
 
-    Plan: both sides shuffle ONCE on the key and meet in a single
-    Arrow-batched FlatMapCoGroupsInPandas — at 100 TB this is two
-    co-partitioned exchanges and no join, with per-key state bounded
-    by that key's rows. That bound is also the operator's straggler
-    bound: a key holding 20% of a side lands 20% of that side in ONE
-    pandas task (measured 1.31× on the hot-key fixture, SKEW_r13.md)
-    — cogroup semantics cannot be salted, so a pathologically hot key
-    needs upstream sub-keying before this operator. Sums are integer
-    cents/1e-4 units so pandas int64 arithmetic matches the SQL
-    oracle exactly."""
+    TWO-PHASE under skew (round 14, VERDICT r13 item 2): the
+    reconciliation here is a commutative-monoid fold (counts + integer
+    sums), so the cogroup can run on a SUB-KEYED grain and merge
+    per-key afterward. A map-combined census counts rows per key on
+    each side; keys above _COGROUP_HOT_ROWS on either side get a
+    content-deterministic 32-way salt (pmod of o_orderkey/event_id —
+    stable across retries, unlike rand()), all other keys salt 0 so
+    the uniform-data plan pays only the census. The pandas stage then
+    emits per-(key, salt) PARTIALS — every task's frame is bounded by
+    max(_COGROUP_HOT_ROWS, rows/32) even when one key holds 20% of a
+    side (the round-13 measured 1.31× straggler) — and a tiny JVM
+    groupBy merges ≤ 32 partial rows per key exactly (integer
+    cents/1e-4 units end-to-end, so the merge is associative and the
+    SQL oracle is unchanged). Non-decomposable cogroup logic (true
+    sequence alignment) cannot take this rewrite and keeps the
+    documented per-key bound — that contract lives here, in the one
+    query that demonstrates the operator.
+
+    Plan: two map-combined census aggs (tiny output, broadcast), both
+    sides shuffle ONCE on (key, salt) into a single Arrow-batched
+    FlatMapCoGroupsInPandas, one hash-agg merge. At 100 TB this is
+    still two co-partitioned data-sized exchanges and no join."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
+        "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
     )
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
+        "event_id",
         F.round(F.col("value") * 10000).cast("bigint").alias("v_e4"),
     )
 
-    def reconcile(key, o_pdf: pd.DataFrame, e_pdf: pd.DataFrame) -> pd.DataFrame:
+    hot = (
+        o.groupBy(F.col("o_custkey").alias("hk"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .unionByName(
+            e.groupBy(F.col("user_id").alias("hk")).agg(
+                F.count(F.lit(1)).alias("c")
+            )
+        )
+        .groupBy("hk")
+        .agg(F.max("c").alias("c"))
+        .filter(F.col("c") > _COGROUP_HOT_ROWS)
+        .select("hk")
+    )
+    os_ = o.join(
+        F.broadcast(hot), o["o_custkey"] == hot["hk"], "left"
+    ).select(
+        "o_custkey",
+        "price_c",
+        F.when(
+            F.col("hk").isNotNull(), F.pmod(F.col("o_orderkey"), F.lit(32))
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("salt"),
+    )
+    es_ = e.join(
+        F.broadcast(hot), e["user_id"] == hot["hk"], "left"
+    ).select(
+        "user_id",
+        "v_e4",
+        F.when(
+            F.col("hk").isNotNull(), F.pmod(F.col("event_id"), F.lit(32))
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("salt"),
+    )
+
+    def reconcile_partial(
+        key, o_pdf: pd.DataFrame, e_pdf: pd.DataFrame
+    ) -> pd.DataFrame:
         return pd.DataFrame(
             [
                 {
@@ -236,14 +297,20 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    return (
-        o.groupBy("o_custkey")
-        .cogroup(e.groupBy("user_id"))
+    partials = (
+        os_.groupBy("o_custkey", "salt")
+        .cogroup(es_.groupBy("user_id", "salt"))
         .applyInPandas(
-            reconcile,
+            reconcile_partial,
             schema="custkey bigint, n_orders bigint, spend_c bigint,"
             " n_events bigint, value_e4 bigint",
         )
+    )
+    return partials.groupBy("custkey").agg(
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.sum("spend_c").cast("bigint").alias("spend_c"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("value_e4").cast("bigint").alias("value_e4"),
     )
 
 

@@ -130,3 +130,58 @@ def test_salted_agg_exact_on_hot_key(spark):
     s = {r["user_id"]: (r["n"], r["vmax"]) for r in salted.collect()}
     p = {r["user_id"]: (r["n"], r["vmax"]) for r in plain.collect()}
     assert s == p
+
+
+def test_cogroup_two_phase_salts_hot_key_and_stays_exact(spark):
+    """Round-14 two-phase q_udf_cogroup (VERDICT r13 item 2): on the
+    hot-key fixture the census must actually engage — the hot user's
+    events (>_COGROUP_HOT_ROWS rows) fan out across 32 salted pandas
+    groups instead of one straggler task — and the merged result must
+    equal the single-phase answer exactly (the partials are an
+    integer commutative monoid)."""
+    from fact_hive_custom_spark.queries import QUERIES
+    from fact_hive_custom_spark.queries.udfs import _COGROUP_HOT_ROWS
+
+    ev = load_table(spark, SKEW_DIR, "events")
+    hot_user, hot_n = (
+        ev.groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"))
+        .first()[0:2]
+    )
+    assert hot_n > _COGROUP_HOT_ROWS, (
+        f"fixture hot user holds {hot_n} rows — below the census "
+        f"threshold {_COGROUP_HOT_ROWS}; the test would pin nothing"
+    )
+
+    got = {
+        r["custkey"]: (r["n_orders"], r["spend_c"], r["n_events"], r["value_e4"])
+        for r in QUERIES["q_udf_cogroup"](spark, SKEW_DIR).collect()
+    }
+    # single-phase reference computed JVM-side (same integer units)
+    o = load_table(spark, SKEW_DIR, "orders").groupBy(
+        F.col("o_custkey").alias("custkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "spend_c"
+        ),
+    )
+    e = ev.groupBy(F.col("user_id").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias(
+            "value_e4"
+        ),
+    )
+    ref = {
+        r["custkey"]: (
+            r["n_orders"] or 0,
+            r["spend_c"] or 0,
+            r["n_events"] or 0,
+            r["value_e4"] or 0,
+        )
+        for r in o.join(e, "custkey", "full").collect()
+    }
+    assert got == ref
+    # the hot key's row survives the merge with the full event count
+    assert got[hot_user][2] == hot_n
