@@ -129,12 +129,26 @@ def minhash_lsh_pairs(
     k: int = 3,
     rows_per_band: int = 3,
     num_bands: int = 8,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """LSH candidate generation + exact verification.
 
     Returns (doc_a, doc_b, jaccard) for verified pairs ≥ threshold.
     Pipeline: shingle → signature → band buckets → self-join on
     (band, bucket) → exact Jaccard on the (tiny) candidate set.
+
+    `max_doc_freq` is the hot-shingle cap, the same stop-shingle
+    filter as jaccard_pairs and for a sharper reason here (measured,
+    round 14 — SKEW_r14.md): a boilerplate header in 20% of docs wins
+    all r minhash rows of some band for ~15% of the hot docs, so band
+    buckets go from ≤10 docs to ~1500 and the candidate pair count
+    ~95×es (19k → 1.8M on the 50k-doc skew fixture; at 1B docs the
+    same shape is quadratic death). Shingles with df > cap carry no
+    discriminative signal and are dropped BEFORE signatures, so both
+    banding and verification run on the capped space — identical to
+    the uncapped result whenever no shingle is hot (the uniform
+    fixtures), and mirrored exactly by the capped SQL oracle
+    otherwise. Pass None for uncapped semantics.
     """
     # Same hashed-shingle representation as jaccard_pairs: signatures
     # hash the 64-bit key again per seed (a valid MinHash family), and
@@ -146,11 +160,17 @@ def minhash_lsh_pairs(
     # and the A/B flipped (sf1.0: 5.5 s persisted vs 6.2 s re-scan);
     # at 100 TB re-scanning would be four full corpus tokenize passes.
     # Released by Spark's LRU / clearCache(), like jaccard_pairs.
-    sh = (
-        shingles(docs, k=k)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingles(docs, k=k).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
     )
+    if max_doc_freq is not None:
+        dfw = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(dfw))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(sh, num_hashes=rows_per_band * num_bands)
 
     bands = F.array(

@@ -425,6 +425,90 @@ def q_ir_prec_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id")
 
 
+# Powers of two for ERR's cascade attenuation (1/2)^(c+1), c = number
+# of relevant docs ranked ABOVE the current one, c ∈ 0..k-1 — literal
+# CASE on both engines, the _DISC_CASE discipline.
+_ERR_POW2_CASE = " ".join(f"WHEN {c} THEN {2 ** (c + 1)}" for c in range(_IR_K))
+
+
+@register(
+    "q_ir_err",
+    oracle=f"""
+    WITH {_IR_RANKED_CTE},
+    cum AS (
+        SELECT probe_id, rnk, rel,
+               COALESCE(SUM(CASE WHEN rel THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY probe_id ORDER BY rnk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS c
+        FROM ranked
+    )
+    SELECT probe_id,
+           CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+           CAST(COALESCE(SUM(CASE WHEN rel THEN
+                1000000000000 // (rnk * (CASE c {_ERR_POW2_CASE} END))
+                ELSE 0 END), 0) AS BIGINT) AS err_e12
+    FROM cum GROUP BY probe_id ORDER BY probe_id
+    """,
+)
+def q_ir_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Reciprocal Rank @{_IR_K} (Chapelle et al., CIKM 2009 —
+    public method) per labeled probe: the cascade-model metric where a
+    user scans down the ranking and stops at each relevant document
+    with probability R, so ERR = Σ_r (1/r)·R_r·Π_(i<r)(1−R_i). Binary
+    relevance gives R ∈ {{0, 1/2}} (R = (2^g − 1)/2^g_max, g_max = 1),
+    collapsing each relevant rank r's term to 1/(r·2^(c+1)) with c =
+    relevant docs ranked above it — unlike MRR it rewards EVERY
+    relevant result but attenuates by what the user already found,
+    the diminishing-returns grade nDCG's log discount can't express.
+
+    Cross-engine determinism: c is an integer running count over the
+    (rnk) frame; 2^(c+1) is a literal CASE (c ≤ {_IR_K - 1}); each
+    term is 1e12 DIV (rnk · 2^(c+1)) — exact truncating division of
+    integers, identically spelled on both engines; no float anywhere.
+
+    Plan: the retrieval run is the same single corpus pass as
+    q_ir_mrr/q_ir_ndcg (probes broadcast, salted two-stage top-k);
+    the cascade tail is a window + aggregate over ≤ NQ·k rows. At
+    100 TB the metric costs exactly one evaluation run of the system
+    under test."""
+    r = _ranked_run(spark, sf_dir)
+    wc = (
+        Window.partitionBy("probe_id")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = r.withColumn(
+        "c",
+        F.coalesce(
+            F.sum(F.when(F.col("rel"), 1).otherwise(0)).over(wc), F.lit(0)
+        ),
+    )
+    return (
+        cum.groupBy("probe_id")
+        .agg(
+            F.sum(F.when(F.col("rel"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rel"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("rel"),
+                        F.expr(
+                            "CAST(1000000000000 AS BIGINT)"
+                            f" DIV (rnk * (CASE c {_ERR_POW2_CASE} END))"
+                        ),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("err_e12"),
+        )
+        .orderBy("probe_id")
+    )
+
+
 _RBO_P = 0.9  # rank-biased overlap persistence (Webber et al. 2010)
 # Truncated-RBO depth weights with the 1/d agreement divisor folded in:
 # w'_d = round((1-p) * p^(d-1) / d * 1e12) — the only float math runs

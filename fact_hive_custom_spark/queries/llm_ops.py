@@ -48,13 +48,18 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact 3-gram-shingle Jaccard ≥ 0.8 pair set, parameterized on the
 # hot-shingle cap so the oracle computes the SAME capped Jaccard the
 # Spark operator does (shingles with doc-frequency > cap dropped before
-# pairing, sizes on the capped space). Used uncapped (cap=None) by
-# q_llm_minhash_lsh — its operator has no df cap and exact-verifies
-# candidates, so its output IS the exact pair set whenever banding
-# recall is 1.0 (r=3,b=8 gives ≈99.7% at j≥0.8; measured 0 misses at
-# sf0.01/sf0.1, asserted in tests) — and capped (cap=1000, matching
-# jaccard_pairs' default) by q_llm_jaccard_dedup, so Spark and DuckDB
-# agree on any corpus, hot shingles included.
+# pairing, sizes on the capped space). Capped (cap=1000, the operators'
+# shared default) for q_llm_jaccard_dedup, q_llm_minhash_lsh (since
+# round 14 — the hot-shingle fixture measured a 95× candidate blowup
+# uncapped, SKEW_r14.md), and q_llm_dedup_clusters; on the uniform
+# fixtures no shingle is hot so capped == full, and the minhash path
+# exact-verifies candidates so its output IS the capped exact pair set
+# whenever banding recall is 1.0 (r=3,b=8 gives ≈99.7% at j≥0.8;
+# measured 0 misses at sf0.01/sf0.1, asserted in tests). Uncapped
+# (None) only for q_llm_prefix_jaccard — prefix filtering is the
+# LOSSLESS exact path and is structurally hot-shingle-robust (frequent
+# shingles sort out of the rarest-first prefixes; measured 0.75× on
+# the hot-shingle fixture).
 def _exact_jaccard_oracle(max_doc_freq: int | None = None) -> str:
     cap = (
         ""
@@ -100,15 +105,22 @@ def q_llm_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8, k=3)
 
 
-@register("q_llm_minhash_lsh", oracle=_exact_jaccard_oracle(max_doc_freq=None))
+@register("q_llm_minhash_lsh", oracle=_exact_jaccard_oracle(max_doc_freq=1000))
 def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup at scale: MinHash + LSH banding (seeded xxhash64,
-    r=3 rows × b=8 bands) with exact verification of candidates.
+    r=3 rows × b=8 bands) with exact verification of candidates, on
+    the df ≤ 1000 capped shingle space (round 14: a boilerplate
+    header in 20% of docs made band buckets ~1500-deep and the
+    candidate set 95× — the cap removes zero-signal hot shingles
+    before signatures; SKEW_r14.md has the measurement, the oracle
+    mirrors the cap, and on the uniform fixtures no shingle is hot so
+    capped == full).
 
-    Oracle-checked against the exact Jaccard pair set: because every
-    LSH candidate is exact-verified, the output equals the exact pairs
-    whenever banding recall is 1.0 (measured 0 misses on the sf0.01 and
-    sf0.1 fixtures; tests/test_operators.py asserts pair-set equality).
+    Oracle-checked against the exact (capped) Jaccard pair set:
+    because every LSH candidate is exact-verified, the output equals
+    the exact pairs whenever banding recall is 1.0 (measured 0 misses
+    on the sf0.01 and sf0.1 fixtures; tests/test_operators.py asserts
+    pair-set equality).
     """
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.8, k=3, rows_per_band=3, num_bands=8
@@ -434,7 +446,7 @@ def q_llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE pairs AS (
-        SELECT doc_a, doc_b FROM ({_exact_jaccard_oracle(max_doc_freq=None)}) ej
+        SELECT doc_a, doc_b FROM ({_exact_jaccard_oracle(max_doc_freq=1000)}) ej
     ),
     edges AS (
         SELECT doc_a AS u, doc_b AS v FROM pairs

@@ -13,6 +13,8 @@ Charter-derived capability — the reference
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -4233,3 +4235,100 @@ def q_stat_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Wald SPRT literals (α = β = 0.05, H0: p = 0.18 vs H1: p = 0.20 on
+# the purchase-through rate): the ONLY log math runs here, once, in
+# Python, and both engines consume identical e12 integers — the
+# q_ir_ndcg/_RBO_W_CASE discipline.
+_SPRT_P0, _SPRT_P1 = 0.18, 0.20
+_SPRT_C1_E12 = round(math.log(_SPRT_P1 / _SPRT_P0) * 1_000_000_000_000)
+_SPRT_C0_E12 = round(
+    math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1_000_000_000_000
+)
+_SPRT_A_E12 = round(math.log(0.95 / 0.05) * 1_000_000_000_000)
+
+
+@register(
+    "q_stat_sprt",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id % 2 AS variant,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    agg AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(hit) AS BIGINT) AS x
+        FROM e GROUP BY variant
+    )
+    SELECT variant, n, x,
+           CAST(CAST(x AS HUGEINT) * {_SPRT_C1_E12}
+                + CAST(n - x AS HUGEINT) * {_SPRT_C0_E12}
+                AS HUGEINT) AS llr_e12,
+           CASE WHEN CAST(x AS HUGEINT) * {_SPRT_C1_E12}
+                     + CAST(n - x AS HUGEINT) * {_SPRT_C0_E12}
+                     >= {_SPRT_A_E12} THEN 'accept_h1'
+                WHEN CAST(x AS HUGEINT) * {_SPRT_C1_E12}
+                     + CAST(n - x AS HUGEINT) * {_SPRT_C0_E12}
+                     <= -{_SPRT_A_E12} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM agg ORDER BY variant
+    """,
+)
+def q_stat_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test (Wald, Ann. Math.
+    Stat. 1945 — public method) on each variant's purchase-through
+    rate: H0: p = 0.18 vs H1: p = 0.20 at α = β = 0.05. The Bernoulli
+    log-likelihood ratio is LINEAR in the sufficient statistics —
+    LLR = x·ln(p1/p0) + (n−x)·ln((1−p1)/(1−p0)) — so the test that
+    justifies PEEKING (apply the same decision rule at every n; Wald's
+    boundaries ln((1−β)/α), ln(β/(1−α)) keep the total error
+    probabilities) costs one map-combined count per variant. This
+    query emits the decision at the CURRENT n; a monitoring platform
+    re-runs it per batch and the always-valid guarantee is exactly
+    that re-running never inflates α.
+
+    Cross-engine determinism: the three logarithms are e12 integer
+    LITERALS computed once in Python; llr_e12 = x·c1 + (n−x)·c0 is
+    exact integer arithmetic in DECIMAL(38,0)/HUGEINT (x can be ~1e9
+    at scale and |c| ~2e11 — BIGINT would overflow at ~4e7 rows, the
+    q_stat_levene lesson), and the boundary comparison is integer vs
+    literal. No float crosses an engine boundary.
+
+    Plan: one map-combined groupBy over the event log (2 rows out) —
+    the giant-input/tiny-state shape; at 100 TB the test costs one
+    scan and the LLR algebra is free."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d38 = "DECIMAL(38,0)"
+    agg = (
+        e.select(
+            (F.col("user_id") % 2).alias("variant"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("hit").cast("bigint").alias("x"),
+        )
+    )
+    llr = (
+        f"CAST(x AS {d38}) * {_SPRT_C1_E12}"
+        f" + CAST(n - x AS {d38}) * {_SPRT_C0_E12}"
+    )
+    return agg.select(
+        "variant",
+        "n",
+        "x",
+        F.expr(f"CAST({llr} AS {d38})").alias("llr_e12"),
+        F.expr(
+            f"CASE WHEN {llr} >= {_SPRT_A_E12} THEN 'accept_h1'"
+            f" WHEN {llr} <= -{_SPRT_A_E12} THEN 'accept_h0'"
+            " ELSE 'continue' END"
+        ).alias("decision"),
+    ).orderBy("variant")

@@ -125,6 +125,8 @@ EMB_QUERIES = [
     "q_ir_ndcg",
     "q_ir_mrr",
     "q_ir_map",
+    # round-14 embeddings consumers
+    "q_ir_err",
 ]
 
 
@@ -324,6 +326,8 @@ NULLABLE_EVT_QUERIES = [
     # round-13 event consumers
     "q_stat_cuped",
     "q_stat_power_mde",
+    # round-14 event consumers
+    "q_stat_sprt",
 ]
 
 

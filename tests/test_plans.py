@@ -2121,6 +2121,28 @@ class TestRound13Pins:
         assert "CartesianProduct" not in plan  # probe joins are bounded BNLJ
         assert not plans.uses_python(QUERIES["q_ir_rbo"](spark, SF_DIR))
 
+    def test_err_reuses_single_retrieval_pass(self, spark):
+        """ERR's cascade tail must ride the same single corpus pass as
+        MRR/nDCG (one probe×corpus BNLJ through the salted heap); the
+        attenuation powers are literal CASEs — no Python, and the only
+        Inner BNLJ is the scored join."""
+        plan = plan_of(spark, "q_ir_err")
+        assert plan.count("BroadcastNestedLoopJoin BuildRight, Inner") == 1, (
+            plan[:1500]
+        )
+        assert "CartesianProduct" not in plan
+        assert not plans.uses_python(QUERIES["q_ir_err"](spark, SF_DIR))
+
+    def test_sprt_is_one_map_combined_scan(self, spark):
+        """Wald SPRT: one map-combined groupBy(variant) over the event
+        log, LLR algebra on 2 rows — no joins, no Python, no second
+        data pass (partial_count in the aggregate marks the map-side
+        combine)."""
+        plan = plan_of(spark, "q_stat_sprt")
+        assert "Join" not in plan, plan[:1500]
+        assert "partial_count" in plan or "partial_sum" in plan, plan[:1500]
+        assert not plans.uses_python(QUERIES["q_stat_sprt"](spark, SF_DIR))
+
     def test_holt_winters_folds_like_holt_linear(self, spark):
         """The seasonal recurrence must stay a per-series JVM fold:
         one map-combined groupBy to day cells, one collect_list per

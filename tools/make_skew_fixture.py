@@ -15,6 +15,13 @@ Skew rule (deterministic, content-based, no RNG):
   and l_partkey := hot_part (smallest existing keys — the part rows
   keep their brand, so ~20% of lineitem now lands on ONE brand/size
   cell and ONE supplier);
+- documents (round 14, VERDICT r13 item 6): rows with doc_id % 5 == 0
+  get a fixed 25-token boilerplate HEADER prepended — one run of ~23
+  identical 3-gram shingles and one identical aligned 20-token block
+  now appear in ~20% of the corpus, the license-header/navbox shape
+  that stresses shingle-keyed dedup (minhash bands, prefix filters,
+  span hashing) on the doc-frequency axis instead of the row-count
+  axis the events/lineitem rules cover;
 - every other table is copied byte-for-byte.
 
 A 20% hot key is the "one celebrity account / one SKU on promotion"
@@ -83,8 +90,40 @@ def main() -> None:
     print(f"lineitem: hot l_suppkey={hot_supp} / l_partkey={hot_part} hold "
           f"{ln_hot}/{li.num_rows} rows ({100.0 * ln_hot / li.num_rows:.1f}%)")
 
+    # documents: boilerplate header on doc_id % 5 == 0 (exactly 25
+    # tokens — 23 identical shingles + one full aligned 20-token span
+    # block per hot doc; deterministic, no RNG)
+    docs = pq.read_table(f"{src}/documents.parquet")
+    BOILER = " ".join(
+        "common creative license header all rights reserved under the "
+        "terms of this document may be redistributed verbatim provided "
+        "this notice is preserved see section four".split()
+    )
+    assert len(BOILER.split()) == 25
+    dmask = pc.equal(
+        pc.subtract(
+            docs.column("doc_id"),
+            pc.multiply(pc.divide(docs.column("doc_id"), 5), 5),
+        ),
+        0,
+    )
+    new_text = pc.if_else(
+        pc.and_(dmask, pc.is_valid(docs.column("text"))),
+        pc.binary_join_element_wise(
+            pa.scalar(BOILER), docs.column("text"), " "
+        ),
+        docs.column("text"),
+    )
+    docs = docs.set_column(
+        docs.schema.get_field_index("text"), docs.schema.field("text"), new_text
+    )
+    pq.write_table(docs, f"{out}/documents.parquet")
+    dn_hot = pc.sum(pc.cast(dmask, pa.int64())).as_py()
+    print(f"documents: boilerplate header on {dn_hot}/{docs.num_rows} docs "
+          f"({100.0 * dn_hot / docs.num_rows:.1f}%)")
+
     for t in TABLES:
-        if t in ("events", "lineitem"):
+        if t in ("events", "lineitem", "documents"):
             continue
         shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
     print(f"skew fixture at {out}")

@@ -48,6 +48,17 @@ ROSTER = [
     "q_udf_cogroup",
     "q_join_theta",
     "q_join_asof",
+    # round 14 (VERDICT r13 item 6): the dedup/ANN family against the
+    # hot-SHINGLE axis — the skew fixture prepends a 25-token
+    # boilerplate header to 20% of documents (make_skew_fixture.py),
+    # which stresses shingle-keyed plans through doc-frequency, not
+    # row counts: minhash band buckets, prefix filters, span hashes.
+    "q_llm_minhash_lsh",
+    "q_llm_prefix_jaccard",
+    "q_llm_span_dedup",
+    "q_llm_jaccard_dedup",
+    "q_llm_exact_dedup",
+    "q_llm_dedup_clusters",
 ]
 
 
@@ -67,10 +78,12 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    print("# SKEW_r13 — hot-key degradation sweep")
+    tag = os.environ.get("SPARK_GRAFT_SKEW_TAG", "r14")
+    print(f"# SKEW_{tag} — hot-key degradation sweep")
     print()
     print(f"Uniform fixture: `{UNIFORM}`; skewed: `{SKEWED}` (one user_id")
-    print("= 20% of events, one supplier+part = 20% of lineitem; built by")
+    print("= 20% of events, one supplier+part = 20% of lineitem, one")
+    print("25-token boilerplate header in 20% of documents; built by")
     print("`tools/make_skew_fixture.py`). Walls are Spark-only noop-sink")
     print("executions, best of 2, AQE at session defaults, local[32].")
     print()
