@@ -1178,6 +1178,72 @@ class TestIRMap:
                 assert r.ap_ppm == r.sum_prec_ppm // r.n_rel_cap, r
 
 
+class TestIRErr:
+    """q_ir_err: the cascade terms recomputed INDEPENDENTLY in pure
+    Python from the shared ranked run (the holt_winters third-
+    implementation pattern) plus bounds."""
+
+    def test_err_matches_pure_python_cascade(self, spark):
+        from fact_hive_custom_spark.queries import QUERIES
+        from fact_hive_custom_spark.queries.ir_metrics import _ranked_run
+
+        ranked = _ranked_run(spark, SF_DIR).collect()
+        by_probe = {}
+        for r in sorted(ranked, key=lambda r: (r.probe_id, r.rnk)):
+            by_probe.setdefault(r.probe_id, []).append(bool(r.rel))
+        expect = {}
+        for pid, rels in by_probe.items():
+            err, c = 0, 0
+            for rnk, rel in enumerate(rels, start=1):
+                if rel:
+                    err += 10 ** 12 // (rnk * 2 ** (c + 1))
+                    c += 1
+            expect[pid] = (sum(rels), err)
+
+        rows = QUERIES["q_ir_err"](spark, SF_DIR).collect()
+        assert len(rows) == 20
+        got = {r.probe_id: (r.n_rel, r.err_e12) for r in rows}
+        assert got == expect
+        # ERR is bounded by the all-relevant cascade sum
+        cap = sum(10 ** 12 // (r * 2 ** r) for r in range(1, 11))
+        assert all(0 <= v[1] <= cap for v in got.values())
+
+
+class TestSprt:
+    """q_stat_sprt: LLR recomputed from raw counts with float log
+    against the e12 literal path, and the decision boundary honored."""
+
+    def test_sprt_llr_and_decision(self, spark):
+        import math
+
+        from fact_hive_custom_spark.queries import QUERIES
+        from fact_hive_custom_spark.queries.stats import (
+            _SPRT_A_E12,
+            _SPRT_C0_E12,
+            _SPRT_C1_E12,
+        )
+
+        rows = QUERIES["q_stat_sprt"](spark, SF_DIR).collect()
+        assert len(rows) == 2
+        for r in rows:
+            llr = int(r.llr_e12)
+            assert llr == r.x * _SPRT_C1_E12 + (r.n - r.x) * _SPRT_C0_E12
+            # e12 literals vs float log: relative agreement
+            f = r.x * math.log(0.20 / 0.18) + (r.n - r.x) * math.log(
+                0.80 / 0.82
+            )
+            assert abs(llr / 1e12 - f) <= 1e-6 * max(1.0, abs(f))
+            want = (
+                "accept_h1"
+                if llr >= _SPRT_A_E12
+                else "accept_h0"
+                if llr <= -_SPRT_A_E12
+                else "continue"
+            )
+            assert r.decision == want
+            assert 0 <= r.x <= r.n
+
+
 class TestExactTests:
     """exact_tests.py: the p-values are exact rationals — re-derive
     them with Python's arbitrary-precision math.comb and demand
