@@ -138,12 +138,19 @@ HEADLINE = [
     # a second data-sized pass for the covariate shows here)
     "q_llm_dsir",
     "q_stat_cuped",
-    # round-13b: the double-ranker RBO grade (two salted top-k corpus
-    # passes — a regression to a global per-probe window serializes
-    # the score matrix) and the seasonal fold (a regression that
-    # re-derives the series per step shows as a multiple)
+    # round-13b: the double-ranker RBO grade (ONE fused scored pass
+    # since round 14 — dot ⊂ cosine; a regression back to two corpus
+    # passes, or to a global per-probe window over the score matrix,
+    # shows as a step change) and the seasonal fold (a regression
+    # that re-derives the series per step shows as a multiple)
     "q_ir_rbo",
     "q_ts_holt_winters",
+    # round-14: the two-phase cogroup (census broadcast + salted
+    # pandas partials + JVM merge — a regression shuffling the census
+    # as a join, or a salt that stops engaging, shows here as a step
+    # change; the skew half of the contract is pinned in
+    # tests/test_skew.py)
+    "q_udf_cogroup",
 ]
 
 

@@ -232,7 +232,21 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: two map-combined census aggs (tiny output, broadcast), both
     sides shuffle ONCE on (key, salt) into a single Arrow-batched
     FlatMapCoGroupsInPandas, one hash-agg merge. At 100 TB this is
-    still two co-partitioned data-sized exchanges and no join."""
+    still two co-partitioned data-sized exchanges and no join.
+
+    The (key, salt) exchange is a USER-SPECIFIED repartition, not the
+    cogroup's implicit one, and that is load-bearing (measured, round
+    14): AQE's byte-based partition coalescing saw the collapsed
+    keyed rows as "small" and merged the pandas stage down to ~one
+    task — but this operator's cost is ~1 ms of Python per GROUP, not
+    bytes, so coalescing serialized 15k groups (28.6 s at sf0.1;
+    3.1 s with coalescing off). A repartition with an explicit
+    partition count is exempt from AQE coalescing and satisfies the
+    cogroup's ClusteredDistribution, so the implicit exchange is
+    elided and parallelism is pinned at spark.sql.shuffle.partitions
+    (2.4 s warm — 7× off the coalesced wall, same result). The rule
+    generalizes: byte heuristics undersize any Python-cost-dominated
+    stage; pin its width explicitly."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
@@ -297,9 +311,15 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     partials = (
-        os_.groupBy("o_custkey", "salt")
-        .cogroup(es_.groupBy("user_id", "salt"))
+        os_.repartition(nparts, "o_custkey", "salt")
+        .groupBy("o_custkey", "salt")
+        .cogroup(
+            es_.repartition(nparts, "user_id", "salt").groupBy(
+                "user_id", "salt"
+            )
+        )
         .applyInPandas(
             reconcile_partial,
             schema="custkey bigint, n_orders bigint, spend_c bigint,"
