@@ -262,8 +262,19 @@ def cosine_pairs(
             {"ia": ra["vid"].to_numpy()[ii], "ib": rb["vid"].to_numpy()[jj]}
         )
 
-    cands = blocks.groupBy("ca", "cb").applyInPandas(
-        verify, schema=f"ia {id_type}, ib {id_type}"
+    # Pin the block-exchange width with a USER-SPECIFIED repartition
+    # (exempt from AQE coalescing, reused by the groupBy's
+    # distribution): the blocks are few (≤ pivots²/2) but each is a
+    # BLAS matmul whose cost AQE's byte heuristic cannot see — at
+    # sf1.0 coalescing serialized them onto ~one task (18.4 s vs
+    # 8.3 s, measured round 14; same rule as q_udf_cogroup).
+    nparts = int(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    cands = (
+        blocks.repartition(nparts, "ca", "cb")
+        .groupBy("ca", "cb")
+        .applyInPandas(verify, schema=f"ia {id_type}, ib {id_type}")
     )
     # Normalize pair order engine-side (works for any orderable id type),
     # then rescore exactly with the brute-force dot expression. The
