@@ -130,12 +130,32 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
-    span = obs.groupBy("user_id").agg(
-        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    # Width pin (round 14, the q_udf_cogroup/cosine_pairs rule — JVM
+    # edition): the span frame is ~24 B/user, so AQE coalesces its
+    # exchange read to ONE partition even under parallelismFirst —
+    # and since the obs join broadcasts and every window requires
+    # only user_id clustering, the explode, join, both sorts, and all
+    # six window passes then run on that single task (12.5 s vs 4.0 s
+    # warm at sf1.0). The byte heuristic cannot see that sequence()
+    # inflates rows ~700×. Repartitioning obs BEFORE the groupBy
+    # makes the agg's own exchange the user-specified one
+    # (REPARTITION_BY_NUM — exempt from coalescing, not removable as
+    # redundant, zero extra shuffles) so everything downstream stays
+    # at full width. A repartition AFTER the agg does NOT work: it is
+    # optimizer-removed as redundant with the agg's identical
+    # hashpartitioning and the coalescible read survives (measured).
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    span = (
+        obs.repartition(nparts, "user_id")
+        .groupBy("user_id")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
     )
     grid = span.select(
         "user_id", F.explode(F.sequence("b0", "b1")).alias("bucket")
     )
+    # No pin needed here: obs broadcasts into the grid (left side
+    # already user_id-partitioned at pinned width by the span
+    # exchange), so the join and every window run in place.
     j = grid.join(obs, ["user_id", "bucket"], "left")
 
     wp = (
