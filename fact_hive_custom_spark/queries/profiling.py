@@ -64,31 +64,44 @@ def _profile_oracle(table: str, cols: list[tuple[str, str]]) -> str:
 
 def _profile(spark: SparkSession, sf_dir: str, table: str,
              cols: list[tuple[str, str]]) -> DataFrame:
-    """Single-pass per-column profile: one wide aggregate + stack
-    unpivot (shared by q_profile_table / q_profile_supplier)."""
+    """Single-pass per-column profile, unpivot-FIRST (shared by
+    q_profile_table / q_profile_supplier): render every column, stack
+    the table to (column_name, value) rows, then one grouped
+    aggregate per column name computes rows/nulls/exact-distinct/
+    min/max.
+
+    Why unpivot-first instead of the previous wide-aggregate + stack
+    (round 14): N countDistincts in one global aggregate plan an
+    EXPAND — the same |cols|× row inflation — but its dedup exchange
+    is planner-internal, carries mostly-null expanded rows that look
+    byte-tiny to AQE, and got coalesced to ~one read (measured 37.9 s
+    vs 22.2 s wide at sf1.0 — the SCALING §Round-14 width-pin class,
+    unreachable by any DataFrame-level pin in the old shape). Stacked
+    explicitly, the inflation is the same but the distinct exchange
+    is OUR repartition (user-specified → non-coalescible, and it
+    doubles as the single-distinct agg's required clustering); the
+    final per-name merge is |cols| keys × map-side partials. Still
+    one scan at 100 TB."""
     t = load_table(spark, sf_dir, table)
-    aggs = []
-    for name, expr in cols:
-        c = F.expr(expr)
-        aggs += [
-            F.count(F.lit(1)).alias(f"{name}__rows"),
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{name}__nulls"),
-            F.countDistinct(c).alias(f"{name}__distinct"),
-            F.min(c).alias(f"{name}__min"),
-            F.max(c).alias(f"{name}__max"),
-        ]
-    wide = t.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{name}', {name}__rows, {name}__nulls, {name}__distinct,"
-        f" {name}__min, {name}__max"
-        for name, _ in cols
+    rendered = t.select(
+        *[F.expr(expr).alias(name) for name, expr in cols]
     )
+    stack_args = ", ".join(f"'{name}', `{name}`" for name, _ in cols)
+    unp = rendered.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column_name, value)"
+        )
+    )
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
-        wide.select(
-            F.expr(
-                f"stack({len(cols)}, {stack_args}) AS "
-                "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
-            )
+        unp.repartition(nparts, "column_name", "value")
+        .groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("value")).alias("n_nulls"),
+            F.countDistinct("value").alias("n_distinct"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
         )
         .orderBy("column_name")
     )
