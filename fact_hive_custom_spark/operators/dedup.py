@@ -79,6 +79,12 @@ def jaccard_pairs(
         # counting task, which is trivial work even at 1M df; the pair
         # join's worst case drops from O(max_df²·n_shingles) unbounded
         # to O(max_doc_freq²).
+        # The df window partitions by the 64-bit HASH, the SQL oracle
+        # by the shingle STRING — formally different cap spaces: a
+        # hash collision between a hot and a rare shingle would drop
+        # the rare one too. Same ~2^-64-per-pair collision assumption
+        # the pair join already makes (see above); accepted, not a
+        # divergence the comparator can reach in practice.
         dfw = Window.partitionBy("shingle")
         sh = (
             sh.withColumn("__df", F.count(F.lit(1)).over(dfw))
@@ -164,6 +170,12 @@ def minhash_lsh_pairs(
         "doc_id", F.xxhash64("shingle").alias("shingle")
     )
     if max_doc_freq is not None:
+        # The df window partitions by the 64-bit HASH, the SQL oracle
+        # by the shingle STRING — formally different cap spaces: a
+        # hash collision between a hot and a rare shingle would drop
+        # the rare one too. Same ~2^-64-per-pair collision assumption
+        # the pair join already makes (see above); accepted, not a
+        # divergence the comparator can reach in practice.
         dfw = Window.partitionBy("shingle")
         sh = (
             sh.withColumn("__df", F.count(F.lit(1)).over(dfw))

@@ -96,17 +96,30 @@ def _exact_jaccard_oracle(max_doc_freq: int | None = None) -> str:
 
 
 @register("q_llm_jaccard_dedup", oracle=_exact_jaccard_oracle(max_doc_freq=1000))
-def q_llm_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_llm_jaccard_dedup(
+    spark: SparkSession, sf_dir: str, max_doc_freq: int | None = 1000
+) -> DataFrame:
     """Near-dedup, exact 3-gram-shingle Jaccard ≥ 0.8 with the default
     hot-shingle cap (df ≤ 1000) — the oracle mirrors the cap, so the
     two engines compute the same capped Jaccard on any corpus (the
     oracle-able ground truth that q_llm_minhash_lsh is validated
-    against; on the fixtures no shingle is hot, so capped == full)."""
-    return jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8, k=3)
+    against; on the fixtures no shingle is hot, so capped == full).
+
+    `max_doc_freq=None` restores the uncapped round-13 semantics
+    (output-visible on hot-shingle corpora — see README §Semantics
+    notes); the driver/oracle path always runs the default."""
+    return jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.8,
+        k=3,
+        max_doc_freq=max_doc_freq,
+    )
 
 
 @register("q_llm_minhash_lsh", oracle=_exact_jaccard_oracle(max_doc_freq=1000))
-def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_llm_minhash_lsh(
+    spark: SparkSession, sf_dir: str, max_doc_freq: int | None = 1000
+) -> DataFrame:
     """Near-dedup at scale: MinHash + LSH banding (seeded xxhash64,
     r=3 rows × b=8 bands) with exact verification of candidates, on
     the df ≤ 1000 capped shingle space (round 14: a boilerplate
@@ -121,9 +134,18 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact pairs whenever banding recall is 1.0 (measured 0 misses
     on the sf0.01 and sf0.1 fixtures; tests/test_operators.py asserts
     pair-set equality).
+
+    `max_doc_freq=None` restores the uncapped round-13 pair semantics
+    (output-visible on hot-shingle corpora — see README §Semantics
+    notes); the driver/oracle path always runs the default.
     """
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.8, k=3, rows_per_band=3, num_bands=8
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.8,
+        k=3,
+        rows_per_band=3,
+        num_bands=8,
+        max_doc_freq=max_doc_freq,
     )
 
 
@@ -470,7 +492,9 @@ def q_llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
     """,
 )
-def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_llm_dedup_clusters(
+    spark: SparkSession, sf_dir: str, max_doc_freq: int | None = 1000
+) -> DataFrame:
     """Pairs → clusters: every document labeled with its near-dup
     cluster (component-min doc_id), cluster size, and whether it is the
     canonical keeper — the final assignment step of a dedup pipeline.
@@ -487,7 +511,14 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns, and AQE broadcast-demotes it when the cluster map is small.
     """
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, threshold=0.8, k=3, rows_per_band=3, num_bands=8)
+    pairs = minhash_lsh_pairs(
+        d,
+        threshold=0.8,
+        k=3,
+        rows_per_band=3,
+        num_bands=8,
+        max_doc_freq=max_doc_freq,
+    )
     cc = connected_components(pairs, "doc_a", "doc_b")
     labeled = (
         d.select("doc_id")

@@ -76,12 +76,22 @@ def _profile(spark: SparkSession, sf_dir: str, table: str,
     is planner-internal, carries mostly-null expanded rows that look
     byte-tiny to AQE, and got coalesced to ~one read (measured 37.9 s
     vs 22.2 s wide at sf1.0 — the SCALING §Round-14 width-pin class,
-    unreachable by any DataFrame-level pin in the old shape). Stacked
-    explicitly, the inflation is the same but the distinct exchange
-    is OUR repartition (user-specified → non-coalescible, and it
-    doubles as the single-distinct agg's required clustering); the
-    final per-name merge is |cols| keys × map-side partials. Still
-    one scan at 100 TB."""
+    unreachable by any DataFrame-level pin in the old shape).
+
+    Round 15 (ADVICE): the first unpivot-first cut shuffled the FULL
+    stacked table (|cols| × rows rendered strings) through an explicit
+    repartition with no map-side reduction. Now the stacked rows go
+    through a partial-count groupBy(column_name, value) FIRST — the
+    map-side combine dedupes to distinct (col, value) pairs per task
+    before the exchange, so shuffle bytes are O(distinct pairs) again
+    (the wide shape's only virtue) while keeping the Expand-free plan.
+    The per-pair counts make every downstream stat exact: n_rows =
+    Σcnt, n_nulls = Σcnt where value IS NULL, n_distinct = count of
+    non-null pair rows, min/max unchanged. Post-shuffle work here is
+    bytes-proportional (pure JVM hash agg — no Python, no row
+    inflation), so AQE byte-based coalescing of this exchange is
+    CORRECT sizing, not the round-14 pathology; no width pin needed.
+    Still one scan at 100 TB."""
     t = load_table(spark, sf_dir, table)
     rendered = t.select(
         *[F.expr(expr).alias(name) for name, expr in cols]
@@ -92,14 +102,19 @@ def _profile(spark: SparkSession, sf_dir: str, table: str,
             f"stack({len(cols)}, {stack_args}) AS (column_name, value)"
         )
     )
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = unp.groupBy("column_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     return (
-        unp.repartition(nparts, "column_name", "value")
-        .groupBy("column_name")
+        pairs.groupBy("column_name")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            (F.count(F.lit(1)) - F.count("value")).alias("n_nulls"),
-            F.countDistinct("value").alias("n_distinct"),
+            F.sum("cnt").alias("n_rows"),
+            F.sum(
+                F.when(F.col("value").isNull(), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_nulls"),
+            F.count("value").alias("n_distinct"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )

@@ -271,13 +271,23 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") > _COGROUP_HOT_ROWS)
         .select("hk")
     )
+    # NULL-key straggler bound (round 15, ADVICE): the == census join
+    # never matches a NULL custkey/user_id, so a pathologically hot
+    # NULL key would land all its rows in one pandas group. Rather
+    # than a null-safe join (measured: eqNullSafe's composite hash key
+    # taxed every probe row, ~22 → ~27 s at sf1.0), salt ALL NULL-key
+    # rows unconditionally — NULL keys are anomaly rows, fanning even
+    # a cold one across 32 salts adds ≤31 tiny groups and the merge
+    # agg re-sums them; results are exact either way. coalesce(salt,0)
+    # likewise covers a NULL orderkey/event_id on a salted row.
     os_ = o.join(
         F.broadcast(hot), o["o_custkey"] == hot["hk"], "left"
     ).select(
         "o_custkey",
         "price_c",
         F.when(
-            F.col("hk").isNotNull(), F.pmod(F.col("o_orderkey"), F.lit(32))
+            F.col("hk").isNotNull() | F.col("o_custkey").isNull(),
+            F.coalesce(F.pmod(F.col("o_orderkey"), F.lit(32)), F.lit(0)),
         )
         .otherwise(F.lit(0))
         .cast("int")
@@ -289,7 +299,8 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "v_e4",
         F.when(
-            F.col("hk").isNotNull(), F.pmod(F.col("event_id"), F.lit(32))
+            F.col("hk").isNotNull() | F.col("user_id").isNull(),
+            F.coalesce(F.pmod(F.col("event_id"), F.lit(32)), F.lit(0)),
         )
         .otherwise(F.lit(0))
         .cast("int")
@@ -302,7 +313,9 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             [
                 {
-                    "custkey": int(key[0]),
+                    # key[0] can be None on a NULL-key fixture; keep it a
+                    # real NULL group (the merge agg preserves it).
+                    "custkey": None if key[0] is None else int(key[0]),
                     "n_orders": len(o_pdf),
                     "spend_c": int(o_pdf["price_c"].sum()) if len(o_pdf) else 0,
                     "n_events": len(e_pdf),

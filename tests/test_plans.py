@@ -642,15 +642,19 @@ class TestRound5dPlans:
         assert "BatchEvalPython" not in plan
 
     def test_profile_single_scan(self, spark):
-        """The profile must be ONE pass: render + stack + one grouped
-        aggregate, never |columns| scans of orders — and the distinct
-        exchange must be the USER-SPECIFIED repartition (round 14: the
-        old wide-aggregate Expand's planner-internal exchange was
-        AQE-coalesced to ~one read, 37.9 s vs 4.6 s at sf1.0)."""
+        """The profile must be ONE pass: render + stack + a
+        partial-counted (column_name, value) pre-aggregate, never
+        |columns| scans of orders and never the multi-distinct Expand
+        (round 14: the Expand's planner-internal exchange was
+        AQE-coalesced to ~one read, 37.9 s vs 4.6 s at sf1.0; round
+        15 ADVICE: the pre-agg restores map-side reduction so shuffle
+        bytes are O(distinct pairs), not O(|cols|*rows))."""
         plan = plan_of(spark, "q_profile_table")
         assert plan.count("orders.parquet") <= 2, plan
-        assert "REPARTITION_BY_NUM" in plan, plan
         assert "Expand" not in plan, plan
+        # map-side combine must survive: a partial aggregate feeds the
+        # (column_name, value) exchange.
+        assert "partial" in plan.lower(), plan
         assert "BatchEvalPython" not in plan
 
     def test_safety_filter_codegen_cascade(self, spark):
@@ -685,14 +689,15 @@ class TestRound6Plans:
         assert "BatchEvalPython" not in plan
 
     def test_profile_supplier_single_scan(self, spark):
-        """Stack-first + one grouped aggregate over supplier — never
-        |columns| scans, no joins, no global single-partition reduce
-        (the round-14 unpivot-first rewrite replaced the wide
-        aggregate; per-name merge is |cols| keys, not one row)."""
+        """Stack-first + partial-counted pair pre-aggregate over
+        supplier — never |columns| scans, no joins, no Expand, no
+        global single-partition reduce (round-15 ADVICE shape: map-
+        side combine dedupes (col, value) pairs before the exchange)."""
         plan = plan_of(spark, "q_profile_supplier")
         assert plan.count("supplier.parquet") <= 2, plan
         assert "Join" not in plan, plan
-        assert "REPARTITION_BY_NUM" in plan, plan
+        assert "Expand" not in plan, plan
+        assert "partial" in plan.lower(), plan
         assert "BatchEvalPython" not in plan
 
     def test_histogram2d_one_mapcombined_agg(self, spark):
