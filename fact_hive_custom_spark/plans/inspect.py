@@ -153,6 +153,74 @@ def global_window_uncollapsed_paths(df: DataFrame) -> list[str]:
     return violations
 
 
+def width_collapse_risks(df: DataFrame) -> list[str]:
+    """The AQE width-collapse net, static form (round-15 verdict item
+    2, generalizing the round-14 width audit — SCALING.md §Round-14).
+
+    AQE's partition coalescing sizes post-shuffle stages by BYTES. A
+    stage whose cost is per-ROW or per-CALL — a pandas/Arrow exec node
+    (~1 ms of Python per group) or a Generate/explode (row inflation
+    downstream of the measured bytes) — can be coalesced to ~one task
+    while looking byte-tiny, serializing the expensive work (measured
+    collapses: q_udf_cogroup 28.6→3.1 s sf0.1, q_llm_cosine_dedup,
+    q_ts_gapfill, q_profile_table — each fixed by a user-specified
+    repartition, which AQE exempts from coalescing).
+
+    This walks the pre-AQE physical plan and returns one line per
+    Python-exec or Generate node whose NEAREST downstream exchange(s)
+    (= the shuffle whose width sets that stage's parallelism) are
+    AQE-coalescible: planner-internal ENSURE_REQUIREMENTS or a plain
+    REPARTITION_BY_COL — anything except REPARTITION_BY_NUM (exempt
+    by spec) and broadcast (no partitioning to coalesce). A node fed
+    straight from a scan (no exchange below) is never flagged — scan
+    width follows input splits, not AQE coalescing.
+
+    A flagged shape is a RISK, not automatically a bug: if the stage's
+    cost genuinely tracks bytes, coalescing is correct sizing. The
+    registry-wide assertion (tests/test_plan_snapshot.py) therefore
+    checks risks ⊆ a measured-neutral allowlist, so any NEW query
+    acquiring the shape fails until it is either width-pinned or
+    measured coalesce-neutral and allowlisted."""
+    root = df._jdf.queryExecution().executedPlan()
+    if root.nodeName() == "AdaptiveSparkPlan":
+        # initialPlan, not inputPlan: exchanges (and their shuffle
+        # origins) only exist after EnsureRequirements has run.
+        root = root.initialPlan()
+    risks: list[str] = []
+
+    def nearest_exchanges(node) -> list:
+        found = []
+        stack = _jchildren(node)
+        while stack:
+            n = stack.pop()
+            nm = n.nodeName()
+            if nm == "Exchange":
+                found.append(n)
+                continue
+            if nm == "BroadcastExchange" or any(
+                m in nm for m in _BOUNDED_LEAF_MARKERS
+            ):
+                continue
+            stack.extend(_jchildren(n))
+        return found
+
+    def visit(node) -> None:
+        nm = node.nodeName()
+        if _PYTHON_EXEC_RE.search(nm) or nm == "Generate":
+            for ex in nearest_exchanges(node):
+                try:
+                    origin = ex.shuffleOrigin().toString()
+                except Exception:
+                    origin = "UNKNOWN"
+                if origin != "REPARTITION_BY_NUM":
+                    risks.append(f"{nm} <- Exchange[{origin}]")
+        for c in _jchildren(node):
+            visit(c)
+
+    visit(root)
+    return sorted(set(risks))
+
+
 def plan_counts(df: DataFrame) -> dict:
     """Scale-relevant shape counts from the (unexecuted, pre-AQE)
     physical plan — the registry-wide drift fingerprint

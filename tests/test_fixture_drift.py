@@ -80,6 +80,8 @@ DOC_QUERIES = [
     "q_llm_typicality",
     # round-13 document consumers
     "q_llm_dsir",
+    # round-15 document consumers
+    "q_llm_substring_dedup",
     # round-8b document consumers
     "q_llm_bpe_pairs",
     "q_llm_bpe_train",

@@ -1666,3 +1666,49 @@ class TestRound12Rederivations:
             else:
                 assert r.recall_ppm == 0 and r.rel_at_k == 0
             assert r.f1_ppm == 2 * r.rel_at_k * 1_000_000 // (10 + r.total_rel)
+
+
+class TestSubstringDedup:
+    """q_llm_substring_dedup's reason to exist (round-15 verdict item
+    3): content-defined anchors catch a shared block at ANY offset,
+    where the aligned 20-token span detector structurally cannot."""
+
+    @staticmethod
+    def _mini_corpus(spark, tmp_path):
+        # One 40-token block shared by two docs at offsets 7 and 13 —
+        # neither 20-aligned, so every aligned frame mixes block and
+        # filler differently and span_dedup sees nothing.
+        block = " ".join(f"license{i} clause{i}" for i in range(20))
+        filler_a = " ".join(f"alpha{i}" for i in range(7))
+        filler_b = " ".join(f"beta{i}" for i in range(13))
+        tail_a = " ".join(f"enda{i}" for i in range(25))
+        tail_b = " ".join(f"endb{i}" for i in range(25))
+        rows = [
+            (1, f"{filler_a} {block} {tail_a}", "en", "web", 1),
+            (2, f"{filler_b} {block} {tail_b}", "en", "web", 1),
+            (3, " ".join(f"solo{i}" for i in range(80)), "en", "web", 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        out = str(tmp_path / "documents.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        return str(tmp_path)
+
+    def test_unaligned_block_found_only_by_anchor_detector(
+        self, spark, tmp_path
+    ):
+        from fact_hive_custom_spark.queries import QUERIES
+
+        sf = self._mini_corpus(spark, tmp_path)
+        aligned = QUERIES["q_llm_span_dedup"](spark, sf).collect()
+        assert aligned == [], (
+            "aligned span detector unexpectedly matched the shifted "
+            f"block: {aligned}"
+        )
+        anchored = QUERIES["q_llm_substring_dedup"](spark, sf).collect()
+        assert anchored, "content-defined anchors missed the shared block"
+        # every reported fingerprint here comes from the shared block:
+        # docs 1+2 only, each anchor once per doc
+        for r in anchored:
+            assert r.n_docs == 2 and r.n_occurrences == 2, r

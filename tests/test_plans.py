@@ -2163,3 +2163,28 @@ class TestRound13Pins:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert not plans.uses_python(QUERIES["q_ts_holt_winters"](spark, SF_DIR))
+
+
+class TestRound15Pins:
+    """Round-15 additions: the unaligned substring detector."""
+
+    def test_substring_dedup_single_agg_no_text_shuffle(self, spark):
+        """Anchor hashing + the 1/8 content-defined filter happen in
+        ONE generator projection off the scan (text never shuffles —
+        only 32-hex fingerprints); then the standard two-level
+        distinct aggregate (map-side-deduped (hash, doc) pairs, then
+        per-hash counts — exactly two narrow exchanges) and a
+        TakeOrdered top-50. No joins, no Python, no global sort."""
+        plan = plan_of(spark, "q_llm_substring_dedup")
+        assert "Join" not in plan, plan[:1500]
+        assert "TakeOrderedAndProject" in plan, plan[:1500]
+        hash_ex = [
+            l for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l and "Reused" not in l
+        ]
+        assert len(hash_ex) == 2, plan[:1500]
+        exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+        assert all("text#" not in e for e in exchanges), exchanges
+        assert not plans.uses_python(
+            QUERIES["q_llm_substring_dedup"](spark, SF_DIR)
+        )

@@ -269,6 +269,11 @@ def test_minhash_cap_bounds_hot_shingle_candidates(spark):
         "q_llm_prefix_jaccard",
         "q_llm_span_dedup",
         "q_llm_jaccard_dedup",
+        # round 15: the unaligned (content-defined-anchor) detector
+        # must also stay oracle-green when 20% of docs share a
+        # boilerplate header — its anchors are offset-independent, so
+        # the hot block collides at every offset by design.
+        "q_llm_substring_dedup",
     ],
 )
 def test_dedup_family_parity_on_hot_shingle_corpus(spark, name):
