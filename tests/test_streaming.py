@@ -91,6 +91,37 @@ def harness(spark):
     h.stop()
 
 
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+_PROVIDERS = {
+    "hdfs": "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider",
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider",
+}
+
+
+@pytest.fixture(params=sorted(_PROVIDERS))
+def state_provider(request, spark):
+    """Run a stateful-streaming test under BOTH state store backends
+    (round-15 verdict item 6): the in-memory HDFSBacked default the
+    suite always used, and RocksDB — the production backend at 100 TB
+    state sizes (bounded executor memory, native spill, changelog
+    checkpointing), stock Spark (rocksdbjni ships in pyspark/jars).
+    The provider is pinned for the WHOLE test (both the pre-kill and
+    the resumed query read it), matching the operational rule that a
+    checkpoint's provider never changes mid-stream."""
+    try:
+        old = spark.conf.get(_PROVIDER_CONF)
+    except Exception:
+        old = None
+    spark.conf.set(_PROVIDER_CONF, _PROVIDERS[request.param])
+    yield request.param
+    if old is None:
+        spark.conf.unset(_PROVIDER_CONF)
+    else:
+        spark.conf.set(_PROVIDER_CONF, old)
+
+
 class TestWatermarkLateData:
     def test_late_rows_behind_watermark_are_dropped(self, spark, harness):
         def agg(stream):
@@ -363,7 +394,7 @@ class TestCheckpointRestartRecovery:
     survive, so a key first seen before the restart is still a
     duplicate after it, and nothing is re-emitted."""
 
-    def test_dedup_state_survives_restart(self, spark, tmp_path):
+    def test_dedup_state_survives_restart(self, spark, tmp_path, state_provider):
         import glob
 
         src = str(tmp_path / "src")
@@ -448,7 +479,7 @@ class TestChainedWindowsRestartRecovery:
             )
         )
 
-    def test_chained_windows_state_survives_restart(self, spark, tmp_path):
+    def test_chained_windows_state_survives_restart(self, spark, tmp_path, state_provider):
         import glob
 
         src = str(tmp_path / "src")
@@ -567,7 +598,7 @@ class TestStreamStreamJoinRestartRecovery:
             & (F.col("r_ts") <= F.col("l_ts")),
         ).select("l_key", "val", "r_val")
 
-    def test_join_state_survives_restart(self, spark, tmp_path):
+    def test_join_state_survives_restart(self, spark, tmp_path, state_provider):
         import glob
 
         left_src = str(tmp_path / "left")
@@ -667,7 +698,7 @@ class TestCdcUpsertRestartRecovery:
     cdc_latest (last-writer-wins by (us, event_id)) is; this test is
     the proof that survives a real restart, not just the unit claim."""
 
-    def test_cdc_state_survives_restart(self, spark, tmp_path):
+    def test_cdc_state_survives_restart(self, spark, tmp_path, state_provider):
         import glob
 
         from fact_hive_custom_spark.operators.merge import cdc_latest

@@ -131,7 +131,58 @@ def replicate_table(name: str, out_dir: str, replicas: int, bases: dict[str, int
     return out.num_rows
 
 
+def write_clustered_embeddings(
+    out_dir: str, n_rows: int, n_clusters: int = 50, seed: int = 42
+) -> int:
+    """Mixture-of-Gaussians embeddings (round-15 verdict item 1): the
+    replicated fixture's vectors are near-random, a geometry where an
+    IVF coarse quantizer structurally cannot win (ANN_RECALL.md
+    §Round-14 — nprobe pruning caps composite recall at ~0.84 because
+    cells carry no signal). Real corpus embeddings CLUSTER; this mode
+    writes an embeddings.parquet with the same schema/row count whose
+    geometry gives pruning actual signal, so the exhaustive-vs-pruned
+    serving decision is measured on both regimes.
+
+    Deterministic: seeded RandomState; Zipf-ish mixture weights
+    (w_i ∝ 1/(i+1) — hot topics are bigger, like real corpora); unit-
+    norm centers from N(0, I_64); per-point noise σ=0.07/dim so
+    within-cluster cosine ≈ 0.75 (a realistic topic-cluster
+    tightness); every vector unit-normalized to match the driver
+    fixture's norm convention. label = cluster % 10 keeps the
+    existing label domain. Only embeddings.parquet is written — the
+    dir is an ANN-grid input, not a full query fixture."""
+    rng = np.random.RandomState(seed)
+    dim = 64
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    w = 1.0 / np.arange(1, n_clusters + 1)
+    w /= w.sum()
+    assign = rng.choice(n_clusters, size=n_rows, p=w)
+    x = centers[assign] + 0.07 * rng.standard_normal((n_rows, dim))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    x = x.astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n_rows, dtype=np.int64)),
+            "embedding": pa.array(list(x), type=pa.list_(pa.float32())),
+            "label": pa.array((assign % 10).astype(np.int32)),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(t, os.path.join(out_dir, "embeddings.parquet"))
+    return n_rows
+
+
 def main() -> None:
+    if "--clustered-embeddings" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--clustered-embeddings"]
+        out_dir = args[0] if args else "/root/repo/.scale/sf1.0-clustered"
+        n_rows = int(args[1]) if len(args) > 1 else 20_000
+        n_clusters = int(args[2]) if len(args) > 2 else 50
+        n = write_clustered_embeddings(out_dir, n_rows, n_clusters)
+        print(f"embeddings   {n:>10,} rows (mixture of {n_clusters} "
+              f"Gaussians) → {out_dir}")
+        return
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1.0"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     os.makedirs(out_dir, exist_ok=True)
