@@ -155,13 +155,14 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_llm_cosine_dedup",
     oracle=f"""
-    WITH emb AS ({EMB_CONTRACT_SQL})
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.5
+    WITH emb AS ({EMB_CONTRACT_SQL}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS v FROM emb),
+    p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               array_cosine_similarity(a.v, b.v) AS c
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(c, 6) AS cosine FROM p WHERE c >= 0.5
     """,
 )
 def q_llm_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

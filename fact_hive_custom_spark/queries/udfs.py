@@ -84,15 +84,19 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_udaf_pandas",
     oracle="""
-    SELECT l_returnflag,
-           ROUND(SUM(ABS(l_quantity - m)), 4) AS abs_dev_sum,
-           COUNT(*) AS n
-    FROM (
-        SELECT l_returnflag, l_quantity,
-               AVG(l_quantity) OVER (PARTITION BY l_returnflag) AS m
-        FROM lineitem
+    -- group means via aggregate + join, not a whole-table window:
+    -- bit-identical at sf0.01 and sf1.0 (A/B'd round 15) and ~50×
+    -- cheaper at sf1.0 — this row was one of the sweep's oracle-tax
+    -- leaders (r15 verdict item 7).
+    WITH mm AS (
+        SELECT l_returnflag, AVG(l_quantity) AS m
+        FROM lineitem GROUP BY l_returnflag
     )
-    GROUP BY l_returnflag
+    SELECT l.l_returnflag,
+           ROUND(SUM(ABS(l.l_quantity - mm.m)), 4) AS abs_dev_sum,
+           COUNT(*) AS n
+    FROM lineitem l JOIN mm USING (l_returnflag)
+    GROUP BY l.l_returnflag
     """,
 )
 def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
