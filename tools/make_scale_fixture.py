@@ -21,7 +21,16 @@ distribution drift:
 - embeddings.embedding gets a per-replica dimension PERMUTATION
   (replica 0 identity): cosine geometry within a replica is exactly
   preserved (permutations are orthogonal), cross-replica vectors
-  decorrelate, so ANN/cosine-dedup pair structure also scales ×N.
+  decorrelate, so ANN/cosine-dedup pair structure also scales ×N;
+- events.ts gets a per-replica +r×400-day OFFSET (replica 0
+  untouched): without it every replica's users land in the SAME
+  (event_type, minute) buckets, so time-bucketed CO-OCCURRENCE
+  (q_graph_* edges) densifies ×N instead of scaling ×N — at 100
+  replicas every bucket blew the _TRI_CAP guard and the sf10 graph
+  was EMPTY (measured, round 15). All within-replica deltas, windows,
+  sessions, and watermark semantics are shift-invariant, so every
+  per-user/per-series query is unchanged; only the unintended
+  cross-replica bucket collisions go away.
 
 Everything is PyArrow-level so the physical parquet schemas (including
 the nanosecond event timestamps the streaming reader depends on) are
@@ -111,6 +120,16 @@ def replicate_table(name: str, out_dir: str, replicas: int, bases: dict[str, int
             if field.name in key_cols:
                 off = pa.scalar(r * bases[key_cols[field.name]], type=field.type)
                 col = pc.add(col, off)
+            elif name == "events" and field.name == "ts":
+                if r != 0:
+                    unit = field.type.unit
+                    per_day = {"s": 86_400, "ms": 86_400_000,
+                               "us": 86_400_000_000,
+                               "ns": 86_400_000_000_000}[unit]
+                    ints = pc.cast(col, pa.int64())
+                    ints = pc.add(ints, pa.scalar(r * 400 * per_day,
+                                                  type=pa.int64()))
+                    col = pc.cast(ints, field.type)
             elif name == "documents" and field.name == "text":
                 col = pa.chunked_array(
                     [pa.array(_suffix_tokens(col.to_pylist(), r), type=field.type)]
