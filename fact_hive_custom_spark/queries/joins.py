@@ -271,22 +271,44 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range/interval join: events into an hour-bucket dimension.
+    """Range/interval join: events into an hour-bucket dimension —
+    BAND-KEY decomposition, the generic bounded-interval range-join
+    plan (round 15; this replaced a broadcast nested-loop).
 
-    The bucket dim is tiny → broadcast nested-loop is the right plan at
-    any scale (the alternative — equi-join on a precomputed bucket key —
-    is what q_stream_tumbling exercises; this query keeps the genuine
-    range predicate).
-    """
+    A pure range predicate gives Spark no equi-key, so the original
+    plan was BNLJ: every event tested against every interval —
+    O(|events|·|intervals|), fine only while the interval side is a
+    few thousand rows. The round-15 fixture fix (per-replica time
+    offsets) grew the hour dim 10× and the wall went 33 → 276 s at
+    sf1.0: measured proof the shape dies exactly when the time span
+    grows, which is what 100 TB of history does. The fix is the
+    standard banding trick for intervals of BOUNDED length: pick a
+    band stride = max interval length (1 h); each event hashes to
+    band floor(ts/stride); an interval [s, s+1h) overlaps at most 2
+    bands (exactly 1 here because buckets are hour-aligned). Joining
+    on band EQUALITY with the genuine range predicate as a residual
+    turns the nested loop into a broadcast HASH join (or a shuffled
+    hash join when the interval side outgrows broadcast) — each probe
+    is O(1) instead of O(|intervals|), the range semantics are
+    unchanged, and the oracle (a direct range join) certifies that."""
     e = load_table(spark, sf_dir, "events")
-    hours = e.select(F.date_trunc("hour", F.col("ts")).alias("h_start")).distinct()
-    cond = (F.col("ts") >= F.col("h_start")) & (
-        F.col("ts") < F.col("h_start") + F.expr("INTERVAL 1 HOUR")
+    # integer DIV, not float division: µs since epoch ~1.7e15 sits near
+    # double's 2^53 exact-integer edge, and floor vs truncate differs
+    # pre-1970 — the band key must be exact on both join sides.
+    hours = (
+        e.select(F.date_trunc("hour", F.col("ts")).alias("h_start"))
+        .distinct()
+        .withColumn("band", F.expr("unix_micros(h_start) DIV 3600000000"))
+    )
+    eb = e.withColumn("band", F.expr("unix_micros(ts) DIV 3600000000"))
+    joined = F.broadcast(hours).join(
+        eb,
+        (hours["band"] == eb["band"])
+        & (eb["ts"] >= hours["h_start"])
+        & (eb["ts"] < hours["h_start"] + F.expr("INTERVAL 1 HOUR")),
     )
     return (
-        F.broadcast(hours)
-        .join(e, cond)
-        .groupBy("h_start")
+        joined.groupBy("h_start")
         .agg(
             F.count("event_id").alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),

@@ -2188,3 +2188,15 @@ class TestRound15Pins:
         assert not plans.uses_python(
             QUERIES["q_llm_substring_dedup"](spark, SF_DIR)
         )
+
+    def test_join_range_is_banded_hash_join_not_bnlj(self, spark):
+        """The bounded-interval range join must stay the band-key
+        decomposition: a broadcast HASH join on the hour band with the
+        genuine range predicate as a residual — never the O(n·m)
+        nested loop (round 15: the BNLJ went 33 → 276 s at sf1.0 the
+        moment the fixture's time span grew 10×; banded, 1.9 s)."""
+        plan = plan_of(spark, "q_join_range")
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+        assert "BroadcastHashJoin" in plan, plan[:1500]
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
