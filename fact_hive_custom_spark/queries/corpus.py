@@ -1428,6 +1428,50 @@ def _pq_cte_prefix(
 _PQ_CTE_PREFIX = _pq_cte_prefix()
 
 
+def _pq_centroid_arr(csub: DataFrame) -> DataFrame:
+    """K-per-subspace long-form codebook → M rows of (m, cents) where
+    `cents` is the cid-sorted array of (cid, cv) structs — the
+    broadcastable shape the map-side argmin fold consumes (the
+    clustering.py `_centroid_array` pattern, per subspace)."""
+    return csub.groupBy("m").agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+    )
+
+
+def _pq_argmin(sv_col: str):
+    """Map-side argmin over a broadcast `cents` array: exact integer
+    subspace L2², strict `<` keeps the FIRST (lowest) cid on ties —
+    identical to the oracle's min_by(cid, dist·1e7 + cid) because the
+    array is cid-sorted. Returns struct(best BIGINT, cid BIGINT);
+    `best` is the winning distance (== MIN(dist): the key is
+    dist-major). Replaces the round-≤14 K-way join + (vec_id, m)
+    groupBy, which materialized |corpus|·M·K rows and shuffled the
+    subvectors — this form touches NO exchange (r15, guide §2.4)."""
+
+    def step(acc, p):
+        d = F.aggregate(
+            F.zip_with(
+                F.col(sv_col), p["cv"], lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+        better = d < acc["best"]
+        return F.struct(
+            F.when(better, d).otherwise(acc["best"]).alias("best"),
+            F.when(better, p["cid"]).otherwise(acc["cid"]).alias("cid"),
+        )
+
+    return F.aggregate(
+        "cents",
+        F.struct(
+            F.lit(2**62).cast("bigint").alias("best"),
+            F.lit(None).cast("bigint").alias("cid"),
+        ),
+        step,
+    )
+
+
 def _pq_lloyd(sub: DataFrame, csub: DataFrame, rounds: int) -> DataFrame:
     """Per-subspace integer Lloyd rounds over the PQ codebook: assign
     every subvector to its nearest centroid (exact integer L2², ties
@@ -1444,23 +1488,15 @@ def _pq_lloyd(sub: DataFrame, csub: DataFrame, rounds: int) -> DataFrame:
     (vec_id, m) for the argmin (partial min_by map-side), one
     M·K·SUB-bounded update shuffle — the q_llm_kmeans plan, once per
     subspace, all subspaces in the same jobs."""
-    l2 = (
-        "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),"
-        " 0L, (acc, x) -> acc + x)"
-    )
     for _ in range(rounds):
+        # Assignment is the map-side broadcast-array argmin fold
+        # (_pq_argmin): no K-way join blowup, no (vec_id, m) shuffle
+        # carrying the subvectors — the round-14 asg exchanged
+        # |corpus|·M rows with their 8-int arrays every round (r15).
         asg = (
-            sub.join(F.broadcast(csub), "m")
-            .select(
-                "vec_id", "m", "sv", "cid", F.expr(l2).alias("dist")
-            )
-            .groupBy("vec_id", "m")
-            .agg(
-                F.min_by(
-                    F.col("cid"), F.col("dist") * 10000000 + F.col("cid")
-                ).alias("code"),
-                F.first("sv").alias("sv"),
-            )
+            sub.join(F.broadcast(_pq_centroid_arr(csub)), "m")
+            .withColumn("acc", _pq_argmin("sv"))
+            .select("vec_id", "m", "sv", F.col("acc.cid").alias("code"))
         )
         csub = (
             asg.select(
@@ -1563,15 +1599,26 @@ def _pq_parts(
         q = q.select(
             "vec_id", F.expr(_opq_perm_expr("qs", pq_m, pq_sub)).alias("qs")
         )
-    # Deliberately NOT cached across Lloyd rounds: measured at sf0.1
-    # (3 passes), persisting the quantized relation made training
-    # SLOWER — median 5.3 s vs 3.7 s — because materializing
-    # deserialized 64-int arrays costs more than re-running the
-    # column-pruned parquet scan + quantize this lineage needs
-    # (T+1 = 3 times). The break-even flips when the corpus scan
-    # dominates (production embedding volumes): there, persist `q`
-    # here — the q_llm_kmeans generation-cache pattern
-    # (clustering.py) is the template. SCALING.md §round-9.
+    # Round-15 re-measure of the round-9 "don't cache q" decision: at
+    # T+1 = 3 derivations, materializing lost (5.3 vs 3.7 s); but the
+    # composite serving paths now derive q up to ~34 times per plan
+    # (q_llm_ann_tuned's before-plan: 34 parquet scans, 32 broadcast
+    # builds — plans/r15/q_llm_ann_tuned_before.txt), so ONE eager
+    # materialization wins across the family: every consumer reads
+    # the 65-int rows, and the A/B at sf0.1 preferred localCheckpoint
+    # over persist() (ann_tuned ~6 vs ~7 s) because truncating the
+    # lineage also removes the repeated gscale/quantize subtree from
+    # every downstream plan's analysis and broadcast builds. Blocks
+    # free on RDD GC (the _pq_lloyd / label-prop convention); on a
+    # real cluster swap for a reliable checkpoint dir (executor-loss
+    # recovery — operators/graph.py note). The RoundRobin repartition
+    # is the semdedup single-file lesson — the map-side argmin fold
+    # below must not inherit a one-partition parquet scan — and is
+    # REPARTITION_BY_NUM, exempt from AQE byte-coalescing (the
+    # SCALING.md §round-14 width rule; NOT a hash shuffle on vec_id).
+    q = q.repartition(
+        q.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint()
     cent = (
         q.orderBy("vec_id")
         .limit(pq_k)
@@ -1597,20 +1644,21 @@ def _pq_parts(
     )
     if train_rounds:
         csub = _pq_lloyd(sub, csub, train_rounds)
-    d = sub.join(F.broadcast(csub), "m").select(
-        "vec_id",
-        "m",
-        "cid",
-        F.expr(
-            "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),"
-            " 0L, (acc, x) -> acc + x)"
-        ).alias("dist"),
-    )
-    best = d.groupBy("vec_id", "m").agg(
-        F.min_by(F.col("cid"), F.col("dist") * 10000000 + F.col("cid")).alias(
-            "code"
-        ),
-        F.min("dist").alias("min_dist"),
+    # Code assignment = the same map-side argmin fold as the Lloyd
+    # rounds: `best` now costs ZERO exchanges (sub is a map-side
+    # explode of the cached q; the codebook broadcasts as M array
+    # rows) versus the round-≤14 |corpus|·M·K-row join + (vec_id, m)
+    # min_by shuffle. acc.best IS min(dist) — the fold key is
+    # dist-major — so distortion semantics are untouched (r15).
+    best = (
+        sub.join(F.broadcast(_pq_centroid_arr(csub)), "m")
+        .withColumn("acc", _pq_argmin("sv"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("acc.cid").alias("code"),
+            F.col("acc.best").alias("min_dist"),
+        )
     )
     return q, sub, csub, best
 
@@ -1684,19 +1732,26 @@ def pq_adc_topk(
         piv = q.filter(F.col("vec_id") < _PQ_K).select(
             F.col("vec_id").alias("pid"), F.col("qs").alias("pqs")
         )
+        # IVF assignment via the same broadcast-array argmin fold as
+        # the code assignment: one projection over the cached q — the
+        # round-≤14 form crossJoined all 16 pivots into the corpus and
+        # shuffled |corpus|·16 rows through a groupBy argmin (the
+        # "fixed cost" the round-15 baseline addendum priced at
+        # +2.6 s sf0.1). Tie order (lowest pid) is preserved by the
+        # pid-sorted array + strict `<` (r15).
+        piv_arr = piv.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("pid").alias("cid"), F.col("pqs").alias("cv")
+                    )
+                )
+            ).alias("cents")
+        )
         assign = (
-            q.crossJoin(F.broadcast(piv))
-            .select(
-                "vec_id",
-                "pid",
-                F.expr(l2.format(a="qs", b="pqs")).alias("cdist"),
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.min_by(
-                    F.col("pid"), F.col("cdist") * 10000000 + F.col("pid")
-                ).alias("cluster")
-            )
+            q.crossJoin(F.broadcast(piv_arr))
+            .withColumn("acc", _pq_argmin("qs"))
+            .select("vec_id", F.col("acc.cid").alias("cluster"))
         )
         wc = Window.partitionBy("probe_id").orderBy("cdist", "pid")
         probecl = (

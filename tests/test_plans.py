@@ -1168,11 +1168,14 @@ class TestKMeansPlan:
 
 class TestPQTrainPlan:
     def test_pq_train_shuffles_stay_on_code_keys(self, spark):
-        """PQ codebook training (q_llm_pq_train): every hash exchange
-        is keyed on the code/assignment keys (vec_id, m) or the
-        bounded codebook-update cells (m, cid, pos) or the embedding
-        contract's dim — never a wide-vector reshuffle; the codebook
-        attaches by broadcast each round; argmin and the update are
+        """PQ codebook training (q_llm_pq_train): since round 15 the
+        per-round argmin is the map-side broadcast-array fold
+        (corpus.py _pq_argmin — the q_llm_kmeans assignment pattern),
+        so there is NO (vec_id, m) assignment exchange at all; the
+        only hash exchanges key the bounded codebook-update cells
+        (m, cid, pos) or the embedding contract's dim — never a
+        wide-vector reshuffle and never the corpus on vec_id. The
+        codebook attaches by broadcast each round; the update is
         partially aggregated map-side; no cartesian of data against
         data, no Python."""
         plan = plan_of(spark, "q_llm_pq_train")
@@ -1180,9 +1183,10 @@ class TestPQTrainPlan:
         for line in plan.splitlines():
             if "Exchange hashpartitioning" in line and "Reused" not in line:
                 keys.add(line.split("hashpartitioning(")[1].split("#")[0])
-        assert keys <= {"vec_id", "m", "dim", "cid", "subspace"}, keys
+        assert keys <= {"m", "dim", "cid", "subspace"}, keys
         assert "BroadcastExchange" in plan
-        assert "partial_min_by" in plan or "partial_min(" in plan, plan
+        assert "aggregate(cents" in plan, plan
+        assert "partial_min_by" not in plan, plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
