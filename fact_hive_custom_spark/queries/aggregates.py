@@ -1067,6 +1067,55 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _THETA_K = 256  # KMV sketch size; relative error ~ 1/sqrt(K-2) ≈ 6.3%
 
 
+def _theta_segs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (seg, ck) membership for the two customer segments —
+    the theta sketch's input relation. Split out so the plan pin can
+    assert its shape pre-checkpoint (tests/test_plans.py)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_custkey").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+            & F.year("o_orderdate").isin(1996, 1997)
+        )
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("seg"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .distinct()
+    )
+
+
+def _theta_seg_sketch(segs: DataFrame) -> DataFrame:
+    """Per-segment bottom-K KMV sketch (≤ 2K rows): md5-prefix hash,
+    per-(seg, shard) bottom-K heaps (WindowGroupLimit), shard merge.
+    Split out so the plan pin keeps asserting the WindowGroupLimit
+    shape now that the query checkpoints the (tiny) result."""
+    from pyspark.sql import Window
+
+    hashed = segs.select(
+        "seg",
+        "ck",
+        F.expr(
+            "CAST(conv(substr(md5(concat('th:', CAST(ck AS STRING))), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        ).alias("hv"),
+        F.expr("ck % 16").alias("shard"),
+    )
+    w_shard = Window.partitionBy("seg", "shard").orderBy("hv", "ck")
+    shard_sk = (
+        hashed.withColumn("rn", F.row_number().over(w_shard))
+        .filter(F.col("rn") <= _THETA_K)
+        .drop("rn")
+    )
+    w_seg = Window.partitionBy("seg").orderBy("hv", "ck")
+    return (
+        shard_sk.withColumn("rn", F.row_number().over(w_seg))
+        .filter(F.col("rn") <= _THETA_K)
+        .drop("rn", "shard")
+    )
+
+
 @register(
     "q_agg_theta_sketch",
     oracle=f"""
@@ -1193,42 +1242,21 @@ def q_agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard/merge discipline — no single-reducer sort of a segment),
     merges touch ≤ 16·K rows, and every estimator input is ≤ K rows."""
     d38 = "decimal(38,0)"
-    segs = (
-        load_table(spark, sf_dir, "orders")
-        .filter(
-            F.col("o_custkey").isNotNull()
-            & F.col("o_orderdate").isNotNull()
-            & F.year("o_orderdate").isin(1996, 1997)
-        )
-        .select(
-            F.year("o_orderdate").cast("bigint").alias("seg"),
-            F.col("o_custkey").alias("ck"),
-        )
-        .distinct()
-    )
-    hashed = segs.select(
-        "seg",
-        "ck",
-        F.expr(
-            "CAST(conv(substr(md5(concat('th:', CAST(ck AS STRING))), 1, 15),"
-            " 16, 10) AS BIGINT)"
-        ).alias("hv"),
-        F.expr("ck % 16").alias("shard"),
-    )
-    from pyspark.sql import Window
-
-    w_shard = Window.partitionBy("seg", "shard").orderBy("hv", "ck")
-    shard_sk = (
-        hashed.withColumn("rn", F.row_number().over(w_shard))
-        .filter(F.col("rn") <= _THETA_K)
-        .drop("rn")
-    )
-    w_seg = Window.partitionBy("seg").orderBy("hv", "ck")
-    seg_sk = (
-        shard_sk.withColumn("rn", F.row_number().over(w_seg))
-        .filter(F.col("rn") <= _THETA_K)
-        .drop("rn", "shard")
-    )
+    # r15: the distinct (seg, ck) relation feeds FOUR independent
+    # consumers (the sketch chain, the exact triple-distinct agg,
+    # both sides of the exact-intersection join); uncheckpointed,
+    # each replayed the orders scan + distinct exchange (14 scans
+    # / 22 exchanges in the executed plan — PLANS.md row). One eager
+    # materialization of the already-collapsed relation is O(distinct
+    # members) — the sketch's own input size. Likewise the merged
+    # sketch (≤ 2K = 512 rows) feeds FIVE consumers; checkpointing it
+    # costs one tiny job and stops each replaying the md5 + two-window
+    # chain (whose WindowGroupLimit shape stays pinned via the
+    # _theta_seg_sketch helper). Isolated warm median 3.31 → 1.84 s
+    # at sf0.1. Cluster note: swap for a reliable checkpoint dir
+    # (operators/graph.py note).
+    segs = _theta_segs(spark, sf_dir).localCheckpoint()
+    seg_sk = _theta_seg_sketch(segs).localCheckpoint()
     two60 = f"CAST(shiftleft(CAST(1 AS BIGINT), 60) AS {d38})"
     seg_stats = seg_sk.groupBy("seg").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sk"),

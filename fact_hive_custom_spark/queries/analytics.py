@@ -573,6 +573,20 @@ def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v"))
         .distinct()
+        # r15: materialize the edge list once. The round-6 ADVICE
+        # dropped a MEMORY_AND_DISK persist here because cached blocks
+        # leaked across the suite; localCheckpoint frees on RDD GC
+        # (the label-prop convention — which checkpointed this same
+        # relation at ITS call site for exactly this reason). Without
+        # it the triangles consumer replayed the bucket-join pair
+        # build per reference: 54 scans / 110 exchanges in the
+        # initial plan (plans/r15/q_graph_triangles_before.txt);
+        # ReuseExchange recovered only part (14 shuffles + 10
+        # broadcasts still executed, PLANS.md row). Edge volume is
+        # O(buckets × cap²) by the _TRI_CAP guard — bounded, and the
+        # relation every consumer needs anyway. Cluster note: swap
+        # for a reliable checkpoint dir (operators/graph.py).
+        .localCheckpoint()
     )
 
 
@@ -1749,7 +1763,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     back as semi-joins on the edge's own hash layout. The raw events
     are scanned exactly ONCE (edge build); every later pass is
     |edges|-sized."""
-    edges = _cooccurrence_edges(spark, sf_dir).localCheckpoint()
+    edges = _cooccurrence_edges(spark, sf_dir)  # checkpointed inside
     outs = []
     for r in range(1, _KCORE_ROUNDS + 1):
         deg = (
@@ -1858,7 +1872,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r+1 plans root at materialized node sets (the pagerank lineage
     cap). Degenerate seeds (isolated min-id node) just produce empty
     frontiers — every round still emits its histogram row."""
-    edges = _cooccurrence_edges(spark, sf_dir).localCheckpoint()
+    edges = _cooccurrence_edges(spark, sf_dir)  # checkpointed inside
     visited = (
         edges.agg(F.min("u").alias("node")).localCheckpoint()
     )
@@ -1972,7 +1986,7 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     node id; labels and adjacency are localCheckpoint-ed so round
     r+1 roots at materialized frames (lineage cap). At 100 TB the
     per-round exchange carries (node, label) pairs only."""
-    edges = _cooccurrence_edges(spark, sf_dir).localCheckpoint()
+    edges = _cooccurrence_edges(spark, sf_dir)  # checkpointed inside
     nodes = (
         edges.select(F.col("u").alias("node"))
         .union(edges.select("v"))

@@ -1896,9 +1896,20 @@ class TestRound11Pins:
         """The per-(segment, shard) and per-segment bottom-k heaps must
         plan as WindowGroupLimit (rank-filter pushed into the window),
         so no task ever sorts more than shard-local rows + the merge
-        never exceeds shards×K."""
+        never exceeds shards×K. Since r15 the query checkpoints the
+        ≤2K-row sketch, so the chain's shape is asserted on the
+        _theta_seg_sketch helper (the exact lineage the checkpoint
+        materializes) and the bounded union-sketch heap on the final
+        plan."""
+        from fact_hive_custom_spark.queries.aggregates import (
+            _theta_seg_sketch,
+            _theta_segs,
+        )
+
+        chain = _theta_seg_sketch(_theta_segs(spark, SF_DIR))
+        cplan = chain._jdf.queryExecution().executedPlan().toString()
+        assert cplan.count("WindowGroupLimit") >= 2, cplan[:2000]
         plan = plan_of(spark, "q_agg_theta_sketch")
-        assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
         # the union-sketch top-K is a bounded heap, not a global sort
         assert "TakeOrderedAndProject" in plan
 
