@@ -45,6 +45,35 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k:
     )
 
 
+def _df_capped(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds the cap — the
+    CCNet/Gopher stop-shingle filter shared by jaccard_pairs and
+    minhash_lsh_pairs.
+
+    r15: the cap is a groupBy + LEFT ANTI join against the hot list,
+    replacing the round-14 COUNT() window over the full shingle
+    table. The window shuffled and sorted EVERY (doc, shingle) row on
+    the shingle key just to count; the groupBy partial-aggregates
+    map-side, the surviving hot list is tiny BY DEFINITION (only
+    shingles in > max_doc_freq docs — boilerplate), and AQE plans the
+    anti join as a runtime broadcast, so the shingle frame itself no
+    longer shuffles at all for the cap. Identical rows (same count,
+    same predicate — the same A/B'd transform that cut the DuckDB
+    oracle 2.7×, r15 verdict item 7). A hot shingle's count still
+    lands on one reducer (trivial — it's one counter). The cap spaces
+    note from round 14 stands: the df is counted on the 64-bit HASH,
+    the SQL oracle on the shingle STRING — the same ~2^-64-per-pair
+    collision assumption the pair join already makes.
+    """
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -73,24 +102,7 @@ def jaccard_pairs(
     # pair) — negligible against float-rounding noise.
     sh = shingles(docs, k=k).select("doc_id", F.xxhash64("shingle").alias("shingle"))
     if max_doc_freq is not None:
-        # df per shingle as ONE window pass over the same shuffle key
-        # the pair join uses — no second scan+explode of the corpus
-        # (the round-2 bench wart). A hot shingle's rows land in one
-        # counting task, which is trivial work even at 1M df; the pair
-        # join's worst case drops from O(max_df²·n_shingles) unbounded
-        # to O(max_doc_freq²).
-        # The df window partitions by the 64-bit HASH, the SQL oracle
-        # by the shingle STRING — formally different cap spaces: a
-        # hash collision between a hot and a rare shingle would drop
-        # the rare one too. Same ~2^-64-per-pair collision assumption
-        # the pair join already makes (see above); accepted, not a
-        # divergence the comparator can reach in practice.
-        dfw = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("__df", F.count(F.lit(1)).over(dfw))
-            .filter(F.col("__df") <= max_doc_freq)
-            .drop("__df")
-        )
+        sh = _df_capped(sh, max_doc_freq)
     # The capped shingle frame feeds three consumers (sizes, both pair
     # join sides); persist it so the scan+explode+cap runs once. At
     # 100 TB each recomputation is a full corpus pass — caching the
@@ -170,18 +182,7 @@ def minhash_lsh_pairs(
         "doc_id", F.xxhash64("shingle").alias("shingle")
     )
     if max_doc_freq is not None:
-        # The df window partitions by the 64-bit HASH, the SQL oracle
-        # by the shingle STRING — formally different cap spaces: a
-        # hash collision between a hot and a rare shingle would drop
-        # the rare one too. Same ~2^-64-per-pair collision assumption
-        # the pair join already makes (see above); accepted, not a
-        # divergence the comparator can reach in practice.
-        dfw = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("__df", F.count(F.lit(1)).over(dfw))
-            .filter(F.col("__df") <= max_doc_freq)
-            .drop("__df")
-        )
+        sh = _df_capped(sh, max_doc_freq)
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(sh, num_hashes=rows_per_band * num_bands)
 
