@@ -316,27 +316,66 @@ def _pivot_blocks(
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
     )
-    pivots = _select_pivots(u, num_pivots, seed)
+    # r15: 16 rows, materialized once — three consumers (the
+    # assignment fold, both cluster-pair sides) each re-ran the
+    # corpus-wide TakeOrdered pivot selection otherwise (part of the
+    # 40-scan initial plan of q_llm_cosine_dedup).
+    pivots = _select_pivots(u, num_pivots, seed).localCheckpoint()
 
-    # Nearest pivot per vector: broadcast the pivot set, max_by over the
-    # K candidate assignments — map-side only, no corpus shuffle.
-    cos_to_pivot = _dot(F.col("vec"), F.col("pivot_vec")) / (F.col("nrm") * F.col("pivot_nrm"))
+    # Nearest pivot per vector: ONE row holding the pivot_id-sorted
+    # pivot array broadcasts into a map-side argmax fold — no K-way
+    # row multiplication and, unlike the round-≤14 crossJoin +
+    # groupBy(vid) max_by, no corpus-sized shuffle carrying the
+    # vectors (the _pq_argmin rewrite, r15; strict `>` over the
+    # pid-sorted array ≡ min_by(struct(-pcos, pid)) bit-exactly).
+    # one row; checkpointed so the downstream consumers of `assigned`
+    # (block sides, radii, both rescore sides) don't each replay the
+    # pivot-array aggregate and its SinglePartition exchange
+    parr = pivots.agg(
+        F.sort_array(
+            F.collect_list(F.struct("pivot_id", "pivot_vec", "pivot_nrm"))
+        ).alias("pivs")
+    ).localCheckpoint()
+
+    def _argmax(acc, p):
+        pcos = F.least(
+            F.greatest(
+                _dot(F.col("vec"), p["pivot_vec"])
+                / (F.col("nrm") * p["pivot_nrm"]),
+                F.lit(-1.0),
+            ),
+            F.lit(1.0),
+        )
+        better = pcos > acc["best"]
+        return F.struct(
+            F.when(better, pcos).otherwise(acc["best"]).alias("best"),
+            F.when(better, p["pivot_id"]).otherwise(acc["cluster"]).alias(
+                "cluster"
+            ),
+        )
+
     assigned = (
-        u.crossJoin(F.broadcast(pivots))
-        .withColumn("pcos", F.least(F.greatest(cos_to_pivot, F.lit(-1.0)), F.lit(1.0)))
-        .groupBy("vid")
-        .agg(
-            # min_by over (-pcos, pivot_id): highest cosine wins, exact
-            # ties break on the id's NATIVE ordering (a cast-to-double
-            # tie-break is NULL for string ids → nondeterministic
-            # cluster assignment).
-            F.min_by(
-                F.col("pivot_id"),
-                F.struct((-F.col("pcos")).alias("npc"), F.col("pivot_id").alias("pid")),
-            ).alias("cluster"),
-            F.acos(F.max("pcos")).alias("angle"),
-            F.first("vec").alias("vec"),
-            F.first("nrm").alias("nrm"),
+        u.crossJoin(F.broadcast(parr))
+        .withColumn(
+            "acc",
+            F.aggregate(
+                "pivs",
+                F.struct(
+                    F.lit(-2.0).alias("best"),
+                    # typed NULL: pivot ids may be long or string
+                    F.lit(None)
+                    .cast(pivots.schema["pivot_id"].dataType)
+                    .alias("cluster"),
+                ),
+                _argmax,
+            ),
+        )
+        .select(
+            "vid",
+            "vec",
+            "nrm",
+            F.col("acc.cluster").alias("cluster"),
+            F.acos(F.col("acc.best")).alias("angle"),
         )
     )
     radii = assigned.groupBy("cluster").agg(F.max("angle").alias("radius"))
