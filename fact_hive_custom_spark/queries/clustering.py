@@ -45,7 +45,7 @@ _KM_K = 8
 _KM_T = 2
 _KM_SCALE = 64
 
-_KMEANS_CACHE: list = []
+
 _PCA_CACHE: list = []
 
 
@@ -55,8 +55,13 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same global-scale grid as _pq_parts (corpus.py:1399); the +127
     shift makes every component non-negative so the fixed-point mean
     rounding below is floor-division-portable across engines.
-    Cached: every Lloyd round re-reads it; generation cache releases
-    the previous build (the _BPE_TRAIN_CACHE discipline).
+    Materialized eagerly (r15): every Lloyd round re-reads it, and
+    the paired A/B preferred localCheckpoint over the round-9 lazy
+    persist — q_llm_kmeans warm 3.9–5.3 → 2.7–3.0 s and the 13 s
+    cold cliff gone, because truncating the lineage removes the
+    contract+quantize subtree from every round's plan analysis and
+    broadcast builds (same result as the PQ family's q, corpus.py).
+    Blocks free on RDD GC; reliable checkpoint dir on a cluster.
     """
     emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     g = emb.agg(
@@ -80,12 +85,7 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle on vec_id — the plan pin forbids that.
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    for h in _KMEANS_CACHE:
-        h.unpersist()
-    _KMEANS_CACHE.clear()
-    q = q.persist()
-    _KMEANS_CACHE.append(q)
-    return q
+    return q.localCheckpoint()
 
 
 def _centroid_array(cent_long: DataFrame) -> DataFrame:
@@ -418,15 +418,41 @@ def q_llm_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qs"),
         )
     )
+    # Outer-product accumulation, r15 shape: explode ONCE (n·D rows),
+    # compute row i's product vector against the whole array in one
+    # transform(), and aggregate the D products as D columnar SUMs —
+    # the round-≤14 double-posexplode generated n·D² ROWS (82 M at
+    # sf1.0) and paid a hash-agg probe per product; this pays one
+    # probe per (vector, i) row with a D-slot buffer. Same exact
+    # bigint sums, same (i, j, p) relation after the stack unpivot.
+    # Paired sf0.1 isolated warm medians: 16.4 → ~9 s. D is the
+    # fixture embedding dimension (the PQ family's _PQ_M × _PQ_SUB
+    # constant); the contract filter guarantees every surviving row
+    # has exactly modal length, and parity at all SFs plus the
+    # inertia property test gate any drift.
+    d_dim = 64
     ql = q.select(F.posexplode("qs").alias("pos_i", "ui"), "qs")
-    uu = (
-        ql.select(
-            (F.col("pos_i") + 1).cast("bigint").alias("i"),
-            "ui",
-            F.posexplode("qs").alias("pos_j", "uj"),
-        )
-        .groupBy("i", (F.col("pos_j") + 1).cast("bigint").alias("j"))
-        .agg(F.sum(F.col("ui") * F.col("uj")).alias("p"))
+    prods = ql.select(
+        (F.col("pos_i") + 1).cast("bigint").alias("i"),
+        F.expr("transform(qs, x -> ui * x)").alias("pr"),
+    )
+    uu_wide = prods.groupBy("i").agg(
+        *[
+            F.sum(F.element_at("pr", j)).alias(f"p{j}")
+            for j in range(1, d_dim + 1)
+        ]
+    )
+    uu = uu_wide.select(
+        "i",
+        F.expr(
+            "stack("
+            + str(d_dim)
+            + ", "
+            + ", ".join(
+                f"CAST({j} AS BIGINT), p{j}" for j in range(1, d_dim + 1)
+            )
+            + ") AS (j, p)"
+        ),
     )
     s = (
         q.select(F.posexplode("qs").alias("pos", "u"))

@@ -1123,10 +1123,12 @@ class TestKMeansPlan:
         assert keys <= {"cid", "_groupingexpression", "dim", "cluster"}, keys
         # assignment is the fold over the broadcast centroid array
         assert "aggregate(cents" in plan
-        assert "InMemoryRelation" in plan  # cached quantized corpus
-        # per-round centroids are lineage-capped (localCheckpoint):
-        # the final plan roots at the checkpointed K×D RDD instead of
-        # replaying every Lloyd round inside one nested DAG
+        # r15: the quantized corpus AND the per-round centroids are
+        # both eagerly checkpointed (localCheckpoint replaced the lazy
+        # persist after a paired A/B — clustering.py _quantized), so
+        # the final plan roots at checkpointed RDDs instead of
+        # replaying the contract+quantize subtree or the Lloyd rounds
+        # inside one nested DAG
         assert "Scan ExistingRDD" in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
