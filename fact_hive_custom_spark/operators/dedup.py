@@ -37,6 +37,12 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k:
     """
     from fact_hive_custom_spark.functions.text import ngram_shingles_of, tokens
 
+    # fan_out(docs) was tried here (r16) and measured SLOWER for the
+    # dedup family (minhash_lsh paired 1.5/2.2 → 2.7/2.7 s): since the
+    # bound-tokens fix the tokenize pass is no longer the wall, and
+    # the widening exchange + lost scan fusion cost more than the
+    # parallelism buys. The fan_out wins stay where the pre-exchange
+    # map work dominates (permutation md5 ×64, sketch hashing).
     toked = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
     )
@@ -100,6 +106,13 @@ def jaccard_pairs(
     # than 3-word strings. A hash collision would need two distinct
     # shingles in overlapping docs to collide in 64 bits (~2^-64 per
     # pair) — negligible against float-rounding noise.
+    # r16 re-measure (driver PERF_r15 flagged 0.56×): paired fresh-JVM
+    # A/B of this anti-join cap vs the r14 window cap vs anti-join +
+    # repartition(shingle) pre-persist, 3 alternated rounds — medians
+    # 2.21 / 2.18 / 2.31 s, statistically identical (AQE broadcasts
+    # the sf0.1 self-join, so cache partitioning is moot locally; at
+    # scale the map-side-agg cap still strictly dominates the full
+    # window shuffle+sort). Kept.
     sh = shingles(docs, k=k).select("doc_id", F.xxhash64("shingle").alias("shingle"))
     if max_doc_freq is not None:
         sh = _df_capped(sh, max_doc_freq)

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fact_hive_custom_spark.materialize import materialize
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round on an undirected edge set.
@@ -83,10 +85,10 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        nxt = _small_star(_large_star(edges)).transform(materialize)
         unchanged = (
             nxt.count() == edges.count()
             and nxt.join(edges, ["u", "v"], "left_anti").isEmpty()

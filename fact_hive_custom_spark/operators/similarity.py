@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fact_hive_custom_spark.materialize import materialize
+
 from fact_hive_custom_spark.functions.vectors import cosine, dot as _dot, norm as _norm
 
 __all__ = ["cosine", "cosine_pairs", "cosine_topk", "ivf_topk", "signlsh_topk"]
@@ -316,26 +318,35 @@ def _pivot_blocks(
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
     )
-    # r15: 16 rows, materialized once — three consumers (the
-    # assignment fold, both cluster-pair sides) each re-ran the
-    # corpus-wide TakeOrdered pivot selection otherwise (part of the
-    # 40-scan initial plan of q_llm_cosine_dedup).
-    pivots = _select_pivots(u, num_pivots, seed).localCheckpoint()
-
     # Nearest pivot per vector: ONE row holding the pivot_id-sorted
     # pivot array broadcasts into a map-side argmax fold — no K-way
     # row multiplication and, unlike the round-≤14 crossJoin +
     # groupBy(vid) max_by, no corpus-sized shuffle carrying the
     # vectors (the _pq_argmin rewrite, r15; strict `>` over the
     # pid-sorted array ≡ min_by(struct(-pcos, pid)) bit-exactly).
-    # one row; checkpointed so the downstream consumers of `assigned`
-    # (block sides, radii, both rescore sides) don't each replay the
-    # pivot-array aggregate and its SinglePartition exchange
-    parr = pivots.agg(
-        F.sort_array(
-            F.collect_list(F.struct("pivot_id", "pivot_vec", "pivot_nrm"))
-        ).alias("pivs")
-    ).localCheckpoint()
+    # r16 (VERDICT r15 item 4 — trim the eager-job fixed cost): ONE
+    # materialization instead of two. r15 checkpointed both the 16-row
+    # pivot set and this 1-row array — two scheduled jobs, each paying
+    # the corpus-wide TakeOrdered pivot selection. Now only the array
+    # materializes (pivot selection runs once, inside this job) and
+    # the 16-row pivot frame is re-derived by EXPLODING the cached
+    # 1-row array — no corpus access, no extra job.
+    parr = (
+        _select_pivots(u, num_pivots, seed)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("pivot_id", "pivot_vec", "pivot_nrm")
+                )
+            ).alias("pivs")
+        )
+        .transform(materialize)
+    )
+    pivots = parr.select(F.explode("pivs").alias("p")).select(
+        F.col("p.pivot_id").alias("pivot_id"),
+        F.col("p.pivot_vec").alias("pivot_vec"),
+        F.col("p.pivot_nrm").alias("pivot_nrm"),
+    )
 
     def _argmax(acc, p):
         pcos = F.least(

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fact_hive_custom_spark.materialize import materialize
+
 from fact_hive_custom_spark.queries.registry import register
 from fact_hive_custom_spark.tables import load_table, register_views
 
@@ -1004,11 +1006,19 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # price or key would enter the sketch with a NULL cents/hv, and
     # the engines order NULLs oppositely (Spark FIRST, DuckDB LAST) —
     # caught by tests/test_fixture_drift.py on the NULL-laden lineitem
-    v = li.filter(
-        F.col("l_extendedprice").isNotNull()
-        & F.col("l_shipdate").isNotNull()
-        & F.col("l_orderkey").isNotNull()
-        & F.col("l_linenumber").isNotNull()
+    from fact_hive_custom_spark.tables import fan_out
+
+    # fan_out BEFORE the md5 projection: the per-row sketch hash is
+    # the dominant map cost and Catalyst fuses the projection into the
+    # scan task — one row group locally = one serial task for 600k
+    # md5s (r16; identity at scale, see tables.fan_out).
+    v = fan_out(
+        li.filter(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_shipdate").isNotNull()
+            & F.col("l_orderkey").isNotNull()
+            & F.col("l_linenumber").isNotNull()
+        )
     ).select(
         F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
             "val_cents"
@@ -1255,8 +1265,8 @@ def q_agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _theta_seg_sketch helper). Isolated warm median 3.31 → 1.84 s
     # at sf0.1. Cluster note: swap for a reliable checkpoint dir
     # (operators/graph.py note).
-    segs = _theta_segs(spark, sf_dir).localCheckpoint()
-    seg_sk = _theta_seg_sketch(segs).localCheckpoint()
+    segs = _theta_segs(spark, sf_dir).transform(materialize)
+    seg_sk = _theta_seg_sketch(segs).transform(materialize)
     two60 = f"CAST(shiftleft(CAST(1 AS BIGINT), 60) AS {d38})"
     seg_stats = seg_sk.groupBy("seg").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sk"),

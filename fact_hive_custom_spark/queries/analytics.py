@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fact_hive_custom_spark.materialize import materialize
+
 from fact_hive_custom_spark.queries.registry import register
 from fact_hive_custom_spark.tables import load_table
 
@@ -349,15 +351,15 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         nx.filter(F.col("to_type").isNotNull())
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     outw = edges.groupBy("from_type").agg(
         F.sum("w").cast("bigint").alias("ow")
-    ).localCheckpoint()
+    ).transform(materialize)
     nodes = (
         e.select(F.col("event_type").alias("node"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     ranks = nodes.withColumn(
         "rank_ppm", F.lit(_PR_SCALE).cast("bigint")
@@ -586,7 +588,7 @@ def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # O(buckets × cap²) by the _TRI_CAP guard — bounded, and the
         # relation every consumer needs anyway. Cluster note: swap
         # for a reliable checkpoint dir (operators/graph.py).
-        .localCheckpoint()
+        .transform(materialize)
     )
 
 
@@ -1225,7 +1227,7 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one eager materialization of the already-collapsed relation
         # (the theta-sketch rule: checkpoint pays when the duplicated
         # subtree holds a join/aggregate). Paired sf0.1: 3.8 → 2.6 s.
-        .localCheckpoint()
+        .transform(materialize)
     )
     sets = ob.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("p_brand")).alias("brands")
@@ -1786,7 +1788,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
+            .transform(materialize)
         )
         n_nodes = (
             edges.select(F.col("u").alias("node"))
@@ -1881,7 +1883,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontiers — every round still emits its histogram row."""
     edges = _cooccurrence_edges(spark, sf_dir)  # checkpointed inside
     visited = (
-        edges.agg(F.min("u").alias("node")).localCheckpoint()
+        edges.agg(F.min("u").alias("node")).transform(materialize)
     )
     frontier = visited
     outs = [
@@ -1905,8 +1907,8 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        frontier = nbrs.join(visited, "node", "left_anti").localCheckpoint()
-        visited = visited.unionAll(frontier).localCheckpoint()
+        frontier = nbrs.join(visited, "node", "left_anti").transform(materialize)
+        visited = visited.unionAll(frontier).transform(materialize)
         outs.append(
             frontier.agg(
                 F.lit(r).cast("bigint").alias("dist"),
@@ -2003,7 +2005,7 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("u").alias("node"), F.col("v").alias("other"))
         .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("other")))
         .unionAll(nodes.select("node", F.col("node").alias("other")))
-        .localCheckpoint()
+        .transform(materialize)
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(_LP_ROUNDS):
@@ -2016,7 +2018,7 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("node")
             .agg(F.min("olbl").alias("label"))
-            .localCheckpoint()
+            .transform(materialize)
         )
     return (
         labels.groupBy("label")
@@ -2127,7 +2129,7 @@ def q_event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
             F.sum("c").over(Window.partitionBy("f")).cast("bigint").alias("rc"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     d38 = "decimal(38,0)"
     v = st.select("s", F.lit(_MKV_SCALE).cast(d38).alias("v"))
@@ -2140,7 +2142,7 @@ def q_event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast(d38)
                 .alias("v")
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
     tot = v.agg(F.sum("v").cast(d38).alias("tv"))
     return (

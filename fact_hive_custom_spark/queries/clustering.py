@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fact_hive_custom_spark.materialize import materialize
+
 from fact_hive_custom_spark.queries.registry import register
 from fact_hive_custom_spark.tables import EMB_CONTRACT_SQL, load_embeddings
 
@@ -85,7 +87,12 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle on vec_id — the plan pin forbids that.
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    return q.localCheckpoint()
+    # r16 re-measure (driver PERF_r15 flagged 0.72×): paired fresh-JVM
+    # A/B of localCheckpoint vs eager persist+count vs lazy persist,
+    # 3 alternated rounds — no variant separable from host noise; the
+    # quietest round ordered checkpoint 4.05 < persist 4.94 < lazy
+    # 6.24 s, agreeing with the r15 warm A/B. Kept.
+    return q.transform(materialize)
 
 
 def _centroid_array(cent_long: DataFrame) -> DataFrame:
@@ -195,7 +202,7 @@ def _kmeans_parts(spark: SparkSession, sf_dir: str, rounds: int = _KM_T):
         # and nested broadcasts produced a 41 s/18 s cold-run cliff
         # over a ~5 s median (BENCH_r09 spread). Values are untouched
         # — the trajectory stays bit-identical to the oracle.
-        cent = _update(assigned).localCheckpoint()
+        cent = _update(assigned).transform(materialize)
     return cent, _assign(q, _centroid_array(cent))
 
 
@@ -393,14 +400,17 @@ def q_llm_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     n²·254² needs n ≲ 3.8e8 vectors — past that the two SUMs widen to
     DECIMAL(38,0) (the q_stat_ttest_welch discipline).
 
-    Plan (pinned): the per-vector outer product is two back-to-back
-    posexplodes — map-side, NO self-join of the long form on vec_id
-    (that shape shuffles D²·n rows; this one partial-aggregates the
-    same products into ≤ D²-per-task partials before the only
-    corpus-sized exchange, keyed (i, j)); S and n are one-pass
-    map-combined aggregates; the 64×64 scatter and the 64-row vector
-    iterate via broadcast joins — constant-size work independent of
-    corpus, no collect, no Python."""
+    Plan (pinned): the per-vector outer product is ONE posexplode
+    (n·D rows) whose row i computes its whole product vector in a
+    single transform(), accumulated as D columnar SUMs and unpivoted
+    with stack() — map-side, NO self-join of the long form on vec_id
+    (that shape shuffles D²·n rows) and no second posexplode (the
+    round-≤14 shape generated n·D² rows); the only corpus-sized
+    exchange carries ≤ D×D partially-aggregated cells per task, keyed
+    i; S and n are one-pass map-combined aggregates; the 64×64
+    scatter and the 64-row vector iterate via broadcast joins —
+    constant-size work independent of corpus, no collect, no
+    Python."""
     emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     g = emb.agg(
         F.max(
@@ -426,11 +436,15 @@ def q_llm_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe per (vector, i) row with a D-slot buffer. Same exact
     # bigint sums, same (i, j, p) relation after the stack unpivot.
     # Paired sf0.1 isolated warm medians: 16.4 → ~9 s. D is the
-    # fixture embedding dimension (the PQ family's _PQ_M × _PQ_SUB
-    # constant); the contract filter guarantees every surviving row
-    # has exactly modal length, and parity at all SFs plus the
-    # inertia property test gate any drift.
-    d_dim = 64
+    # corpus embedding dimension — the PQ family's _PQ_M × _PQ_SUB
+    # contract constant, imported rather than re-literalized so a
+    # dimension change fails loudly (r15 ADVICE: a literal 64 would
+    # silently drop dims > 64 / NULL-scatter dims < 64); the contract
+    # filter guarantees every surviving row has exactly modal length,
+    # and the fixture-drift test asserts modal == _PQ_M × _PQ_SUB.
+    from fact_hive_custom_spark.queries.corpus import _PQ_M, _PQ_SUB
+
+    d_dim = _PQ_M * _PQ_SUB
     ql = q.select(F.posexplode("qs").alias("pos_i", "ui"), "qs")
     prods = ql.select(
         (F.col("pos_i") + 1).cast("bigint").alias("i"),

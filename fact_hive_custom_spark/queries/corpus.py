@@ -26,6 +26,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fact_hive_custom_spark.materialize import materialize
+
 from fact_hive_custom_spark.queries.registry import register
 from fact_hive_custom_spark.tables import (
     EMB_CONTRACT_SQL,
@@ -1527,7 +1529,7 @@ def _pq_lloyd(sub: DataFrame, csub: DataFrame, rounds: int) -> DataFrame:
             # one nested DAG re-deriving every earlier round inside
             # each broadcast (BENCH_r09's 41 s cold max vs 5 s median).
             # Values untouched — the trajectory is the oracle's.
-            .localCheckpoint()
+            .transform(materialize)
         )
     return csub
 
@@ -1618,7 +1620,7 @@ def _pq_parts(
     # SCALING.md §round-14 width rule; NOT a hash shuffle on vec_id).
     q = q.repartition(
         q.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint()
+    ).transform(materialize)
     cent = (
         q.orderBy("vec_id")
         .limit(pq_k)
@@ -2308,6 +2310,12 @@ def q_llm_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the counting shuffle produced, re-keys once on w1, and the final
     per-doc sum shuffles (doc_id, int) pairs. Top-20 is
     TakeOrderedAndProject. Words move; text never does."""
+    # fan_out(documents) was tried here (r16) and measured SLOWER
+    # (paired 1.8/1.8 → 2.5/2.5 s): the split+explode per-row work is
+    # light and the counting groupBy re-exchanges immediately anyway,
+    # so the widening shuffle + lost scan fusion is a net cost. The
+    # fan_out wins stay with the md5-heavy map stages (permutation,
+    # quantile sketch, ngram novelty).
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
@@ -3097,6 +3105,9 @@ def q_llm_lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out stream left-joins counts on the SAME keys the counting
     shuffles produced, and the final per-doc sum moves (doc_id, int)
     pairs. Top-20 is TakeOrderedAndProject. Text never shuffles."""
+    # fan_out was measured a loss on the identical bigram_ppl shape
+    # (r16 paired A/B — light split+explode map stage, immediate
+    # re-exchange at the counting groupBy); not applied here.
     d = load_table(spark, sf_dir, "documents")
     toks = d.filter(F.col("text").isNotNull()).select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")

@@ -726,7 +726,14 @@ def q_stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffled; the exchange carries K×partitions partial
     (n_a, n_b, s_a, s_b) quadruples. At 100 TB the cost is K extra
     map-side hash-and-adds per row, not K corpus copies."""
-    x = (
+    from fact_hive_custom_spark.tables import fan_out
+
+    # fan_out: the K-fold expansion below does 64 md5 evaluations per
+    # row BEFORE the first exchange; on a one-row-group fixture that
+    # entire expansion ran in ONE task (r16 measured: 8-vs-32-core
+    # ratio 1.08 — serial). The 3-column frame is ~2 MB at sf0.1, so
+    # the widening shuffle is noise; at scale it is an identity.
+    x = fan_out(
         load_table(spark, sf_dir, "events")
         .filter(
             F.col("event_type").isin("click", "view")

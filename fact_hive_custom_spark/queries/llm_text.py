@@ -13,6 +13,7 @@ from fact_hive_custom_spark.operators.similarity import cosine_pairs
 from fact_hive_custom_spark.queries.registry import register
 from fact_hive_custom_spark.tables import (
     EMB_CONTRACT_SQL,
+    fan_out,
     load_embeddings,
     load_table,
 )
@@ -1120,9 +1121,14 @@ def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a per-doc aggregate — every exchange keys on h or doc_id;
     nothing is all-pairs, and hot shingles cost one skewed reduce key
     (AQE skew split handles it) rather than a candidate explosion."""
+    # fan_out before the tokenize+md5 map stage (one row group locally
+    # = one serial task otherwise; identity at scale — tables.fan_out)
     t = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
+        fan_out(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("text").isNotNull()
+            )
+        )
         .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
         .filter(F.size("toks") >= 5)
     )
@@ -2005,6 +2011,10 @@ def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no model, no embedding) is preserved exactly; to make pass 2 a
     cache read instead of a re-scan, persist the tokenized relation
     (the q_llm_kmeans generation-cache pattern)."""
+    # fan_out(documents) was tried here (r16) and measured a wash
+    # (paired 1.8/2.0 → 2.1 s): per-token md5 into 1024 buckets is a
+    # light map stage and both passes re-exchange immediately
+    # (groupBy(b) / groupBy(doc_id)); reverted to keep the plan lean.
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )

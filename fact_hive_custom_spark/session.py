@@ -36,6 +36,17 @@ def get_session(
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # The pre-importing worker daemon (pydaemon.py) is resolved by a
+    # fresh `python -m` process the JVM launches — it needs this
+    # package's parent on PYTHONPATH (the driver's sys.path is not
+    # inherited). Must be set before the FIRST JVM launch in the
+    # process; idempotent afterwards.
+    _pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _pkg_parent not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _pkg_parent + (os.pathsep + _pp if _pp else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -49,6 +60,17 @@ def get_session(
         # (vs default 10k) cut per-batch overhead ~25% at a few MB/batch.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Workers fork from this daemon: pandas/pyarrow/numpy imported
+        # once pre-fork instead of ~1 s per worker per respawn (the JVM
+        # reaps idle workers after a hardcoded 60 s; r15 priced the
+        # re-spawn at 3–6 s/pass on local[32] — pydaemon.py). Opt-out
+        # env gate for paired A/B measurement.
+        .config(
+            "spark.python.daemon.module",
+            "pyspark.daemon"
+            if os.environ.get("FHC_DAEMON_PRELOAD", "1") == "0"
+            else "fact_hive_custom_spark.pydaemon",
+        )
         # Deterministic timestamp semantics vs external oracles.
         .config("spark.sql.session.timeZone", "UTC")
         # Local mode: driver JVM is the only process; give it headroom.

@@ -60,6 +60,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin `df` across the session's default parallelism IF its
+    physical plan collapsed to fewer partitions — the guard that keeps
+    compute-heavy map work (tokenize+shingle, K-fold md5 expansion,
+    per-row hashing) off a single task when the source is one small
+    parquet file with one row group (every local fixture: Spark cannot
+    split inside a row group, so the scan and EVERYTHING up to the
+    first exchange run serial no matter how many cores local[N] has —
+    measured r16: the 8-vs-32-core ratio of the affected queries sat
+    at ≈1.0).
+
+    Scale-adaptive by construction (guide §2): at 100 TB a table scans
+    as thousands of splits, the partition count is already ≥ cores,
+    and this is an identity — no data-sized shuffle is ever added on a
+    cluster. The round-robin (no key) avoids the hash-partition
+    collision skew of a synthetic key and stays deterministic under
+    retries via Spark's sort-before-repartition default.
+    """
+    if os.environ.get("FHC_AB_VARIANT") == "no_fanout":  # paired-A/B gate
+        return df
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 _registered: "weakref.WeakKeyDictionary[SparkSession, str]" = None  # type: ignore[assignment]
 
 
@@ -118,6 +145,11 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select("dim")
     )
+    # fan_out() was tried here (r16) and measured SLOWER for the
+    # embedding consumers (paired: q_ir_ndcg 2.0/2.3 → 2.4, semdedup
+    # 2.3/2.5 → 2.8 s): the heavy consumers already width-pin with
+    # their own repartition (kmeans _quantized, PQ q, semdedup fold),
+    # so a contract-level fan-out is a pure extra exchange for them.
     return (
         emb.filter(F.col("embedding").isNotNull())
         .join(F.broadcast(mode_dim), F.size("embedding") == F.col("dim"))

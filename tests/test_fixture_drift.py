@@ -883,3 +883,23 @@ def test_wilson_ci_and_srm_on_empty_variants(spark, null_user_events_dir):
         ok, detail = compare(spark, name, null_user_events_dir)
         assert ok, f"{name} on all-NULL user_id: {detail}"
         assert QUERIES[name](spark, null_user_events_dir).count() == 0
+
+
+def test_embedding_modal_dim_matches_pq_contract():
+    """r15 ADVICE (clustering.py d_dim): q_llm_pca_power accumulates
+    the outer product as _PQ_M × _PQ_SUB columnar SUMs, and the
+    embedding contract only guarantees the MODAL dimension — if a
+    fixture regeneration ever changed the modal dim away from the PQ
+    constant, element_at past the array end would NULL-scatter (or
+    silently drop) dimensions. Fail loudly here instead."""
+    from collections import Counter
+
+    from fact_hive_custom_spark.queries.corpus import _PQ_M, _PQ_SUB
+
+    for sf in ("sf0.001", "sf0.01"):
+        t = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
+        lens = Counter(
+            len(v) for v in t.column("embedding").to_pylist() if v is not None
+        )
+        modal = lens.most_common(1)[0][0]
+        assert modal == _PQ_M * _PQ_SUB, (sf, modal, _PQ_M * _PQ_SUB)

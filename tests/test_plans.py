@@ -1196,13 +1196,14 @@ class TestPQTrainPlan:
 class TestPcaPowerPlan:
     def test_pca_scatter_cached_outer_product_map_side(self, spark):
         """PCA power iteration (q_llm_pca_power): the D²-row scatter
-        matrix is computed from ONE corpus pass (two back-to-back
-        posexplodes partial-aggregated before the only corpus-sized
-        exchange — never a self-join of the long form on vec_id) and
-        PERSISTED; the three matrix–vector rounds reference the cache
-        (InMemoryTableScan), attach vectors by broadcast, and no join
-        anywhere degrades to SortMergeJoin. No cartesian of data
-        against data, no Python."""
+        matrix is computed from ONE corpus pass (a single posexplode
+        whose row computes its product vector in one transform(),
+        accumulated as D columnar SUMs and stack()-unpivoted — never a
+        second posexplode over n·D² rows, never a self-join of the
+        long form on vec_id) and PERSISTED; the three matrix–vector
+        rounds reference the cache (InMemoryTableScan), attach vectors
+        by broadcast, and no join anywhere degrades to SortMergeJoin.
+        No cartesian of data against data, no Python."""
         plan = plan_of(spark, "q_llm_pca_power")
         assert "InMemoryTableScan" in plan
         assert "SortMergeJoin" not in plan, [
