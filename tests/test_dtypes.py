@@ -13,10 +13,17 @@ to reintroduce.
 
 from __future__ import annotations
 
+import pytest
+
 from fact_hive_custom_spark.queries import QUERIES
 from tests.parity import DEFAULT_SF_DIR, oracle_dtype_report
 
 
+# slow tier (r16): the full-registry walk costs ~150 s; the default
+# tier's strict parity subset (bench.HEADLINE) still catches dtype
+# drift on every driver-benched query, and the exhaustive audit runs
+# with FHC_SLOW_TESTS=1 at round close.
+@pytest.mark.slow
 def test_all_oracle_output_dtypes_match(spark):
     report = oracle_dtype_report(spark, DEFAULT_SF_DIR)
     assert report == [], (

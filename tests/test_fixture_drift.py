@@ -32,6 +32,22 @@ from tests.parity import compare
 
 _SRC = "/root/testdata/sf0.001"
 
+# r16 two-tier rule (VERDICT r15 item 2): the chaos-matrix parities
+# for driver-benched queries (bench.HEADLINE) run on every `pytest
+# tests/`; the long tail runs under FHC_SLOW_TESTS=1 — same split as
+# tests/test_parity.py, keeping the default suite inside the driver's
+# verify window while every drift class still has fast coverage.
+import bench as _bench
+
+_FAST = set(_bench.HEADLINE)
+
+
+def _tiered(names):
+    return [
+        n if n in _FAST else pytest.param(n, marks=pytest.mark.slow)
+        for n in names
+    ]
+
 # Queries over the documents table (text-shape sensitive).
 DOC_QUERIES = [
     "q_llm_chunk_docs",
@@ -224,13 +240,13 @@ def reencoded_events_dir(tmp_path_factory):
     return sf_dir
 
 
-@pytest.mark.parametrize("name", DOC_QUERIES)
+@pytest.mark.parametrize("name", _tiered(DOC_QUERIES))
 def test_degenerate_documents_parity(spark, degenerate_docs_dir, name):
     ok, detail = compare(spark, name, degenerate_docs_dir)
     assert ok, f"{name} on degenerate docs: {detail}"
 
 
-@pytest.mark.parametrize("name", EMB_QUERIES)
+@pytest.mark.parametrize("name", _tiered(EMB_QUERIES))
 def test_float64_embeddings_parity(spark, wide_embeddings_dir, name):
     ok, detail = compare(spark, name, wide_embeddings_dir)
     assert ok, f"{name} on float64/int64 embeddings: {detail}"
@@ -256,13 +272,13 @@ def degenerate_embeddings_dir(tmp_path_factory):
     return sf_dir
 
 
-@pytest.mark.parametrize("name", EMB_QUERIES)
+@pytest.mark.parametrize("name", _tiered(EMB_QUERIES))
 def test_degenerate_embeddings_parity(spark, degenerate_embeddings_dir, name):
     ok, detail = compare(spark, name, degenerate_embeddings_dir)
     assert ok, f"{name} on NULL/empty/odd-dim embeddings: {detail}"
 
 
-@pytest.mark.parametrize("name", EVT_QUERIES)
+@pytest.mark.parametrize("name", _tiered(EVT_QUERIES))
 def test_reencoded_events_parity(spark, reencoded_events_dir, name):
     ok, detail = compare(spark, name, reencoded_events_dir)
     assert ok, f"{name} on compact-props/ns-ts events: {detail}"
@@ -358,7 +374,7 @@ def null_events_dir(tmp_path_factory):
     return sf_dir
 
 
-@pytest.mark.parametrize("name", NULLABLE_EVT_QUERIES)
+@pytest.mark.parametrize("name", _tiered(NULLABLE_EVT_QUERIES))
 def test_null_events_parity(spark, null_events_dir, name):
     ok, detail = compare(spark, name, null_events_dir)
     assert ok, f"{name} on NULL-laden events: {detail}"
@@ -431,7 +447,7 @@ def null_orders_dir(tmp_path_factory):
     return sf_dir
 
 
-@pytest.mark.parametrize("name", NULLABLE_ORD_QUERIES)
+@pytest.mark.parametrize("name", _tiered(NULLABLE_ORD_QUERIES))
 def test_null_orders_parity(spark, null_orders_dir, name):
     ok, detail = compare(spark, name, null_orders_dir)
     assert ok, f"{name} on NULL-laden orders: {detail}"
@@ -503,7 +519,7 @@ def null_lineitem_dir(tmp_path_factory):
     return sf_dir
 
 
-@pytest.mark.parametrize("name", NULLABLE_LI_QUERIES)
+@pytest.mark.parametrize("name", _tiered(NULLABLE_LI_QUERIES))
 def test_null_lineitem_parity(spark, null_lineitem_dir, name):
     ok, detail = compare(spark, name, null_lineitem_dir)
     assert ok, f"{name} on NULL-laden lineitem: {detail}"
@@ -548,7 +564,7 @@ def null_docmeta_dir(tmp_path_factory):
     return sf_dir
 
 
-@pytest.mark.parametrize("name", NULL_DOCMETA_QUERIES)
+@pytest.mark.parametrize("name", _tiered(NULL_DOCMETA_QUERIES))
 def test_null_docmeta_parity(spark, null_docmeta_dir, name):
     ok, detail = compare(spark, name, null_docmeta_dir)
     assert ok, f"{name} on NULL doc metadata: {detail}"
@@ -584,7 +600,7 @@ def malformed_props_dir(tmp_path_factory):
     return sf_dir
 
 
-@pytest.mark.parametrize("name", MALFORMED_PROPS_QUERIES)
+@pytest.mark.parametrize("name", _tiered(MALFORMED_PROPS_QUERIES))
 def test_malformed_props_parity(spark, malformed_props_dir, name):
     ok, detail = compare(spark, name, malformed_props_dir)
     assert ok, f"{name} on malformed props: {detail}"
@@ -637,7 +653,7 @@ def null_dims_dir(tmp_path_factory):
     return sf_dir
 
 
-@pytest.mark.parametrize("name", NULL_DIM_QUERIES)
+@pytest.mark.parametrize("name", _tiered(NULL_DIM_QUERIES))
 def test_null_dims_parity(spark, null_dims_dir, name):
     ok, detail = compare(spark, name, null_dims_dir)
     assert ok, f"{name} on NULL-laden dimension rows: {detail}"

@@ -387,6 +387,7 @@ class TestCdcUpsert:
         assert len(rows) == 1 and rows[0].event_type == "hi"
 
 
+@pytest.mark.slow
 class TestCheckpointRestartRecovery:
     """Exactly-once across a PROCESS-level restart: a streaming dedup
     query is stopped cold and a brand-new query object resumes from
@@ -445,6 +446,7 @@ class TestCheckpointRestartRecovery:
         assert out.count() == 3  # k2 emitted exactly once, pre-restart
 
 
+@pytest.mark.slow
 class TestChainedWindowsRestartRecovery:
     """Kill-and-resume for the TWO-stateful-operator chain
     (q_stream_chained_windows's 10-min window -> hourly rollup): a
@@ -571,6 +573,7 @@ class TestChainedWindowsRestartRecovery:
         assert out.count() == 2, out.collect()
 
 
+@pytest.mark.slow
 class TestStreamStreamJoinRestartRecovery:
     """Kill-and-resume for the stream–stream interval join (VERDICT
     r12 item 3): a cold stop with UNMATCHED left rows still in the
@@ -689,6 +692,7 @@ class TestStreamStreamJoinRestartRecovery:
         assert got == oracle, (got, oracle)  # == also proves no re-emission
 
 
+@pytest.mark.slow
 class TestCdcUpsertRestartRecovery:
     """Kill-and-resume for the foreachBatch CDC-upsert loop (VERDICT
     r12 item 3): cold-stop the apply loop mid-feed, resume on the same
